@@ -1,0 +1,358 @@
+"""Per-geometry decomposition of a complex polygon into simple rings.
+
+From-scratch reimplementation of the reference's algorithm
+(reference src/index.ts:39-533; Subramaniam 2003 lineage) with the
+exact output contract of the golden fixtures:
+
+- fast path (0 self-intersections, src/index.ts:116-134): input rings
+  pass through; properties {parent, winding, netWinding} — NO ``index``
+  key;
+- walk path (src/index.ts:136-519): pseudo-vertex / intersection graph,
+  per-edge param sort, next-intersection linking, left-most queue
+  seeding with a JS-string-coerced descending sort
+  (src/index.ts:325-330 — see ``jsnum``), rightmost-next-edge ring
+  walking with winding prediction, then parent determination
+  (src/index.ts:645-694 — last-containing-ring-wins, reproducing the
+  reference's never-updated ``parentArea`` quirk) and iterative
+  net-winding propagation (src/index.ts:696-720, made iterative so deep
+  nesting cannot blow Python's recursion limit).
+
+The function is pure per-geometry: no cross-row state, which is what
+lets the engine run it embarrassingly parallel inside
+``Dataset.map_batches``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .gpsi import self_intersections
+from .jsnum import js_coord_str
+from .kernels import is_convex, point_in_ring, winding_of_ring
+
+__all__ = ["decompose", "DecomposedRing", "DuplicateVertexError"]
+
+
+class DuplicateVertexError(ValueError):
+    """Input polygon has duplicate vertices (reference src/index.ts:60-63)."""
+
+
+@dataclass
+class DecomposedRing:
+    """One simple output ring. ``index`` is None on the fast path
+    (the reference omits the ``index`` property there)."""
+
+    ring: np.ndarray  # (n,2) float64, closed
+    index: int | None
+    parent: int
+    winding: int
+    net_winding: int | None = None
+
+
+@dataclass
+class _Isect:
+    coord: tuple
+    re1: tuple  # ringAndEdge1
+    re2: tuple
+    w1: bool  # ringAndEdge1Walkable
+    w2: bool
+    nxt1: int | None = None
+    nxt2: int | None = None
+
+
+@dataclass
+class _PseudoVtx:
+    coord: tuple
+    param: float
+    re_in: tuple
+    re_out: tuple
+    nxt: int | None = None
+
+
+def _close_rings(coordinates) -> list[np.ndarray]:
+    rings = []
+    for ring in coordinates:
+        r = np.asarray(ring, dtype=np.float64)
+        if r.ndim != 2 or r.shape[1] < 2:
+            raise ValueError("ring must be a sequence of [x, y] positions")
+        r = r[:, :2]
+        if not (r[0][0] == r[-1][0] and r[0][1] == r[-1][1]):
+            r = np.vstack([r, r[:1]])
+        rings.append(r)
+    return rings
+
+
+def _determine_parents(out: list[DecomposedRing]) -> None:
+    """Assign parents to rings still at -1 (reference src/index.ts:645-694).
+
+    Reproduces the verified quirk: the candidate loop keeps overwriting
+    ``parent`` for every containing ring, so the LAST (highest-index)
+    containing ring wins — the area comparison in the reference is
+    dead code (const Infinity bound).
+    """
+    orphans = [i for i, f in enumerate(out) if f.parent == -1]
+    if len(orphans) <= 1:
+        return
+    for i in orphans:
+        parent = -1
+        first_vtx = out[i].ring[0]
+        for j, cand in enumerate(out):
+            if i == j:
+                continue
+            if point_in_ring(first_vtx, cand.ring, ignore_boundary=True):
+                parent = j
+        out[i].parent = parent
+
+
+def _set_net_winding(out: list[DecomposedRing]) -> None:
+    """Iterative topological pass (reference src/index.ts:696-720)."""
+    children: dict[int, list[int]] = {}
+    for i, f in enumerate(out):
+        children.setdefault(f.parent, []).append(i)
+    # process roots in feature order, children depth-first like the reference
+    roots = children.get(-1, [])
+    stack = []
+    for r in reversed(roots):
+        stack.append((r, 0))
+    while stack:
+        i, parent_net = stack.pop()
+        net = parent_net + out[i].winding
+        out[i].net_winding = net
+        for c in reversed(children.get(i, [])):
+            stack.append((c, net))
+
+
+def decompose(coordinates) -> list[DecomposedRing]:
+    """Decompose one polygon (``coordinates`` = GeoJSON ``Polygon``
+    coordinates: list of rings of [x, y]) into simple rings."""
+    rings = _close_rings(coordinates)
+    num_rings = len(rings)
+
+    # duplicate-vertex guard (closing vertices excluded)
+    verts = np.concatenate([r[:-1] for r in rings])
+    numvertices = len(verts)
+    seen = {(float(x), float(y)) for x, y in verts}
+    if len(seen) != numvertices:
+        raise DuplicateVertexError(
+            "polygon may not have duplicate vertices "
+            "(except the first/last vertex of each ring)"
+        )
+
+    isect_rows = self_intersections(rings)
+    n_self = len(isect_rows["ix"])
+
+    if n_self == 0:
+        out = [
+            DecomposedRing(ring=r, index=None, parent=-1, winding=winding_of_ring(r))
+            for r in rings
+        ]
+        _determine_parents(out)
+        _set_net_winding(out)
+        return out
+
+    # ---- build pseudo-vertex lists and intersection list ----
+    pseudo: list[list[list[_PseudoVtx]]] = []  # [ring][edge] -> pvtx list
+    isects: list[_Isect] = []
+    for i in range(num_rings):
+        m = len(rings[i]) - 1
+        pseudo.append([])
+        for j in range(m):
+            nxt_v = rings[i][(j + 1) % m]
+            pseudo[i].append(
+                [
+                    _PseudoVtx(
+                        coord=(float(nxt_v[0]), float(nxt_v[1])),
+                        param=1.0,
+                        re_in=(i, j),
+                        re_out=(i, (j + 1) % m),
+                    )
+                ]
+            )
+            v = rings[i][j]
+            isects.append(
+                _Isect(
+                    coord=(float(v[0]), float(v[1])),
+                    re1=(i, (j - 1) % m),
+                    re2=(i, j),
+                    w1=False,
+                    w2=True,
+                )
+            )
+
+    r0 = isect_rows["ring0"]
+    e0 = isect_rows["edge0"]
+    f0 = isect_rows["frac0"]
+    r1 = isect_rows["ring1"]
+    e1 = isect_rows["edge1"]
+    uq = isect_rows["unique"]
+    xs = isect_rows["ix"]
+    ys = isect_rows["iy"]
+    for k in range(n_self):
+        c = (float(xs[k]), float(ys[k]))
+        pseudo[int(r0[k])][int(e0[k])].append(
+            _PseudoVtx(
+                coord=c,
+                param=float(f0[k]),
+                re_in=(int(r0[k]), int(e0[k])),
+                re_out=(int(r1[k]), int(e1[k])),
+            )
+        )
+        if uq[k]:
+            isects.append(
+                _Isect(
+                    coord=c,
+                    re1=(int(r0[k]), int(e0[k])),
+                    re2=(int(r1[k]), int(e1[k])),
+                    w1=True,
+                    w2=True,
+                )
+            )
+
+    # per-edge sort by param (ties impossible given the dup-vertex guard)
+    for i in range(num_rings):
+        for j in range(len(pseudo[i])):
+            pseudo[i][j].sort(key=lambda p: p.param)
+
+    # exact-coordinate index: the reference's rbush point query is a
+    # pure float-equality lookup (src/index.ts:203-215) -> dict
+    coord_to_isect = {it.coord: idx for idx, it in enumerate(isects)}
+
+    # linking pass 1: next isect along each pseudo-vertex's incoming edge
+    for i in range(num_rings):
+        m = len(rings[i]) - 1
+        for j in range(m):
+            lst = pseudo[i][j]
+            for k, pv in enumerate(lst):
+                if k == len(lst) - 1:
+                    coord_to_find = pseudo[i][(j + 1) % m][0].coord
+                else:
+                    coord_to_find = lst[k + 1].coord
+                pv.nxt = coord_to_isect[coord_to_find]
+
+    # linking pass 2: port onto isects
+    for i in range(num_rings):
+        for j in range(len(pseudo[i])):
+            for pv in pseudo[i][j]:
+                l = coord_to_isect[pv.coord]
+                if l < numvertices:
+                    isects[l].nxt2 = pv.nxt
+                elif isects[l].re1 == pv.re_in:
+                    isects[l].nxt1 = pv.nxt
+                else:
+                    isects[l].nxt2 = pv.nxt
+
+    # ---- queue seeding (reference src/index.ts:283-330) ----
+    queue: list[dict] = []
+    i = 0
+    for j in range(num_rings):
+        m = len(rings[j]) - 1
+        left = i
+        for _ in range(m):
+            if isects[i].coord[0] < isects[left].coord[0]:
+                left = i
+            i += 1
+        after = isects[left].nxt2
+        before = 0
+        for k in range(len(isects)):
+            if isects[k].nxt1 == left or isects[k].nxt2 == left:
+                before = k
+                break
+        winding = (
+            1
+            if is_convex(isects[before].coord, isects[left].coord, isects[after].coord, True)
+            else -1
+        )
+        queue.append({"isect": left, "parent": -1, "winding": winding})
+
+    # descending JS-string order so the left-most pops first
+    queue.sort(key=lambda q: js_coord_str(isects[q["isect"]].coord), reverse=True)
+
+    # ---- walk (reference src/index.ts:332-519) ----
+    out: list[DecomposedRing] = []
+    while queue:
+        popped = queue.pop()
+        start = popped["isect"]
+        cur_parent = popped["parent"]
+        cur_winding = popped["winding"]
+        cur_ring_idx = len(out)
+        coords = [isects[start].coord]
+
+        cur = start
+        if isects[start].w1:
+            walking = isects[start].re1
+            nxt = isects[start].nxt1
+        else:
+            walking = isects[start].re2
+            nxt = isects[start].nxt2
+        if nxt is None:
+            raise RuntimeError("next intersection not defined")
+
+        while isects[start].coord != isects[nxt].coord:
+            coords.append(isects[nxt].coord)
+            for qi, q in enumerate(queue):
+                if q["isect"] == nxt:
+                    del queue[qi]
+                    break
+            it = isects[nxt]
+            if walking == it.re1:
+                walking = it.re2
+                it.w2 = False
+                if it.w1:
+                    nxt_along = it.nxt2
+                    if nxt_along is None:
+                        raise RuntimeError("next intersection not defined")
+                    if is_convex(
+                        isects[cur].coord,
+                        it.coord,
+                        isects[nxt_along].coord,
+                        cur_winding == 1,
+                    ):
+                        queue.append(
+                            {"isect": nxt, "parent": cur_parent, "winding": -cur_winding}
+                        )
+                    else:
+                        queue.append(
+                            {"isect": nxt, "parent": cur_ring_idx, "winding": cur_winding}
+                        )
+                cur = nxt
+                nxt = it.nxt2
+            else:
+                walking = it.re1
+                it.w1 = False
+                if it.w2:
+                    nxt_along = it.nxt1
+                    if nxt_along is None:
+                        raise RuntimeError("next intersection not defined")
+                    if is_convex(
+                        isects[cur].coord,
+                        it.coord,
+                        isects[nxt_along].coord,
+                        cur_winding == 1,
+                    ):
+                        queue.append(
+                            {"isect": nxt, "parent": cur_parent, "winding": -cur_winding}
+                        )
+                    else:
+                        queue.append(
+                            {"isect": nxt, "parent": cur_ring_idx, "winding": cur_winding}
+                        )
+                cur = nxt
+                nxt = it.nxt1
+            if nxt is None:
+                raise RuntimeError("next intersection not defined")
+
+        coords.append(isects[nxt].coord)
+        out.append(
+            DecomposedRing(
+                ring=np.asarray(coords, dtype=np.float64),
+                index=cur_ring_idx,
+                parent=cur_parent,
+                winding=cur_winding,
+            )
+        )
+
+    _determine_parents(out)
+    _set_net_winding(out)
+    return out
