@@ -1,0 +1,3 @@
+from .search import brute_topk, ivf_topk, query_vector
+
+__all__ = ["brute_topk", "ivf_topk", "query_vector"]

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_topk``: exact cosine top-k — per-batch numpy matmul against
+  a broadcast query matrix, partial top-k per batch, global
+  sort+limit merge. The baseline every approximate method is judged
+  against.
+- ``ivf_topk``: IVF-style scale path — deterministic k-means-lite
+  centroids (few iterations over a driver-side sample), per-batch
+  assignment, search restricted to the ``nprobe`` closest centroid
+  buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+__all__ = ["brute_topk", "ivf_topk", "query_vector"]
+
+
+def query_vector(dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit query vector for tests/benchmarks."""
+    r = np.random.RandomState(seed)
+    q = r.standard_normal(dim).astype(np.float32)
+    return q / np.linalg.norm(q)
+
+
+def _batch_vecs(batch: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
+
+
+def brute_topk(
+    emb,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k of one query against an embeddings Dataset."""
+    qref = ray.put(np.asarray(query, np.float32))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        vecs = _batch_vecs(batch, vec_col)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vecs @ q) / (norms * float(np.linalg.norm(q)))
+        out = pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(np.int64), "cosine": sims.astype(np.float64)}
+        )
+        # partial top-k per batch: the global merge only sees k rows per block
+        return out.nlargest(k, "cosine")
+
+    partial = emb.map_batches(score, batch_format="pandas")
+    return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
+    """Deterministic k-means: first-k init on a hash-shuffled sample."""
+    order = np.argsort(
+        np.frombuffer(
+            np.ascontiguousarray(sample[:, 0]).tobytes(), dtype=np.uint64
+        ),
+        kind="stable",
+    )
+    cent = sample[order[:n_clusters]].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(0)
+    return cent
+
+
+def ivf_topk(
+    emb,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-bucketed approximate top-k: centroids from a driver sample,
+    probe side searches only the ``nprobe`` nearest buckets."""
+    sample = _batch_vecs(emb.limit(sample_rows).to_pandas(), vec_col)
+    cent = _kmeans_lite(sample, min(n_clusters, len(sample)))
+    q = np.asarray(query, np.float32)
+    probe_buckets = np.argsort(((cent - q[None, :]) ** 2).sum(1), kind="stable")[:nprobe]
+    cent_ref = ray.put(cent)
+    qref = ray.put(q)
+    probe_set_ref = ray.put(set(int(b) for b in probe_buckets))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        qq = ray.get(qref)
+        probes = ray.get(probe_set_ref)
+        vecs = _batch_vecs(batch, vec_col)
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        mask = np.isin(assign, list(probes))
+        if not mask.any():
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"), "cosine": []})
+        vecs = vecs[mask]
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vecs @ qq) / (norms * float(np.linalg.norm(qq)))
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64)[mask],
+                "cosine": sims.astype(np.float64),
+            }
+        )
+        return out.nlargest(k, "cosine")
+
+    partial = emb.map_batches(score, batch_format="pandas")
+    return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)

@@ -1,0 +1,211 @@
+"""Hierarchical quad-cell index on lon/lat (H3/S2-style, from scratch).
+
+An equirectangular quadtree: level L splits lon ∈ [-180, 180) into 2^L
+columns and lat ∈ [-90, 90] into 2^L rows. A cell id packs
+``(level << 58) | (i << 29) | j`` into one uint64 (i = lon column,
+j = lat row, level ≤ 28), so ids are cheap int64-compatible shuffle
+keys for Ray Data groupby/join stages.
+
+All functions are numpy-vectorized — they run inside ``map_batches``
+over whole batches, never per row. Coverings are exact for the cell
+grid: a cell is in ``cover_ring`` iff it intersects the ring's
+boundary or its interior (edge-crossing cells ∪ fully-interior cells;
+anything else is wholly outside).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geom.kernels import points_in_ring
+
+__all__ = [
+    "MAX_LEVEL",
+    "point_to_cell",
+    "cell_level",
+    "cell_ij",
+    "cell_bounds",
+    "cell_parent",
+    "cell_children",
+    "cell_neighbors",
+    "cover_ring",
+    "compact_cells",
+]
+
+MAX_LEVEL = 28
+_LSHIFT = np.uint64(58)
+_ISHIFT = np.uint64(29)
+_MASK29 = np.uint64((1 << 29) - 1)
+
+
+def _pack(level, i, j):
+    return (
+        (np.asarray(level, np.uint64) << _LSHIFT)
+        | (np.asarray(i, np.uint64) << _ISHIFT)
+        | np.asarray(j, np.uint64)
+    )
+
+
+def cell_level(cell):
+    return (np.asarray(cell, np.uint64) >> _LSHIFT).astype(np.int64)
+
+
+def cell_ij(cell):
+    c = np.asarray(cell, np.uint64)
+    return (
+        ((c >> _ISHIFT) & _MASK29).astype(np.int64),
+        (c & _MASK29).astype(np.int64),
+    )
+
+
+def point_to_cell(lon, lat, level: int):
+    """Vectorized lon/lat → cell id at ``level``."""
+    n = 1 << level
+    x = (np.asarray(lon, np.float64) + 180.0) / 360.0
+    y = (np.asarray(lat, np.float64) + 90.0) / 180.0
+    i = np.clip((x * n).astype(np.int64), 0, n - 1)
+    j = np.clip((y * n).astype(np.int64), 0, n - 1)
+    return _pack(level, i, j)
+
+
+def cell_bounds(cell):
+    """Cell id(s) → (lon0, lat0, lon1, lat1)."""
+    lvl = cell_level(cell)
+    i, j = cell_ij(cell)
+    n = (np.int64(1) << lvl).astype(np.float64)
+    lon0 = i / n * 360.0 - 180.0
+    lon1 = (i + 1) / n * 360.0 - 180.0
+    lat0 = j / n * 180.0 - 90.0
+    lat1 = (j + 1) / n * 180.0 - 90.0
+    return lon0, lat0, lon1, lat1
+
+
+def cell_parent(cell, steps: int = 1):
+    lvl = cell_level(cell)
+    i, j = cell_ij(cell)
+    return _pack(lvl - steps, i >> steps, j >> steps)
+
+
+def cell_children(cell):
+    """One cell → its 4 children (returns shape (..., 4) uint64)."""
+    lvl = cell_level(cell)
+    i, j = cell_ij(cell)
+    i2, j2 = i * 2, j * 2
+    kids = np.stack(
+        [
+            _pack(lvl + 1, i2, j2),
+            _pack(lvl + 1, i2 + 1, j2),
+            _pack(lvl + 1, i2, j2 + 1),
+            _pack(lvl + 1, i2 + 1, j2 + 1),
+        ],
+        axis=-1,
+    )
+    return kids
+
+
+def cell_neighbors(cell: int, radius: int = 1) -> np.ndarray:
+    """k-ring disk around one cell (self included), with longitude
+    wraparound and latitude clamping. Returns unique uint64 ids."""
+    lvl = int(cell_level(cell))
+    i, j = (int(v) for v in cell_ij(cell))
+    n = 1 << lvl
+    di = np.arange(-radius, radius + 1)
+    dj = np.arange(-radius, radius + 1)
+    ii, jj = np.meshgrid(di + i, dj + j, indexing="ij")
+    ii = np.mod(ii, n)  # lon wraps
+    mask = (jj >= 0) & (jj < n)  # lat clamps
+    return np.unique(_pack(lvl, ii[mask], jj[mask]))
+
+
+def _segments_cross_cells(ring: np.ndarray, level: int):
+    """Cells (i, j) at ``level`` whose bbox a ring edge passes through.
+
+    Conservative-and-tight rasterization: for each edge, take the cell
+    rectangle range of its bbox, then keep cells whose x-slab actually
+    intersects the segment's y-range within that slab.
+    """
+    n = 1 << level
+    out_i, out_j = [], []
+    x = (ring[:, 0] + 180.0) / 360.0 * n
+    y = (ring[:, 1] + 90.0) / 180.0 * n
+    for k in range(len(ring) - 1):
+        x0, y0, x1, y1 = x[k], y[k], x[k + 1], y[k + 1]
+        i0 = int(np.clip(np.floor(min(x0, x1)), 0, n - 1))
+        i1 = int(np.clip(np.floor(max(x0, x1)), 0, n - 1))
+        if x0 == x1:
+            j0 = int(np.clip(np.floor(min(y0, y1)), 0, n - 1))
+            j1 = int(np.clip(np.floor(max(y0, y1)), 0, n - 1))
+            out_i.append(np.full(j1 - j0 + 1, i0, np.int64))
+            out_j.append(np.arange(j0, j1 + 1, dtype=np.int64))
+            continue
+        slope = (y1 - y0) / (x1 - x0)
+        cols = np.arange(i0, i1 + 1, dtype=np.int64)
+        # segment's x-extent clipped to each column slab
+        xa = np.maximum(cols.astype(np.float64), min(x0, x1))
+        xb = np.minimum(cols.astype(np.float64) + 1.0, max(x0, x1))
+        ya = y0 + slope * (xa - x0)
+        yb = y0 + slope * (xb - x0)
+        ylo = np.floor(np.clip(np.minimum(ya, yb), 0, n - 1)).astype(np.int64)
+        yhi = np.floor(np.clip(np.maximum(ya, yb), 0, n - 1)).astype(np.int64)
+        for c, jl, jh in zip(cols, ylo, yhi):
+            out_i.append(np.full(jh - jl + 1, c, np.int64))
+            out_j.append(np.arange(jl, jh + 1, dtype=np.int64))
+    if not out_i:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def cover_ring(ring: np.ndarray, level: int) -> np.ndarray:
+    """Exact covering of a simple closed ring at one level: all cells
+    intersecting the ring boundary or interior. Returns sorted unique
+    uint64 cell ids.
+
+    Boundary cells come from edge rasterization; interior cells are the
+    bbox cells whose center lies strictly inside (a cell untouched by
+    any edge is wholly inside or wholly outside — its center decides).
+    """
+    ring = np.asarray(ring, np.float64)
+    n = 1 << level
+    bi, bj = _segments_cross_cells(ring, level)
+
+    lon0, lat0 = ring[:, 0].min(), ring[:, 1].min()
+    lon1, lat1 = ring[:, 0].max(), ring[:, 1].max()
+    i0 = int(np.clip(np.floor((lon0 + 180.0) / 360.0 * n), 0, n - 1))
+    i1 = int(np.clip(np.floor((lon1 + 180.0) / 360.0 * n), 0, n - 1))
+    j0 = int(np.clip(np.floor((lat0 + 90.0) / 180.0 * n), 0, n - 1))
+    j1 = int(np.clip(np.floor((lat1 + 90.0) / 180.0 * n), 0, n - 1))
+    ii, jj = np.meshgrid(
+        np.arange(i0, i1 + 1, dtype=np.int64),
+        np.arange(j0, j1 + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    ii, jj = ii.ravel(), jj.ravel()
+    clon = (ii + 0.5) / n * 360.0 - 180.0
+    clat = (jj + 0.5) / n * 180.0 - 90.0
+    inside = points_in_ring(clon, clat, ring)
+    cells = np.concatenate(
+        [_pack(level, bi, bj), _pack(level, ii[inside], jj[inside])]
+    )
+    return np.unique(cells)
+
+
+def compact_cells(cells: np.ndarray) -> np.ndarray:
+    """Merge complete sibling quads into their parent, repeatedly —
+    mixed-level compaction of a single-level covering."""
+    cells = np.unique(np.asarray(cells, np.uint64))
+    while True:
+        lvl = cell_level(cells)
+        if (lvl == 0).all():
+            return cells
+        deepest = lvl.max()
+        at = cells[lvl == deepest]
+        rest = cells[lvl != deepest]
+        if len(at) < 4:
+            return cells
+        parents = cell_parent(at)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = uniq[counts == 4]
+        if len(full) == 0:
+            return cells
+        keep = at[~np.isin(parents, full)]
+        cells = np.unique(np.concatenate([rest, keep, full]))

@@ -1,0 +1,270 @@
+"""queries() catalog for the geometry / text / ANN operators.
+
+Geometry inputs are synthesized deterministically (fixtures + families
+corpus + image table) at a scale tied to the sf directory — the driver
+tables carry no geometry, and BASELINE.json's input_hint table is
+synthesized per FIXTURES.md §3. These entries get rows-only checks
+(not SQL-expressible); their correctness oracles are the brute-force
+pytest suites (tests/test_stages.py, tests/test_text.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..ann.search import brute_topk, ivf_topk, query_vector
+from ..images.codec import decode, phash64, psnr
+from ..images.synth import gen_images, make_pixels
+from ..stages.cover_stage import DEFAULT_LEVEL, cover_rings_dataset, index_points_batch
+from ..stages.decompose_stage import decompose_dataset, fixture_polygons, polygons_source
+from ..stages.knn import knn_join
+from ..stages.pip_join import pip_join_broadcast, pip_join_shuffle
+from ..stages.tiles import tile_assign_dataset
+from ..text.dedup import embedding_near_dup_pairs, minhash_dedup_pairs
+from ..text.ops import fingerprint_batch, langid_batch, quality_batch
+from .flagship import scale_counts
+
+__all__ = ["GEO_QUERIES", "TEXT_QUERIES", "ANN_QUERIES", "EXTRA_ORACLE_SQL"]
+
+
+def _rings_table(sf_dir: str):
+    import ray
+
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    refs = simple.to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+def q_geo_decompose(sf_dir: str):
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+
+    def project(t: pa.Table) -> pa.Table:
+        nv = pa.array(
+            [len(r) for r in t["ring"].to_pylist()], type=pa.int32()
+        )
+        return pa.table(
+            {
+                "geom_id": t["geom_id"],
+                "ring_seq": t["ring_seq"],
+                "ring_index": t["ring_index"],
+                "parent": t["parent"],
+                "winding": t["winding"],
+                "net_winding": t["net_winding"],
+                "n_vertices": nv,
+            }
+        )
+
+    return simple.map_batches(project, batch_format="pyarrow")
+
+
+def q_geo_cover(sf_dir: str):
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    return cover_rings_dataset(simple, level=DEFAULT_LEVEL)
+
+
+def q_geo_pip_join(sf_dir: str):
+    _, n_images = scale_counts(sf_dir)
+    ring_table = _rings_table(sf_dir)
+    images = gen_images(n_images).map_batches(
+        lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
+    )
+    return pip_join_broadcast(images, ring_table, level=DEFAULT_LEVEL).select_columns(
+        ["image_id", "geom_id", "ring_seq"]
+    )
+
+
+def q_geo_pip_join_shuffle(sf_dir: str):
+    import ray.data as rd
+
+    n_polys, n_images = scale_counts(sf_dir)
+    n_images = min(n_images, 20_000)  # shuffle variant exercised at reduced scale
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    images = gen_images(n_images).map_batches(
+        lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
+    )
+    return pip_join_shuffle(
+        images, simple, level=DEFAULT_LEVEL, num_partitions=16, salt_factor=2
+    ).select_columns(["image_id", "geom_id", "ring_seq"])
+
+
+def q_geo_knn(sf_dir: str):
+    _, n_images = scale_counts(sf_dir)
+    n_sites = max(n_images // 10, 100)
+    import ray
+
+    sites = (
+        gen_images(n_sites)
+        .map_batches(lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow")
+        .to_pandas()
+    )
+    probes = gen_images(min(n_images, 5_000)).map_batches(
+        lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
+    )
+    return knn_join(
+        probes,
+        sites["image_id"].to_numpy(),
+        sites["lon"].to_numpy(),
+        sites["lat"].to_numpy(),
+        k=5,
+        level=DEFAULT_LEVEL,
+    )
+
+
+def q_geo_tile_assign(sf_dir: str):
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    tiles = tile_assign_dataset(simple, zoom=8)
+
+    def project(t: pa.Table) -> pa.Table:
+        nv = pa.array([len(r) for r in t["clipped_ring"].to_pylist()], type=pa.int32())
+        return pa.table(
+            {
+                "geom_id": t["geom_id"],
+                "ring_seq": t["ring_seq"],
+                "tile_z": t["tile_z"],
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "n_clip_vertices": nv,
+            }
+        )
+
+    return tiles.map_batches(project, batch_format="pyarrow")
+
+
+def q_image_decode_check(sf_dir: str):
+    """Per-row input_hint invariant: decoded pixels vs reference pattern
+    (bit-exact for raw, PSNR>=40dB for q6) + caption equality."""
+    _, n_images = scale_counts(sf_dir)
+
+    def check(t: pa.Table) -> pa.Table:
+        ids = [int(s[3:]) for s in t["image_id"].to_pylist()]
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        caps = t["caption"].to_pylist()
+        phashes = t["phash"].to_pylist()
+        ok_pix, ok_cap, psnrs = [], [], []
+        for rid, w, h, fmt, payload, cap, ph in zip(
+            ids, ws, hs, fmts, payloads, caps, phashes
+        ):
+            dec = decode(payload, w, h, fmt)
+            ref = make_pixels(rid, w, h)
+            p = psnr(ref, dec)
+            psnrs.append(min(p, 99.0))
+            ok_pix.append(bool(p == float("inf")) if fmt == "raw" else bool(p >= 40.0))
+            ok_cap.append(
+                cap == f"synthetic image {rid:012d} stripe {rid % 7} gradient {rid % 11}"
+            )
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "fmt": t["fmt"],
+                "pixels_ok": pa.array(ok_pix, type=pa.bool_()),
+                "caption_ok": pa.array(ok_cap, type=pa.bool_()),
+                "psnr_db": pa.array(psnrs, type=pa.float64()),
+            }
+        )
+
+    return gen_images(min(n_images, 20_000)).map_batches(check, batch_format="pyarrow")
+
+
+GEO_QUERIES = {
+    "geo_decompose": q_geo_decompose,
+    "geo_cover": q_geo_cover,
+    "geo_pip_join": q_geo_pip_join,
+    "geo_pip_join_shuffle": q_geo_pip_join_shuffle,
+    "geo_knn": q_geo_knn,
+    "geo_tile_assign": q_geo_tile_assign,
+    "image_decode_check": q_image_decode_check,
+}
+
+
+# ---------------------------------------------------------------- text
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_text_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        lambda b: langid_batch(b)[["doc_id", "lang_pred"]], batch_format="pandas"
+    )
+
+
+def q_text_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        lambda b: quality_batch(b)[["doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"]],
+        batch_format="pandas",
+    )
+
+
+def q_text_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def q_text_simhash(sf_dir: str):
+    from ..text.dedup import simhash_batch
+
+    return _docs(sf_dir).map_batches(simhash_batch, batch_format="pandas")
+
+
+def q_minhash_dedup(sf_dir: str):
+    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+TEXT_QUERIES = {
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "text_simhash": q_text_simhash,
+    "minhash_dedup_pairs": q_minhash_dedup,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+
+# ---------------------------------------------------------------- ann
+
+
+def q_ann_brute(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_topk(emb, query_vector(64), k=10)
+
+
+def q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, query_vector(64), k=10, n_clusters=16, nprobe=8)
+
+
+ANN_QUERIES = {
+    "ann_brute_topk": q_ann_brute,
+    "ann_ivf_topk": q_ann_ivf,
+}
+
+EXTRA_ORACLE_SQL: dict[str, str] = {}

@@ -1,0 +1,485 @@
+"""Relational operator catalog with DuckDB-oracle parity.
+
+Each entry in ``QUERIES`` is a Ray-Data-first pipeline over the driver
+test tables; ``ORACLE_SQL`` holds the equivalent DuckDB SQL. The
+driver compares row-count + schema + order-insensitive value hash, so:
+
+- column NAMES are identical on both sides;
+- float aggregation order differs between engines, so every aggregated
+  monetary/value column is summed as an EXACT INTEGER in fixed-point
+  (cents / 1e-4 units): per-row ``round(x * scale)`` is bit-identical
+  in numpy and DuckDB (the scaled true values sit far from .5
+  boundaries), and integer sums are order-independent;
+- top-k queries carry an explicit unique tiebreaker key.
+
+Pre-aggregation pattern (SURVEY.md §2.3 "Aggregations"): every grouped
+aggregate first combines inside ``map_batches`` via
+``pyarrow.Table.group_by`` (one partial row per key per batch), so the
+wide ``groupby`` exchange only moves |keys| × |blocks| rows, not the
+full table — the difference between shuffling 100 TB and shuffling
+megabytes at production scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from .join import broadcast_join
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _partial_groupby(keys, aggs):
+    """Return a map_batches fn computing per-batch partial aggregates.
+
+    ``aggs``: list of (in_col, kind, out_col); kind in sum|count.
+    Input/output pyarrow — zero-copy from the object store.
+    """
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        gb_aggs = []
+        rename = {}
+        for col, kind, out in aggs:
+            if kind == "count":
+                gb_aggs.append(([], "count_all"))
+                rename["count_all"] = out
+            else:
+                gb_aggs.append((col, kind))
+                rename[f"{col}_{kind}"] = out
+        res = batch.group_by(keys).aggregate(gb_aggs)
+        cols = {}
+        for name in res.column_names:
+            cols[rename.get(name, name)] = res[name]
+        return pa.table(cols)
+
+    return _fn
+
+
+# --------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape) — lineitem scan + grouped aggregate
+# --------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-01"
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64(_Q1_CUTOFF, "us")))
+        batch = batch.filter(mask)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        disc_e4 = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "base_cents": pa.array(np.rint(price * 100.0).astype(np.int64)),
+                "disc_e4": pa.array(disc_e4),
+            }
+        )
+
+    keys = ["l_returnflag", "l_linestatus"]
+    partial = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        _partial_groupby(
+            keys,
+            [
+                ("qty", "sum", "sum_qty"),
+                ("base_cents", "sum", "sum_base_cents"),
+                ("disc_e4", "sum", "sum_disc_e4"),
+                ("qty", "count", "count_order"),
+            ],
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(keys).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+_SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# filter + projection — predicate pushdown at the read
+# --------------------------------------------------------------------------
+
+
+def q_filter_project(sf_dir: str):
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["l_quantity"], pa.scalar(48.0)),
+            pc.less(batch["l_discount"], pa.scalar(0.02)),
+        )
+        return batch.filter(mask).select(
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 48 AND l_discount < 0.02
+"""
+
+
+# --------------------------------------------------------------------------
+# sort / top-k with explicit tiebreaker
+# --------------------------------------------------------------------------
+
+
+def q_top_orders(sf_dir: str):
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# broadcast join (dimension side shipped once) + grouped aggregate
+# --------------------------------------------------------------------------
+
+
+def q_segment_order_stats(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "total_cents": np.rint(batch["o_totalprice"].to_numpy() * 100.0).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    partial = joined.map_batches(prep, batch_format="pandas").map_batches(
+        _partial_groupby(
+            ["c_mktsegment"],
+            [("total_cents", "sum", "sum_total_cents"), ("total_cents", "count", "n_orders")],
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("c_mktsegment").aggregate(
+        Sum("sum_total_cents", alias_name="sum_total_cents"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+
+
+_SQL_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_total_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# multi-way dimension join: customer ⋈ nation ⋈ region
+# --------------------------------------------------------------------------
+
+
+def q_customers_per_region(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+
+    cust = _t(sf_dir, "customer", columns=["c_nationkey"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+
+    partial = joined.map_batches(
+        _partial_groupby(["r_name", "n_name"], [("c_nationkey", "count", "n_customers")]),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(["r_name", "n_name"]).aggregate(
+        Sum("n_customers", alias_name="n_customers")
+    )
+
+
+_SQL_REGION = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# large-large hash join: orders ⋈ lineitem, revenue per order, top 10
+# --------------------------------------------------------------------------
+
+
+def q_order_revenue_topk(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_e4": pa.array(np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)),
+            }
+        )
+
+    partial = li.map_batches(prep, batch_format="pyarrow").map_batches(
+        _partial_groupby(["l_orderkey"], [("rev_e4", "sum", "revenue_e4")]),
+        batch_format="pyarrow",
+    )
+    per_order = partial.groupby("l_orderkey").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    return per_order.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+_SQL_ORDER_REV = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# events: grouped stats, tumbling window, distinct
+# --------------------------------------------------------------------------
+
+
+def q_events_by_type(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_e4": pa.array(np.rint(v * 10000.0).astype(np.int64)),
+            }
+        )
+
+    partial = ev.map_batches(prep, batch_format="pyarrow").map_batches(
+        _partial_groupby(
+            ["event_type"], [("value_e4", "sum", "sum_value_e4"), ("value_e4", "count", "n")]
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("event_type").aggregate(
+        Sum("sum_value_e4", alias_name="sum_value_e4"), Sum("n", alias_name="n")
+    )
+
+
+_SQL_EVENTS_TYPE = """
+SELECT event_type,
+       CAST(SUM(CAST(round(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per user (streaming-shaped workload over the
+    ordered events log; window key = epoch hour, order-insensitive)."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)  # epoch us
+        hour = ts // 3_600_000_000
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour": pa.array(hour),
+                "value_e4": pa.array(np.rint(v * 10000.0).astype(np.int64)),
+            }
+        )
+
+    partial = ev.map_batches(prep, batch_format="pyarrow").map_batches(
+        _partial_groupby(
+            ["user_id", "hour"], [("value_e4", "sum", "sum_value_e4"), ("value_e4", "count", "n")]
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(["user_id", "hour"]).aggregate(
+        Sum("sum_value_e4", alias_name="sum_value_e4"), Sum("n", alias_name="n")
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT user_id,
+       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+       CAST(SUM(CAST(round(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id, hour
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type"])
+    # per-batch distinct first, then global — the exchange only carries
+    # already-unique values
+    local = ev.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"].unique()}),
+        batch_format="pyarrow",
+    )
+    return local.groupby("event_type").aggregate(Count(alias_name="_c")).select_columns(
+        ["event_type"]
+    )
+
+
+_SQL_DISTINCT = "SELECT DISTINCT event_type FROM events"
+
+
+# --------------------------------------------------------------------------
+# documents: exact dedup + token counts (text analysis lives in text/)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_docs_exact(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    partial = docs.map_batches(
+        _partial_groupby(["text"], [("doc_id", "min", "doc_id")]),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+_SQL_DEDUP = "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_token_counts(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["text"].str.count(r"\S+").astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+_SQL_TOKENS = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_docs_lang_counts(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["lang", "n_chars"])
+    partial = docs.map_batches(
+        _partial_groupby(
+            ["lang"], [("n_chars", "sum", "sum_chars"), ("n_chars", "count", "n_docs")]
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("lang").aggregate(
+        Sum("sum_chars", alias_name="sum_chars"), Sum("n_docs", alias_name="n_docs")
+    )
+
+
+_SQL_LANG = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "top_orders": q_top_orders,
+    "segment_order_stats": q_segment_order_stats,
+    "customers_per_region": q_customers_per_region,
+    "order_revenue_topk": q_order_revenue_topk,
+    "events_by_type": q_events_by_type,
+    "events_hourly": q_events_hourly,
+    "distinct_event_types": q_distinct_event_types,
+    "dedup_docs_exact": q_dedup_docs_exact,
+    "token_counts": q_token_counts,
+    "docs_lang_counts": q_docs_lang_counts,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": _SQL_PRICING,
+    "filter_project": _SQL_FILTER,
+    "top_orders": _SQL_TOP_ORDERS,
+    "segment_order_stats": _SQL_SEGMENT,
+    "customers_per_region": _SQL_REGION,
+    "order_revenue_topk": _SQL_ORDER_REV,
+    "events_by_type": _SQL_EVENTS_TYPE,
+    "events_hourly": _SQL_EVENTS_HOURLY,
+    "distinct_event_types": _SQL_DISTINCT,
+    "dedup_docs_exact": _SQL_DEDUP,
+    "token_counts": _SQL_TOKENS,
+    "docs_lang_counts": _SQL_LANG,
+}

@@ -1,0 +1,124 @@
+"""Ray Data stages for the decomposition operator.
+
+The decompose operator is per-geometry pure (no cross-row state), so it
+runs as STATELESS ``map_batches`` tasks — Ray gives per-block
+parallelism, retries and streaming for free. Input/output are Arrow
+tables; ring coordinates travel as Arrow nested lists
+(``list<list<list<double>>>`` per SURVEY.md §1.2) which parquet
+round-trips losslessly in float64.
+
+Stages:
+- ``polygons_source(n)``: deterministic polygon corpus Dataset
+  (geom_id, rings);
+- ``decompose_batch``: one input polygon row → one output row per
+  simple ring (flat explosion), schema
+  (geom_id, ring_index int32-nullable, parent, winding, net_winding,
+  ring);
+- ``fixture_polygons()``: the 3 reference fixtures as a tiny Dataset.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.decompose import decompose
+from ..geom.families import polygon_for_id
+
+__all__ = [
+    "decompose_batch",
+    "polygons_source",
+    "fixture_polygons",
+    "decompose_dataset",
+    "RING_SCHEMA",
+]
+
+_RING_T = pa.list_(pa.list_(pa.float64()))
+_RINGS_T = pa.list_(_RING_T)
+
+RING_SCHEMA = pa.schema(
+    [
+        ("geom_id", pa.string()),
+        ("ring_seq", pa.int32()),  # emission order per geometry — never null
+        ("ring_index", pa.int32()),  # reference `index` property — null on fast path
+        ("parent", pa.int32()),
+        ("winding", pa.int8()),
+        ("net_winding", pa.int32()),
+        ("ring", _RING_T),
+    ]
+)
+
+
+def gen_polygon_batch(batch) -> pa.Table:
+    """{"id": int64 array} → polygon rows (geom_id, rings)."""
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    return pa.table(
+        {
+            "geom_id": pa.array([f"poly{int(i):010d}" for i in ids]),
+            "rings": pa.array([polygon_for_id(int(i)) for i in ids], type=_RINGS_T),
+        }
+    )
+
+
+def polygons_source(n: int, *, parallelism: int = -1):
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    return ds.map_batches(gen_polygon_batch, batch_format="numpy", batch_size=4096)
+
+
+def fixture_polygons(fixture_dir: str | None = None):
+    """The three reference golden inputs as a Dataset."""
+    import ray.data as rd
+
+    d = pathlib.Path(fixture_dir or pathlib.Path(__file__).parents[2] / "tests" / "fixtures")
+    rows = []
+    for name in ["simple", "complex", "with-hole"]:
+        feat = json.loads((d / f"in_{name}.json").read_text())
+        rows.append({"geom_id": name, "rings": feat["geometry"]["coordinates"]})
+    return rd.from_arrow(
+        pa.table(
+            {
+                "geom_id": pa.array([r["geom_id"] for r in rows]),
+                "rings": pa.array([r["rings"] for r in rows], type=_RINGS_T),
+            }
+        )
+    )
+
+
+def decompose_batch(batch: pa.Table) -> pa.Table:
+    """One polygon row in → one row per simple output ring."""
+    geom_ids = batch["geom_id"].to_pylist()
+    ringsets = batch["rings"].to_pylist()
+    out_gid, out_seq, out_idx = [], [], []
+    out_parent, out_wind, out_net, out_ring = [], [], [], []
+    for gid, rings in zip(geom_ids, ringsets):
+        for seq, res in enumerate(decompose(rings)):
+            out_gid.append(gid)
+            out_seq.append(seq)
+            out_idx.append(res.index)
+            out_parent.append(res.parent)
+            out_wind.append(res.winding)
+            out_net.append(res.net_winding)
+            out_ring.append(res.ring.tolist())
+    return pa.table(
+        {
+            "geom_id": pa.array(out_gid, type=pa.string()),
+            "ring_seq": pa.array(out_seq, type=pa.int32()),
+            "ring_index": pa.array(out_idx, type=pa.int32()),
+            "parent": pa.array(out_parent, type=pa.int32()),
+            "winding": pa.array(out_wind, type=pa.int8()),
+            "net_winding": pa.array(out_net, type=pa.int32()),
+            "ring": pa.array(out_ring, type=_RING_T),
+        }
+    )
+
+
+def decompose_dataset(polygons, *, batch_size: int = 512):
+    """polygons Dataset (geom_id, rings) → simple-rings Dataset."""
+    return polygons.map_batches(
+        decompose_batch, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -1,0 +1,51 @@
+"""ANN tests: brute top-k vs exhaustive numpy; IVF recall sanity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simplepolygon_ray.ann import brute_topk, ivf_topk, query_vector
+
+
+@pytest.fixture(scope="module")
+def emb_df():
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((400, 64)).astype(np.float32)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+        }
+    )
+
+
+def _exhaustive(df, q, k):
+    vecs = np.stack([np.asarray(v, np.float32) for v in df["embedding"]])
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((df["vec_id"].to_numpy(), -sims))
+    return df["vec_id"].to_numpy()[order[:k]], np.sort(sims)[::-1][:k]
+
+
+def test_brute_topk_matches_exhaustive(ray_session, emb_df):
+    import ray.data as rd
+
+    q = query_vector(64)
+    got = brute_topk(rd.from_pandas(emb_df), q, k=10).to_pandas()
+    ids, sims = _exhaustive(emb_df, q, 10)
+    assert got["vec_id"].tolist() == ids.tolist()
+    assert np.allclose(got["cosine"].to_numpy(), sims, atol=1e-6)
+
+
+def test_ivf_topk_recall(ray_session, emb_df):
+    import ray.data as rd
+
+    q = query_vector(64)
+    got = ivf_topk(
+        rd.from_pandas(emb_df), q, k=10, n_clusters=8, nprobe=8
+    ).to_pandas()  # nprobe == n_clusters ⇒ exact
+    ids, _ = _exhaustive(emb_df, q, 10)
+    assert got["vec_id"].tolist() == ids.tolist()
+    # approximate setting still finds most of the true top-k
+    approx = ivf_topk(rd.from_pandas(emb_df), q, k=10, n_clusters=8, nprobe=4).to_pandas()
+    recall = len(set(approx["vec_id"]) & set(ids)) / 10
+    assert recall >= 0.5

@@ -1,0 +1,174 @@
+"""Ray stage tests: decompose-through-Ray golden parity, PIP join vs
+O(N·M) brute force, kNN vs exhaustive sort, tile clip oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from simplepolygon_ray.geom.kernels import points_in_ring
+from simplepolygon_ray.images.synth import gen_batch
+from simplepolygon_ray.stages.cover_stage import cover_batch
+from simplepolygon_ray.stages.decompose_stage import (
+    decompose_batch,
+    decompose_dataset,
+    fixture_polygons,
+    polygons_source,
+)
+from simplepolygon_ray.stages.knn import CellPointIndex, haversine_km
+from simplepolygon_ray.stages.pip_join import CompiledRingIndex, pip_join_broadcast
+from simplepolygon_ray.stages.tiles import sutherland_hodgman_bbox, tile_clip_batch
+
+
+@pytest.fixture(scope="module")
+def ring_table(ray_session):
+    polys = fixture_polygons().union(polygons_source(60))
+    refs = decompose_dataset(polys).to_arrow_refs()
+    import ray
+
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+def test_decompose_through_ray_matches_direct(ray_session):
+    """The Ray pipeline (read → map_batches → collect) must equal the
+    direct kernel call — golden fixtures through the distributed path."""
+    import json
+    import pathlib
+
+    from simplepolygon_ray.geom import decompose
+
+    out = decompose_dataset(fixture_polygons()).to_pandas()
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    for name in ["simple", "complex", "with-hole"]:
+        feat = json.loads((fix / f"in_{name}.json").read_text())
+        direct = decompose(feat["geometry"]["coordinates"])
+        got = out[out["geom_id"] == name].sort_values("ring_seq")
+        assert len(got) == len(direct)
+        for (_, row), exp in zip(got.iterrows(), direct):
+            assert row["parent"] == exp.parent
+            assert row["winding"] == exp.winding
+            assert row["net_winding"] == exp.net_winding
+            ring = np.asarray([list(p) for p in row["ring"]])
+            assert ring.shape == exp.ring.shape
+            assert (ring == exp.ring).all()  # float64 bit-exact through Arrow
+            if exp.index is None:
+                assert row["ring_index"] is None or np.isnan(row["ring_index"])
+            else:
+                assert int(row["ring_index"]) == exp.index
+
+
+def test_pip_join_matches_brute_force(ray_session, ring_table):
+    import ray.data as rd
+
+    n_pts = 4000
+    imgs = gen_batch({"id": np.arange(n_pts, dtype=np.int64)})
+    pts = imgs.select(["image_id", "lon", "lat"])
+    joined = (
+        pip_join_broadcast(rd.from_arrow(pts), ring_table, concurrency=2)
+        .to_pandas()
+        .sort_values(["image_id", "geom_id", "ring_seq"])
+        .reset_index(drop=True)
+    )
+    # brute force: every (point, ring) pair
+    lon = pts["lon"].to_numpy()
+    lat = pts["lat"].to_numpy()
+    ids = pts["image_id"].to_pylist()
+    expected = set()
+    rings = ring_table["ring"].to_pylist()
+    for rrow in range(len(ring_table)):
+        ring = np.asarray([list(p) for p in rings[rrow]])
+        hit = points_in_ring(lon, lat, ring)
+        g = ring_table["geom_id"][rrow].as_py()
+        s = ring_table["ring_seq"][rrow].as_py()
+        for k in np.nonzero(hit)[0]:
+            expected.add((ids[k], g, s))
+    got = set(
+        zip(joined["image_id"], joined["geom_id"], joined["ring_seq"].astype(int))
+    )
+    assert got == expected
+    assert len(expected) > 0  # non-trivial test
+
+
+def test_pip_join_shuffle_matches_broadcast(ray_session, ring_table):
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.pip_join import pip_join_shuffle
+
+    n_pts = 2000
+    imgs = gen_batch({"id": np.arange(n_pts, dtype=np.int64)})
+    pts = rd.from_arrow(imgs.select(["image_id", "lon", "lat"]))
+    bc = pip_join_broadcast(pts, ring_table, concurrency=2).to_pandas()
+    simple = rd.from_arrow(ring_table)
+    sh = pip_join_shuffle(pts, simple, num_partitions=8, salt_factor=2).to_pandas()
+    key = lambda df: set(zip(df["image_id"], df["geom_id"], df["ring_seq"].astype(int)))
+    assert key(bc) == key(sh)
+
+
+def test_knn_matches_exhaustive(ray_session):
+    imgs = gen_batch({"id": np.arange(800, dtype=np.int64)})
+    sids = np.asarray(imgs["image_id"].to_pylist())
+    slon = imgs["lon"].to_numpy()
+    slat = imgs["lat"].to_numpy()
+    index = CellPointIndex(sids, slon, slat, level=8)
+    probes = gen_batch({"id": np.arange(10_000, 10_050, dtype=np.int64)})
+    k = 5
+    for m in range(len(probes["lon"])):
+        qlon = probes["lon"][m].as_py()
+        qlat = probes["lat"][m].as_py()
+        idx, d = index.knn(qlon, qlat, k)
+        got = [index.ids[i] for i in idx]
+        brute = haversine_km(qlon, qlat, slon, slat)
+        order = np.argsort(brute, kind="stable")[:k]
+        assert list(np.sort(brute[order])) == pytest.approx(list(d), abs=0)
+        assert set(got) == set(sids[order])
+
+
+def test_cover_batch_empty():
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "ring": pa.array([], type=pa.list_(pa.list_(pa.float64()))),
+        }
+    )
+    out = cover_batch(empty)
+    assert len(out) == 0
+
+
+def test_sutherland_hodgman():
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    # clip to a window cutting the square in half
+    out = sutherland_hodgman_bbox(sq, 2, -1, 6, 5)
+    assert len(out) >= 4
+    from simplepolygon_ray.geom.kernels import shoelace_area
+
+    assert abs(shoelace_area(out)) == pytest.approx(8.0)
+    # window fully outside
+    assert len(sutherland_hodgman_bbox(sq, 10, 10, 12, 12)) == 0
+    # window fully containing: area preserved
+    out2 = sutherland_hodgman_bbox(sq, -1, -1, 5, 5)
+    assert abs(shoelace_area(out2)) == pytest.approx(16.0)
+
+
+def test_tile_clip_covers_ring_area(ray_session):
+    """Tiles partition the plane ⇒ clipped areas must sum to ring area."""
+    from simplepolygon_ray.geom.kernels import shoelace_area
+
+    ring = [[10.0, 10.0], [25.0, 12.0], [20.0, 25.0], [11.0, 20.0], [10.0, 10.0]]
+    batch = pa.table(
+        {
+            "geom_id": pa.array(["g"]),
+            "ring_seq": pa.array([0], type=pa.int32()),
+            "ring": pa.array([ring], type=pa.list_(pa.list_(pa.float64()))),
+        }
+    )
+    out = tile_clip_batch(batch, zoom=6)
+    total = sum(
+        abs(shoelace_area(np.asarray([list(p) for p in r])))
+        for r in out["clipped_ring"].to_pylist()
+    )
+    want = abs(shoelace_area(np.asarray(ring)))
+    assert total == pytest.approx(want, rel=1e-9)
+    # tile ids are within range and unique
+    tx = out["tile_x"].to_numpy()
+    ty = out["tile_y"].to_numpy()
+    assert len(set(zip(tx.tolist(), ty.tolist()))) == len(out)
