@@ -1,0 +1,189 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` re-runs the harness in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox proxy for the N vs 4N
+node criterion — BASELINE.md row 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline spatial workload scale (independent of sf tables; the image
+# table is synthesized). Sized so the composite spatial pipeline
+# carries ~600 cpu-seconds of parallel work — enough that the
+# two-parallelism scaling comparison measures throughput, not fixed
+# Ray overhead (per-pipeline startup + compile are a few seconds).
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "8000000"))
+N_POLYGONS = int(os.environ.get("GRAFT_BENCH_POLYGONS", "400000"))
+N_POLYGONS_TILES = int(os.environ.get("GRAFT_BENCH_POLYGONS_TILES", "100000"))
+N_POLYGONS_JOIN = int(os.environ.get("GRAFT_BENCH_POLYGONS_JOIN", "3000"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from simplepolygon_ray.images.synth import gen_points
+    from simplepolygon_ray.relational.queries import QUERIES
+    from simplepolygon_ray.stages.decompose_stage import (
+        decompose_dataset,
+        fixture_polygons,
+        polygons_source,
+    )
+    from simplepolygon_ray.stages.pip_join import pip_join_broadcast
+    from simplepolygon_ray.stages.tiles import tile_assign_dataset
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = int(n)
+
+    # warm (untimed): page cache for the parquet inputs + Ray worker
+    # process spawn/imports, so timings measure compute + shuffle
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    _warm_polys = fixture_polygons().union(polygons_source(64, parallelism=NUM_CPUS))
+    pip_join_broadcast(
+        gen_points(NUM_CPUS * 2048, parallelism=NUM_CPUS),
+        decompose_dataset(_warm_polys),
+    ).count()
+
+    # --- headline: composite spatial pipeline ---
+    # decompose (the reference's core operator) at full width, tile
+    # assignment + clipping on a slice, PIP join of the image table
+    # against a compiled ring index. One fixed task-granularity at both
+    # parallelism levels = the same job.
+
+    def decompose_job():
+        polys = fixture_polygons().union(polygons_source(N_POLYGONS, parallelism=128))
+        return decompose_dataset(polys).count()
+
+    timed("decompose", decompose_job)
+
+    def tiles_job():
+        polys = polygons_source(N_POLYGONS_TILES, parallelism=128)
+        simple = decompose_dataset(polys)
+        return tile_assign_dataset(simple, zoom=8).count()
+
+    timed("tile_assign", tiles_job)
+
+    def join_job():
+        polys = fixture_polygons().union(polygons_source(N_POLYGONS_JOIN, parallelism=64))
+        simple = decompose_dataset(polys)
+        par = max(NUM_CPUS * 2, N_IMAGES // 16384)
+        imgs = gen_points(N_IMAGES, parallelism=par)
+        return pip_join_broadcast(imgs, simple).count()
+
+    timed("spatial_join", join_job)
+
+    # --- relational over the sf tables ---
+    timed("pricing_summary", lambda: QUERIES["pricing_summary"](SF_DIR).count())
+    timed("order_revenue_topk", lambda: QUERIES["order_revenue_topk"](SF_DIR).count())
+    timed("events_hourly", lambda: QUERIES["events_hourly"](SF_DIR).count())
+
+    # --- text + ann ---
+    from simplepolygon_ray.ann.search import brute_topk, query_vector
+    from simplepolygon_ray.text.dedup import minhash_dedup_pairs
+
+    def dedup():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_dedup_pairs(docs, threshold=0.7).count()
+
+    timed("minhash_dedup", dedup)
+
+    def ann():
+        emb = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return brute_topk(emb, query_vector(64), k=10).count()
+
+    timed("ann_brute_topk", ann)
+
+    total = round(sum(timings.values()), 3)
+    spatial_sec = timings["decompose"] + timings["tile_assign"] + timings["spatial_join"]
+    spatial_rows_per_sec = round(
+        (N_POLYGONS + N_POLYGONS_TILES + N_POLYGONS_JOIN + N_IMAGES) / spatial_sec, 1
+    )
+    result = {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "spatial_sec": round(spatial_sec, 3),
+        "spatial_rows_per_sec": spatial_rows_per_sec,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["spatial_rows_per_sec"]
+    tput_hi = hi["spatial_rows_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "spatial_rows_per_sec_8": tput_lo,
+                "spatial_rows_per_sec_32": tput_hi,
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "per_query_8": lo["queries"],
+                "per_query_32": hi["queries"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -117,42 +117,53 @@ def cell_neighbors(cell: int, radius: int = 1) -> np.ndarray:
     return np.unique(_pack(lvl, ii[mask], jj[mask]))
 
 
+def _rl_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [arange(s, s+l) for s, l in zip(starts, lens)] in
+    one vectorized pass (cumsum-of-steps trick)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    step = np.ones(total, np.int64)
+    pos = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    step[0] = starts[0]
+    if len(lens) > 1:
+        step[pos[1:]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(step)
+
+
 def _segments_cross_cells(ring: np.ndarray, level: int):
     """Cells (i, j) at ``level`` whose bbox a ring edge passes through.
 
-    Conservative-and-tight rasterization: for each edge, take the cell
-    rectangle range of its bbox, then keep cells whose x-slab actually
-    intersects the segment's y-range within that slab.
+    Conservative-and-tight rasterization, fully vectorized over all
+    edges: per edge take its column range, clip the segment to each
+    column slab, emit the slab's row range.
     """
     n = 1 << level
-    out_i, out_j = [], []
     x = (ring[:, 0] + 180.0) / 360.0 * n
     y = (ring[:, 1] + 90.0) / 180.0 * n
-    for k in range(len(ring) - 1):
-        x0, y0, x1, y1 = x[k], y[k], x[k + 1], y[k + 1]
-        i0 = int(np.clip(np.floor(min(x0, x1)), 0, n - 1))
-        i1 = int(np.clip(np.floor(max(x0, x1)), 0, n - 1))
-        if x0 == x1:
-            j0 = int(np.clip(np.floor(min(y0, y1)), 0, n - 1))
-            j1 = int(np.clip(np.floor(max(y0, y1)), 0, n - 1))
-            out_i.append(np.full(j1 - j0 + 1, i0, np.int64))
-            out_j.append(np.arange(j0, j1 + 1, dtype=np.int64))
-            continue
-        slope = (y1 - y0) / (x1 - x0)
-        cols = np.arange(i0, i1 + 1, dtype=np.int64)
-        # segment's x-extent clipped to each column slab
-        xa = np.maximum(cols.astype(np.float64), min(x0, x1))
-        xb = np.minimum(cols.astype(np.float64) + 1.0, max(x0, x1))
-        ya = y0 + slope * (xa - x0)
-        yb = y0 + slope * (xb - x0)
-        ylo = np.floor(np.clip(np.minimum(ya, yb), 0, n - 1)).astype(np.int64)
-        yhi = np.floor(np.clip(np.maximum(ya, yb), 0, n - 1)).astype(np.int64)
-        for c, jl, jh in zip(cols, ylo, yhi):
-            out_i.append(np.full(jh - jl + 1, c, np.int64))
-            out_j.append(np.arange(jl, jh + 1, dtype=np.int64))
-    if not out_i:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(out_i), np.concatenate(out_j)
+    x0, x1 = x[:-1], x[1:]
+    y0, y1 = y[:-1], y[1:]
+
+    i0 = np.clip(np.floor(np.minimum(x0, x1)), 0, n - 1).astype(np.int64)
+    i1 = np.clip(np.floor(np.maximum(x0, x1)), 0, n - 1).astype(np.int64)
+    ncols = i1 - i0 + 1
+    eidx = np.repeat(np.arange(len(x0)), ncols)  # edge of each expanded col
+    cols = _rl_arange(i0, ncols)
+
+    vert = x0[eidx] == x1[eidx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (y1 - y0) / np.where(x1 - x0 != 0.0, x1 - x0, 1.0)
+    colf = cols.astype(np.float64)
+    xa = np.maximum(colf, np.minimum(x0, x1)[eidx])
+    xb = np.minimum(colf + 1.0, np.maximum(x0, x1)[eidx])
+    ya = np.where(vert, np.minimum(y0, y1)[eidx], y0[eidx] + slope[eidx] * (xa - x0[eidx]))
+    yb = np.where(vert, np.maximum(y0, y1)[eidx], y0[eidx] + slope[eidx] * (xb - x0[eidx]))
+    jlo = np.floor(np.clip(np.minimum(ya, yb), 0, n - 1)).astype(np.int64)
+    jhi = np.floor(np.clip(np.maximum(ya, yb), 0, n - 1)).astype(np.int64)
+    nrows = jhi - jlo + 1
+    out_i = np.repeat(cols, nrows)
+    out_j = _rl_arange(jlo, nrows)
+    return out_i, out_j
 
 
 def cover_ring(ring: np.ndarray, level: int) -> np.ndarray:

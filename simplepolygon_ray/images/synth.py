@@ -21,10 +21,36 @@ import pyarrow as pa
 
 from .codec import decode, encode, phash64
 
-__all__ = ["gen_batch", "gen_images", "make_pixels", "LON_RANGE", "LAT_RANGE"]
+__all__ = [
+    "gen_batch",
+    "gen_images",
+    "gen_points",
+    "gen_points_batch",
+    "make_pixels",
+    "LON_RANGE",
+    "LAT_RANGE",
+]
 
 LON_RANGE = (113.0, 142.0)
 LAT_RANGE = (-37.0, -13.0)
+
+
+def _image_ids(ids: np.ndarray) -> "pa.Array":
+    """Vectorized f"img{id:012d}": digits computed by repeated divmod,
+    Arrow StringArray assembled straight from the byte buffers."""
+    n = len(ids)
+    buf = np.empty((n, 15), np.uint8)
+    buf[:, 0] = ord("i")
+    buf[:, 1] = ord("m")
+    buf[:, 2] = ord("g")
+    v = ids.astype(np.int64).copy()
+    for k in range(14, 2, -1):
+        buf[:, k] = 48 + (v % 10)
+        v //= 10
+    offsets = (np.arange(n + 1, dtype=np.int32) * 15)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())
+    )
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -89,6 +115,43 @@ def gen_batch(batch) -> pa.Table:
             "lat": pa.array(lat),
         }
     )
+
+
+def gen_points_batch(batch) -> pa.Table:
+    """Pruned-column generator: only (image_id, lon, lat, phash-free).
+
+    Models `read_parquet(columns=["image_id","lon","lat"])` on the
+    stored table — spatial joins must never pay for pixel bytes. Pure
+    vectorized numpy; geotags are IDENTICAL to ``gen_batch``'s.
+    """
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    hsh = _splitmix64(ids.view(np.uint64) if ids.dtype == np.int64 else ids)
+    frac_lon = (hsh >> np.uint64(20)).astype(np.float64) / float(2**44)
+    frac_lat = ((hsh >> np.uint64(3)) & np.uint64((1 << 40) - 1)).astype(
+        np.float64
+    ) / float(2**40)
+    lon = LON_RANGE[0] + frac_lon * (LON_RANGE[1] - LON_RANGE[0])
+    lat = LAT_RANGE[0] + frac_lat * (LAT_RANGE[1] - LAT_RANGE[0])
+    return pa.table(
+        {
+            "image_id": _image_ids(ids),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        }
+    )
+
+
+def gen_points(n: int, *, parallelism: int = -1):
+    """Synthesize only the geo projection of the image table.
+
+    Batch per block (``batch_size=None``): a fixed batch_size would
+    coalesce the ``parallelism`` input blocks into fewer, larger tasks
+    — callers control task granularity via ``parallelism`` instead.
+    """
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    return ds.map_batches(gen_points_batch, batch_format="numpy", batch_size=None)
 
 
 def gen_images(n: int, *, parallelism: int = -1):

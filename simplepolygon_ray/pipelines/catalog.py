@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..ann.search import brute_topk, ivf_topk, query_vector
 from ..images.codec import decode, phash64, psnr
-from ..images.synth import gen_images, make_pixels
+from ..images.synth import gen_images, gen_points, make_pixels
 from ..stages.cover_stage import DEFAULT_LEVEL, cover_rings_dataset, index_points_batch
 from ..stages.decompose_stage import decompose_dataset, fixture_polygons, polygons_source
 from ..stages.knn import knn_join
@@ -73,12 +73,11 @@ def q_geo_cover(sf_dir: str):
 
 
 def q_geo_pip_join(sf_dir: str):
-    _, n_images = scale_counts(sf_dir)
-    ring_table = _rings_table(sf_dir)
-    images = gen_images(n_images).map_batches(
-        lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
-    )
-    return pip_join_broadcast(images, ring_table, level=DEFAULT_LEVEL).select_columns(
+    n_polys, n_images = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    images = gen_points(n_images)
+    return pip_join_broadcast(images, simple, level=DEFAULT_LEVEL).select_columns(
         ["image_id", "geom_id", "ring_seq"]
     )
 
@@ -90,9 +89,7 @@ def q_geo_pip_join_shuffle(sf_dir: str):
     n_images = min(n_images, 20_000)  # shuffle variant exercised at reduced scale
     polygons = fixture_polygons().union(polygons_source(n_polys))
     simple = decompose_dataset(polygons)
-    images = gen_images(n_images).map_batches(
-        lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
-    )
+    images = gen_points(n_images)
     return pip_join_shuffle(
         images, simple, level=DEFAULT_LEVEL, num_partitions=16, salt_factor=2
     ).select_columns(["image_id", "geom_id", "ring_seq"])
@@ -103,14 +100,8 @@ def q_geo_knn(sf_dir: str):
     n_sites = max(n_images // 10, 100)
     import ray
 
-    sites = (
-        gen_images(n_sites)
-        .map_batches(lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow")
-        .to_pandas()
-    )
-    probes = gen_images(min(n_images, 5_000)).map_batches(
-        lambda t: t.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
-    )
+    sites = gen_points(n_sites).to_pandas()
+    probes = gen_points(min(n_images, 5_000))
     return knn_join(
         probes,
         sites["image_id"].to_numpy(),

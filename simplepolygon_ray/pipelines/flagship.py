@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 
-from ..images.synth import gen_images
+from ..images.synth import gen_points
 from ..stages.cover_stage import DEFAULT_LEVEL, index_points_batch
 from ..stages.decompose_stage import decompose_dataset, fixture_polygons, polygons_source
 from ..stages.pip_join import pip_join_broadcast
@@ -39,20 +39,11 @@ def flagship(sf_dir: str, *, level: int = DEFAULT_LEVEL, concurrency=4):
 
     polygons = fixture_polygons().union(polygons_source(n_polys))
     simple_rings = decompose_dataset(polygons)
-    # ring side is the small side: materialize compiled-index input once
-    ring_rows = simple_rings.to_arrow_refs()
-    import pyarrow as pa
-    import ray
-
-    ring_table = pa.concat_tables([ray.get(r) for r in ring_rows])
-
-    images = gen_images(n_images)
-    images = images.map_batches(
-        functools.partial(index_points_batch, level=level), batch_format="pyarrow"
-    )
+    # pruned-column read: joins only ship (image_id, lon, lat)
+    images = gen_points(n_images)
     joined = pip_join_broadcast(
-        images.select_columns(["image_id", "lon", "lat"]),
-        ring_table,
+        images,
+        simple_rings,  # covered in parallel, compiled once, broadcast
         level=level,
         concurrency=concurrency,
     )

@@ -67,7 +67,9 @@ def polygons_source(n: int, *, parallelism: int = -1):
     import ray.data as rd
 
     ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
-    return ds.map_batches(gen_polygon_batch, batch_format="numpy", batch_size=4096)
+    # batch per block: forcing a bigger batch_size would coalesce
+    # blocks and serialize the whole polygon side into one task
+    return ds.map_batches(gen_polygon_batch, batch_format="numpy", batch_size=None)
 
 
 def fixture_polygons(fixture_dir: str | None = None):
@@ -117,8 +119,12 @@ def decompose_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def decompose_dataset(polygons, *, batch_size: int = 512):
-    """polygons Dataset (geom_id, rings) → simple-rings Dataset."""
+def decompose_dataset(polygons, *, batch_size: int | None = None):
+    """polygons Dataset (geom_id, rings) → simple-rings Dataset.
+
+    Default batch = one task per input block (don't coalesce: the
+    decompose kernel is CPU-heavy per row, so block-level parallelism
+    is what scales it)."""
     return polygons.map_batches(
         decompose_batch, batch_format="pyarrow", batch_size=batch_size
     )

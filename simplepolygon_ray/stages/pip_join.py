@@ -32,52 +32,197 @@ from .cover_stage import DEFAULT_LEVEL, cover_batch
 
 __all__ = ["CompiledRingIndex", "PipJoinActor", "pip_join_broadcast", "pip_join_shuffle"]
 
+# per-worker-process cache of deserialized broadcast indexes: Ray reuses
+# worker processes across tasks, so stateless probe tasks amortize the
+# object-graph rebuild exactly like an actor pool would — without
+# reserving CPUs or paying pool ramp-up
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _BROADCAST_CACHE.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        _BROADCAST_CACHE.clear()  # hold at most one index per worker
+        _BROADCAST_CACHE[key] = obj
+    return obj
+
 
 class CompiledRingIndex:
-    """cell_id → candidate ring list, plus ring coordinate arrays."""
+    """cell_id → candidate ring list, plus precompiled edge tables.
 
-    def __init__(self, ring_rows: pa.Table, level: int = DEFAULT_LEVEL):
+    Compiled once (driver side), broadcast, then read-only in every
+    probe actor. Edge arrays (xi, yi, xj, yj per ring) are precomputed
+    here so the probe's inner PIP is a single fused numpy expression
+    with no per-call ``np.roll``/closing-vertex work.
+    """
+
+    def __init__(
+        self,
+        ring_rows: pa.Table,
+        level: int = DEFAULT_LEVEL,
+        cover: pa.Table | None = None,
+    ):
         self.level = level
-        self.rings: list[np.ndarray] = [
-            np.asarray(r, np.float64) for r in ring_rows["ring"].to_pylist()
-        ]
         self.geom_ids = ring_rows["geom_id"].to_pylist()
         self.ring_seqs = ring_rows["ring_seq"].to_pylist()
-        cover = cover_batch(ring_rows, level=level)
-        self.cell_to_rings: dict[int, list[int]] = {}
-        # cover_batch preserves input row order within its explosion
+
+        # flatten ring coords straight out of the Arrow buffers
+        # (zero-copy: list<list<f64>> values are one contiguous float64
+        # run because every vertex is exactly [x, y])
+        col = ring_rows["ring"].combine_chunks()
+        vtx_off = np.asarray(col.offsets)  # vertex boundaries per ring
+        vtx = col.values  # list<double> vertex array
+        coords = np.asarray(vtx.values, dtype=np.float64).reshape(-1, 2)
+
+        n_rings = len(ring_rows)
+        # per-ring OPEN vertex ranges (decompose output is always closed)
+        r_start = vtx_off[:-1].astype(np.int64)
+        r_len = (vtx_off[1:] - vtx_off[:-1]).astype(np.int64) - 1  # drop closing
+        # flat edge table: edge e of ring r is (v[i], v[i-1 mod n]);
+        # built in one vectorized pass over all rings' vertices
+        E = int(r_len.sum())
+        edge_start = np.concatenate([[0], np.cumsum(r_len)[:-1]]).astype(np.int64)
+        # vertex index of each edge's "i" endpoint
+        vi = np.repeat(r_start, r_len) + (
+            np.arange(E) - np.repeat(edge_start, r_len)
+        )
+        # "j" endpoint = previous vertex cyclically within the ring
+        local = np.arange(E) - np.repeat(edge_start, r_len)
+        prev_local = np.where(local == 0, np.repeat(r_len, r_len) - 1, local - 1)
+        vj = np.repeat(r_start, r_len) + prev_local
+        self._exi = coords[vi, 0]
+        self._eyi = coords[vi, 1]
+        self._exj = coords[vj, 0]
+        self._eyj = coords[vj, 1]
+        self._edge_start = edge_start
+        self._edge_len = r_len
+        self._coords = coords
+        self._vtx_off = vtx_off
+
+        if cover is None:
+            cover = cover_batch(ring_rows, level=level)
+        # cover rows → ring row numbers
         row_of = {}
         for k, (g, i) in enumerate(zip(self.geom_ids, self.ring_seqs)):
             row_of[(g, i)] = k
-        for g, i, c in zip(
-            cover["geom_id"].to_pylist(),
-            cover["ring_seq"].to_pylist(),
-            cover["cell_id"].to_numpy(zero_copy_only=False),
-        ):
-            self.cell_to_rings.setdefault(int(c), []).append(row_of[(g, i)])
+        cov_ring = np.fromiter(
+            (
+                row_of[(g, i)]
+                for g, i in zip(cover["geom_id"].to_pylist(), cover["ring_seq"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=len(cover),
+        )
+        cov_cell = cover["cell_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cov_ring, cov_cell))
+        cov_cell = cov_cell[order]
+        cov_ring = cov_ring[order]
+
+        self.cell_to_rings: dict[int, list[int]] = {}
+        # fused per-cell probe tables: gather all candidate rings' edges
+        # into one contiguous block per cell so a single numpy expression
+        # tests every (point, ring) pair; reduceat offsets segment per
+        # ring. Gather indices are built with a vectorized cumsum trick —
+        # no per-ring Python work.
+        lens = r_len[cov_ring]
+        total = int(lens.sum())
+        gpos = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        if total:
+            step = np.ones(total, np.int64)
+            starts_ = edge_start[cov_ring]
+            step[0] = starts_[0]
+            if len(lens) > 1:
+                step[gpos[1:]] = starts_[1:] - (starts_[:-1] + lens[:-1] - 1)
+            gather = np.cumsum(step)
+        else:
+            gather = np.empty(0, np.int64)
+        gxi = self._exi[gather][None, :]
+        gyi = self._eyi[gather][None, :]
+        gxj = self._exj[gather][None, :]
+        gyj = self._eyj[gather][None, :]
+
+        self.cell_tables: dict[int, tuple] = {}
+        cbounds = np.flatnonzero(np.diff(cov_cell)) + 1
+        cstarts = np.concatenate([[0], cbounds])
+        cends = np.concatenate([cbounds, [len(cov_cell)]])
+        for s, e in zip(cstarts, cends):
+            if s == e:
+                continue
+            c = int(cov_cell[s])
+            rrows = cov_ring[s:e]
+            self.cell_to_rings[c] = rrows.tolist()
+            a, b = int(gpos[s]), int(gpos[e - 1] + lens[e - 1])
+            offs = (gpos[s:e] - gpos[s]).astype(np.intp)
+            self.cell_tables[c] = (
+                gxi[:, a:b],
+                gyi[:, a:b],
+                gxj[:, a:b],
+                gyj[:, a:b],
+                offs,
+                rrows,
+            )
+
+    def ring_coords(self, rrow: int) -> np.ndarray:
+        """Closed (n,2) coordinates of one indexed ring."""
+        return self._coords[self._vtx_off[rrow] : self._vtx_off[rrow + 1]]
+
+    def emit(self, batch: pa.Table, id_col: str, lon, lat, pts, rrows) -> pa.Table:
+        """Vectorized membership-row construction (arrow takes, no
+        per-output-row Python)."""
+        if not hasattr(self, "_gid_arr"):
+            # lazily built once per (de)serialized copy
+            self._gid_arr = pa.array(self.geom_ids, type=pa.string())
+            self._seq_arr = pa.array(self.ring_seqs, type=pa.int32())
+        ridx = pa.array(rrows)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(pts)),
+                "geom_id": self._gid_arr.take(ridx),
+                "ring_seq": self._seq_arr.take(ridx),
+                "lon": pa.array(lon[pts]),
+                "lat": pa.array(lat[pts]),
+            }
+        )
 
     def probe(self, ids, lon: np.ndarray, lat: np.ndarray):
-        """Vectorized membership probe. Returns (point_pos, ring_row)."""
+        """Vectorized membership probe. Returns (point_pos, ring_row).
+
+        Semantics per ring match geom.kernels.points_in_ring (even-odd,
+        boundary = outside)."""
         cells = point_to_cell(lon, lat, self.level).astype(np.int64)
         order = np.argsort(cells, kind="stable")
         out_pts, out_rings = [], []
-        start = 0
         sorted_cells = cells[order]
-        while start < len(order):
-            end = start
-            c = sorted_cells[start]
-            while end < len(order) and sorted_cells[end] == c:
-                end += 1
-            cand = self.cell_to_rings.get(int(c))
-            if cand:
-                pos = order[start:end]
-                plon, plat = lon[pos], lat[pos]
-                for rrow in cand:
-                    hit = points_in_ring(plon, plat, self.rings[rrow])
-                    if hit.any():
-                        out_pts.append(pos[hit])
-                        out_rings.append(np.full(int(hit.sum()), rrow, np.int64))
-            start = end
+        # group boundaries without a Python scan
+        bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(order)]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s, e in zip(starts, ends):
+                entry = self.cell_tables.get(int(sorted_cells[s]))
+                if entry is None:
+                    continue
+                xi, yi, xj, yj, offs, rrows = entry
+                pos = order[s:e]
+                px = lon[pos][:, None]
+                py = lat[pos][:, None]
+                cond = (yi > py) != (yj > py)
+                xcross = (xj - xi) * (py - yi) / (yj - yi) + xi
+                cross = cond & (px < xcross)
+                counts = np.add.reduceat(cross, offs, axis=1)
+                on = (
+                    (py * (xi - xj) + yi * (xj - px) + yj * (px - xi) == 0)
+                    & ((xi - px) * (xj - px) <= 0)
+                    & ((yi - py) * (yj - py) <= 0)
+                )
+                on_ring = np.add.reduceat(on, offs, axis=1) > 0
+                inside = ((counts & 1).astype(bool)) & ~on_ring
+                pidx, ridx = np.nonzero(inside)
+                if len(pidx):
+                    out_pts.append(pos[pidx])
+                    out_rings.append(rrows[ridx])
         if not out_pts:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(out_pts), np.concatenate(out_rings)
@@ -94,39 +239,75 @@ class PipJoinActor:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         pts, rrows = self.index.probe(None, lon, lat)
-        ids = batch[self.id_col].take(pa.array(pts))
-        return pa.table(
-            {
-                self.id_col: ids,
-                "geom_id": pa.array([self.index.geom_ids[r] for r in rrows], type=pa.string()),
-                "ring_seq": pa.array(
-                    [self.index.ring_seqs[r] for r in rrows], type=pa.int32()
-                ),
-                "lon": pa.array(lon[pts]),
-                "lat": pa.array(lat[pts]),
-            }
-        )
+        return self.index.emit(batch, self.id_col, lon, lat, pts, rrows)
+
+
+def compile_ring_index(simple_rings, *, level: int = DEFAULT_LEVEL) -> CompiledRingIndex:
+    """Build the compiled index from a simple-rings Dataset with the
+    covering computed in PARALLEL (Ray map_batches), so only the cheap
+    dict assembly runs on the driver. The ring side is the small side —
+    materializing it once is the dimension-table pattern."""
+    from .cover_stage import cover_rings_dataset
+
+    simple = simple_rings.materialize()
+    ring_table = pa.concat_tables([ray.get(r) for r in simple.to_arrow_refs()])
+    cover = pa.concat_tables(
+        [ray.get(r) for r in cover_rings_dataset(simple, level=level).to_arrow_refs()]
+    )
+    return CompiledRingIndex(ring_table, level=level, cover=cover)
 
 
 def pip_join_broadcast(
     points,
-    ring_rows: pa.Table,
+    ring_rows,
     *,
     level: int = DEFAULT_LEVEL,
     id_col: str = "image_id",
-    concurrency: int | tuple = 4,
-    batch_size: int = 8192,
+    concurrency: int | tuple | None = None,
+    batch_size: int | None = None,
+    use_actors: bool = False,
 ):
-    """points Dataset (id, lon, lat, ...) ⋈ rings → membership rows."""
-    index_ref = ray.put(CompiledRingIndex(ring_rows, level=level))
-    import functools
+    """points Dataset (id, lon, lat, ...) ⋈ rings → membership rows.
+
+    ``ring_rows`` is an Arrow table of simple rings, a Dataset of them
+    (covered in parallel via ``compile_ring_index``), or an
+    already-compiled ``CompiledRingIndex``.
+
+    Default execution is STATELESS TASKS with the index fetched from
+    the object store per task: plasma gives zero-copy numpy views, the
+    per-task deserialize is only the dict skeleton, and tasks avoid
+    actor-pool ramp-up and CPU reservation (a fixed-size pool that
+    reserves every CPU starves the upstream read and deadlocks the
+    stream). Set ``use_actors=True`` for an autoscaling actor pool
+    (``concurrency=(min, max)``; cap max below the CPU count) when the
+    index is big enough that per-task deserialization matters.
+    """
+    if isinstance(ring_rows, CompiledRingIndex):
+        index = ring_rows
+    elif isinstance(ring_rows, pa.Table):
+        index = CompiledRingIndex(ring_rows, level=level)
+    else:
+        index = compile_ring_index(ring_rows, level=level)
+    index_ref = ray.put(index)
+
+    if use_actors:
+        return points.map_batches(
+            PipJoinActor,
+            fn_constructor_args=(index_ref, id_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (2, 8),
+        )
+
+    def probe_fn(batch: pa.Table) -> pa.Table:
+        idx = _cached_get(index_ref)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pts, rrows = idx.probe(None, lon, lat)
+        return idx.emit(batch, id_col, lon, lat, pts, rrows)
 
     return points.map_batches(
-        PipJoinActor,
-        fn_constructor_args=(index_ref, id_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        probe_fn, batch_format="pyarrow", batch_size=batch_size
     )
 
 
