@@ -1,0 +1,83 @@
+"""Checkpoint/resume: kill after k shards, rerun, assert identical
+final outputs and that finished shards were skipped (SURVEY.md §5.2.5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from simplepolygon_ray.state import CheckpointedRunner, load_output
+
+
+def _make_shard_factory():
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.decompose_stage import decompose_dataset, polygons_source
+
+    def make(shard_id: str):
+        lo = int(shard_id) * 100
+        ds = rd.range(100).map_batches(
+            lambda b: {"id": np.asarray(b["id"]) + lo}, batch_format="numpy"
+        )
+        from simplepolygon_ray.stages.decompose_stage import gen_polygon_batch, decompose_batch
+
+        return ds.map_batches(gen_polygon_batch, batch_format="numpy").map_batches(
+            decompose_batch, batch_format="pyarrow"
+        )
+
+    return make
+
+
+def test_kill_and_resume(ray_session, tmp_path):
+    out = str(tmp_path / "ckpt")
+    shards = [str(i) for i in range(6)]
+    make = _make_shard_factory()
+
+    runner = CheckpointedRunner(out, "decompose")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(shards, make, lineage=lambda s: f"ids[{int(s)*100}:{int(s)*100+100}]",
+                   fail_after=3)
+    assert len(runner.manifest.records()) == 3
+
+    # resume with a FRESH runner (manifest reloaded from disk)
+    runner2 = CheckpointedRunner(out, "decompose")
+    assert runner2.pending(shards) == ["3", "4", "5"]
+    stats = runner2.run(shards, make, lineage=lambda s: "")
+    assert stats == {"ran": 3, "skipped": 3}
+
+    # final output identical to a clean single run
+    resumed = load_output(out, "decompose").to_pandas()
+    clean_dir = str(tmp_path / "clean")
+    CheckpointedRunner(clean_dir, "decompose").run(shards, make)
+    clean = load_output(clean_dir, "decompose").to_pandas()
+    key = ["geom_id", "ring_seq"]
+    a = resumed.sort_values(key).reset_index(drop=True)
+    b = clean.sort_values(key).reset_index(drop=True)
+    assert a[["geom_id", "ring_seq", "parent", "winding", "net_winding"]].equals(
+        b[["geom_id", "ring_seq", "parent", "winding", "net_winding"]]
+    )
+    assert len(a) == len(b) > 0
+
+    # metrics present in the manifest
+    for rec in runner2.manifest.records():
+        assert rec.rows > 0 and rec.num_bytes > 0 and rec.duration_s > 0
+
+
+def test_rerun_is_noop(ray_session, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    make = _make_shard_factory()
+    shards = ["0", "1"]
+    CheckpointedRunner(out, "decompose").run(shards, make)
+    stats = CheckpointedRunner(out, "decompose").run(shards, make)
+    assert stats == {"ran": 0, "skipped": 2}
+
+
+def test_partial_output_without_manifest_is_rewritten(ray_session, tmp_path):
+    out = str(tmp_path / "ckpt3")
+    make = _make_shard_factory()
+    runner = CheckpointedRunner(out, "decompose")
+    # simulate a crash mid-write: directory exists, no manifest row
+    os.makedirs(runner.shard_dir("0"))
+    stats = runner.run(["0"], make)
+    assert stats == {"ran": 1, "skipped": 0}
+    assert load_output(out, "decompose").count() > 0
