@@ -223,7 +223,7 @@ def q_embedding_near_dup(sf_dir: str):
     import ray.data as rd
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dup_pairs(emb, threshold=0.9)
+    return embedding_near_dup_pairs(emb, threshold=0.3)
 
 
 TEXT_QUERIES = {
@@ -259,3 +259,42 @@ ANN_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL: dict[str, str] = {}
+
+
+# ---------------------------------------------------------- cell stats
+
+
+def q_cell_counts(sf_dir: str):
+    """Per-cell covering density (skew diagnostic that sizes the salt
+    factor of the shuffle join — SURVEY.md §4.3)."""
+    from ray.data.aggregate import Sum
+
+    cover = q_geo_cover(sf_dir)
+    from ..relational.queries import _partial_groupby
+
+    partial = cover.map_batches(
+        _partial_groupby(["cell_id"], [("cell_id", "count", "n_rings")]),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("cell_id").aggregate(Sum("n_rings", alias_name="n_rings"))
+
+
+def q_distinct_cells(sf_dir: str):
+    """Distinct covered cell ids (local unique -> tiny global groupby)."""
+    from ray.data.aggregate import Count
+
+    cover = q_geo_cover(sf_dir)
+    local = cover.map_batches(
+        lambda t: pa.table({"cell_id": t["cell_id"].unique()}), batch_format="pyarrow"
+    )
+    return local.groupby("cell_id").aggregate(Count(alias_name="_c")).select_columns(
+        ["cell_id"]
+    )
+
+
+GEO_QUERIES.update(
+    {
+        "cell_counts": q_cell_counts,
+        "distinct_cells": q_distinct_cells,
+    }
+)

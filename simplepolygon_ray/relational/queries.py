@@ -483,3 +483,171 @@ ORACLE_SQL = {
     "token_counts": _SQL_TOKENS,
     "docs_lang_counts": _SQL_LANG,
 }
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling — modulo filter, reproducible across engines
+# --------------------------------------------------------------------------
+
+
+def q_sample_mod(sf_dir: str):
+    """Seeded-sample stand-in: hash-free modulo filter (SURVEY.md §2.3
+    'seeded sampling') — deterministic, engine-independent."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], pa.scalar(15)), 0)),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_SAMPLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 16 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# semi / anti join — broadcast key set, filter inside map_batches
+# --------------------------------------------------------------------------
+
+
+def _big_spender_keys(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    df = orders.to_pandas()
+    return set(df.loc[df["o_totalprice"] > 300_000.0, "o_custkey"].astype("int64"))
+
+
+def q_semi_join_customers(sf_dir: str):
+    """Customers having at least one order over 300k (broadcast semi join)."""
+    import ray
+
+    keys_ref = ray.put(_big_spender_keys(sf_dir))
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = np.fromiter(
+            (int(k) in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)),
+            dtype=bool,
+            count=len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    return cust.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Customers with NO order above 400k (broadcast anti join)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    big = set(orders.loc[orders["o_totalprice"] > 400_000.0, "o_custkey"].astype("int64"))
+    keys_ref = ray.put(big)
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = np.fromiter(
+            (int(k) not in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)),
+            dtype=bool,
+            count=len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    return cust.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# session windows — streaming-shaped workload over the ordered event log
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(sf_dir: str):
+    """30-minute-gap session windows per user: events sorted by ts
+    within each user group, session boundaries where the gap exceeds
+    the threshold (ordering assumption: per-user, by event time)."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > _SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "session_id": sid,
+             "value_e4": np.rint(g["value"].to_numpy() * 10000.0).astype(np.int64)}
+        )
+        agg = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("session_id", "size"), sum_value_e4=("value_e4", "sum")
+        )
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+_SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_value_e4
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES.update(
+    {
+        "sample_mod": q_sample_mod,
+        "semi_join_customers": q_semi_join_customers,
+        "anti_join_customers": q_anti_join_customers,
+        "sessionize": q_sessionize,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "sample_mod": _SQL_SAMPLE,
+        "semi_join_customers": _SQL_SEMI,
+        "anti_join_customers": _SQL_ANTI,
+        "sessionize": _SQL_SESSIONIZE,
+    }
+)
