@@ -298,3 +298,47 @@ GEO_QUERIES.update(
         "distinct_cells": q_distinct_cells,
     }
 )
+
+
+# ------------------------------------------------------- media + sketches
+
+
+def q_media_decode_featurize(sf_dir: str):
+    """Actor-pool image decode + phash/luma feature extraction."""
+    from ..stages.media import decode_and_featurize
+
+    _, n_images = scale_counts(sf_dir)
+    return decode_and_featurize(gen_images(min(n_images, 5_000)), concurrency=(1, 4))
+
+
+def q_media_resize(sf_dir: str):
+    """Actor-pool thumbnailing; output projected to metadata columns."""
+    from ..stages.media import resize_images
+
+    _, n_images = scale_counts(sf_dir)
+    out = resize_images(gen_images(min(n_images, 5_000)), out_w=16, out_h=16,
+                        concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: t.select(["image_id", "w", "h", "fmt"]), batch_format="pyarrow"
+    )
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT user_id) over events (rows-only:
+    approximate by design; error bound tested in pytest)."""
+    import ray.data as rd
+
+    from ..relational.sketches import approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ev, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct_users": [float(round(est, 1))]})
+
+
+GEO_QUERIES.update(
+    {
+        "media_decode_featurize": q_media_decode_featurize,
+        "media_resize": q_media_resize,
+        "approx_distinct_users": q_approx_distinct_users,
+    }
+)

@@ -18,9 +18,23 @@ from .pip_join import (
     pip_join_broadcast,
     pip_join_shuffle,
 )
+from .media import (
+    AudioFeatureActor,
+    ImageDecodeActor,
+    ImageResizeActor,
+    VideoFrameSampleActor,
+    decode_and_featurize,
+    resize_images,
+)
 from .tiles import sutherland_hodgman_bbox, tile_assign_dataset, tile_clip_batch
 
 __all__ = [
+    "ImageDecodeActor",
+    "ImageResizeActor",
+    "AudioFeatureActor",
+    "VideoFrameSampleActor",
+    "decode_and_featurize",
+    "resize_images",
     "DEFAULT_LEVEL",
     "RING_SCHEMA",
     "decompose_batch",
