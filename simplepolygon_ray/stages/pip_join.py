@@ -326,13 +326,37 @@ def pip_join_shuffle(
     ``salt_factor`` S splits each dense cell's points across S
     sub-partitions; ring cover rows are replicated S× so every salt
     sees every candidate ring (skew defusal, SURVEY.md §4.3).
+
+    NOTHING is materialized on the driver: each cover row carries its
+    ring's coordinates as a float64 blob through the shuffle, so
+    refinement reads the geometry straight off the joined row. (The
+    blob is a binary column because Arrow's hash join doesn't carry
+    nested-list payloads; decode is a zero-copy ``frombuffer``.)
     """
     from .cover_stage import cover_rings_dataset, index_points_batch
-    import functools
 
     cover = cover_rings_dataset(simple_rings, level=level)
-    rings_keyed = simple_rings.map_batches(
-        lambda t: t.select(["geom_id", "ring_seq", "ring"]), batch_format="pyarrow"
+
+    # slim ring-blob side: (geom_id, ring_seq, ring_blob) — joined onto
+    # the cover rows by ring identity before the wide cell shuffle
+    def blobify(t: pa.Table) -> pa.Table:
+        blobs = [
+            np.asarray(r, np.float64).tobytes() for r in t["ring"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "geom_id": t["geom_id"],
+                "ring_seq": t["ring_seq"],
+                "ring_blob": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    blobs = simple_rings.map_batches(blobify, batch_format="pyarrow")
+    cover = cover.join(
+        blobs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("geom_id", "ring_seq"),
     )
 
     if salt_factor > 1:
@@ -365,30 +389,25 @@ def pip_join_shuffle(
         cover, join_type="inner", num_partitions=num_partitions, on=keys
     )
 
-    # refinement needs ring coords: broadcast the slim id→coords map once
-    rk = rings_keyed.to_pandas()
-    ring_map = {
-        (g, int(i)): np.asarray([list(p) for p in r], np.float64)
-        for g, i, r in zip(rk["geom_id"], rk["ring_seq"], rk["ring"])
-    }
-    ring_ref = ray.put(ring_map)
-
     def refine(t: pa.Table) -> pa.Table:
-        rings = ray.get(ring_ref)
         lon = t["lon"].to_numpy(zero_copy_only=False)
         lat = t["lat"].to_numpy(zero_copy_only=False)
-        gids = t["geom_id"].to_pylist()
-        ridx = t["ring_seq"].to_numpy(zero_copy_only=False)
+        blobs = t["ring_blob"].to_pylist()
+        # group rows by ring identity via blob length + first bytes proxy:
+        # exact grouping on (geom_id, ring_seq) via dictionary-encoded sort
+        gid_codes = t["geom_id"].dictionary_encode().combine_chunks().indices.to_numpy(
+            zero_copy_only=False
+        )
+        rkeys = gid_codes.astype(np.int64) * np.int64(1 << 31) + t[
+            "ring_seq"
+        ].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(t), bool)
         # vectorize per candidate ring: all rows sharing a ring test at once
-        import collections
-
-        groups = collections.defaultdict(list)
-        for k in range(len(t)):
-            groups[(gids[k], int(ridx[k]))].append(k)
-        for key, rows in groups.items():
-            rows = np.asarray(rows)
-            keep[rows] = points_in_ring(lon[rows], lat[rows], rings[key])
+        order = np.argsort(rkeys, kind="stable")
+        bounds = np.flatnonzero(np.diff(rkeys[order])) + 1
+        for rows in np.split(order, bounds):
+            ring = np.frombuffer(blobs[rows[0]], np.float64).reshape(-1, 2)
+            keep[rows] = points_in_ring(lon[rows], lat[rows], ring)
         t = t.filter(pa.array(keep))
         return t.select([id_col, "geom_id", "ring_seq", "lon", "lat"])
 
