@@ -84,6 +84,48 @@ def _close_rings(coordinates) -> list[np.ndarray]:
     return rings
 
 
+class _WalkQueue:
+    """The reference's walk queue (JS array semantics) with an index.
+
+    Reference ops (src/index.ts:283-404): one initial sort, ``pop()``
+    from the end, ``push`` at the end, and removal of the FIRST
+    list-order occurrence of an intersection. The index (isect →
+    ascending positions) makes removal/membership O(1) amortized while
+    preserving exact list order — the reference's linear scans are
+    O(K²) on large polygons (SURVEY.md §4.1 "quadratic warts").
+    """
+
+    def __init__(self, items: list[dict]):
+        self.slots: list[dict | None] = list(items)
+        self.pos: dict[int, list[int]] = {}
+        for p, it in enumerate(items):
+            self.pos.setdefault(it["isect"], []).append(p)
+        self.live = len(items)
+
+    def push(self, item: dict) -> None:
+        self.pos.setdefault(item["isect"], []).append(len(self.slots))
+        self.slots.append(item)
+        self.live += 1
+
+    def remove_first(self, isect: int) -> None:
+        lst = self.pos.get(isect)
+        if lst:
+            p = lst.pop(0)
+            self.slots[p] = None
+            self.live -= 1
+
+    def pop(self) -> dict:
+        while True:
+            it = self.slots.pop()
+            if it is not None:
+                self.pos[it["isect"]].pop()  # its position is the max
+                self.live -= 1
+                return it
+
+    def __bool__(self) -> bool:
+        return self.live > 0
+
+
 def _determine_parents(out: list[DecomposedRing]) -> None:
     """Assign parents to rings still at -1 (reference src/index.ts:645-694).
 
@@ -91,9 +133,27 @@ def _determine_parents(out: list[DecomposedRing]) -> None:
     ``parent`` for every containing ring, so the LAST (highest-index)
     containing ring wins — the area comparison in the reference is
     dead code (const Infinity bound).
+
+    For large outputs the containment tests vectorize per candidate
+    ring (all orphan probe points at once); ``points_in_ring`` is
+    semantically identical to the scalar kernel.
     """
     orphans = [i for i, f in enumerate(out) if f.parent == -1]
     if len(orphans) <= 1:
+        return
+    if len(orphans) * len(out) > 256:
+        from .kernels import points_in_ring as _vec_pip
+
+        px = np.array([out[i].ring[0][0] for i in orphans])
+        py = np.array([out[i].ring[0][1] for i in orphans])
+        parents = np.full(len(orphans), -1, np.int64)
+        self_row = np.asarray(orphans)
+        for j, cand in enumerate(out):
+            hit = _vec_pip(px, py, cand.ring)
+            hit &= self_row != j
+            parents[hit] = j  # later j overwrites: last-containing-wins
+        for k, i in enumerate(orphans):
+            out[i].parent = int(parents[k])
         return
     for i in orphans:
         parent = -1
@@ -268,6 +328,7 @@ def decompose(coordinates) -> list[DecomposedRing]:
 
     # descending JS-string order so the left-most pops first
     queue.sort(key=lambda q: js_coord_str(isects[q["isect"]].coord), reverse=True)
+    queue = _WalkQueue(queue)
 
     # ---- walk (reference src/index.ts:332-519) ----
     out: list[DecomposedRing] = []
@@ -291,10 +352,7 @@ def decompose(coordinates) -> list[DecomposedRing]:
 
         while isects[start].coord != isects[nxt].coord:
             coords.append(isects[nxt].coord)
-            for qi, q in enumerate(queue):
-                if q["isect"] == nxt:
-                    del queue[qi]
-                    break
+            queue.remove_first(nxt)
             it = isects[nxt]
             if walking == it.re1:
                 walking = it.re2
@@ -309,11 +367,11 @@ def decompose(coordinates) -> list[DecomposedRing]:
                         isects[nxt_along].coord,
                         cur_winding == 1,
                     ):
-                        queue.append(
+                        queue.push(
                             {"isect": nxt, "parent": cur_parent, "winding": -cur_winding}
                         )
                     else:
-                        queue.append(
+                        queue.push(
                             {"isect": nxt, "parent": cur_ring_idx, "winding": cur_winding}
                         )
                 cur = nxt
@@ -331,11 +389,11 @@ def decompose(coordinates) -> list[DecomposedRing]:
                         isects[nxt_along].coord,
                         cur_winding == 1,
                     ):
-                        queue.append(
+                        queue.push(
                             {"isect": nxt, "parent": cur_parent, "winding": -cur_winding}
                         )
                     else:
-                        queue.append(
+                        queue.push(
                             {"isect": nxt, "parent": cur_ring_idx, "winding": cur_winding}
                         )
                 cur = nxt

@@ -219,6 +219,12 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    from ..text.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3, prefix_bits=8)
+
+
 def q_embedding_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -232,6 +238,7 @@ TEXT_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_simhash": q_text_simhash,
     "minhash_dedup_pairs": q_minhash_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
 }
 

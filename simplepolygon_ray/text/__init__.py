@@ -1,5 +1,6 @@
 from .dedup import (
     embedding_near_dup_pairs,
+    ngram_jaccard_pairs,
     exact_dedup,
     jaccard_ngrams,
     minhash_dedup_pairs,
@@ -19,6 +20,7 @@ __all__ = [
     "jaccard_ngrams",
     "simhash64",
     "simhash_batch",
+    "ngram_jaccard_pairs",
     "exact_dedup",
     "embedding_near_dup_pairs",
 ]

@@ -30,6 +30,7 @@ __all__ = [
     "simhash_batch",
     "minhash_dedup_pairs",
     "simhash64",
+    "ngram_jaccard_pairs",
     "exact_dedup",
     "embedding_near_dup_pairs",
 ]
@@ -240,6 +241,61 @@ def embedding_near_dup_pairs(
 
     return (
         emb.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(within, batch_format="pandas")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs,
+    *,
+    threshold: float = 0.5,
+    prefix_bits: int = 12,
+    text_col: str = "text",
+):
+    """n-gram Jaccard near-dup with SimHash-prefix blocking: docs that
+    share the top ``prefix_bits`` of their SimHash become candidate
+    pairs (groupby the prefix — the only shuffle), then exact word
+    3-gram Jaccard verifies each pair. Pairs are emitted once
+    (doc_a < doc_b) with their exact similarity."""
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = np.asarray(
+            [np.uint64(simhash64(t or "")) for t in batch[text_col]], np.uint64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "bucket": (sh >> np.uint64(64 - prefix_bits)).astype(np.int64),
+                "text": batch[text_col],
+            }
+        )
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+                {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+            )
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy(np.int64)
+        texts = list(g["text"])
+        shingles = [set(_hash_shingles(t, 3).tolist()) for t in texts]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                si, sj = shingles[i], shingles[j]
+                if not si and not sj:
+                    jac = 1.0
+                else:
+                    jac = len(si & sj) / len(si | sj)
+                if jac >= threshold:
+                    rows.append((ids[i], ids[j], jac))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+        )
+
+    return (
+        docs.map_batches(sig, batch_format="pandas")
         .groupby("bucket")
         .map_groups(within, batch_format="pandas")
     )
