@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..geom.kernels import points_in_ring
 
 __all__ = [
     "MAX_LEVEL",
@@ -193,7 +192,21 @@ def cover_ring(ring: np.ndarray, level: int) -> np.ndarray:
     ii, jj = ii.ravel(), jj.ravel()
     clon = (ii + 0.5) / n * 360.0 - 180.0
     clat = (jj + 0.5) / n * 180.0 - 90.0
-    inside = points_in_ring(clon, clat, ring)
+    # leaner even-odd PIP for cell centers: boundary handling is
+    # irrelevant here (a center exactly on the ring boundary means the
+    # cell crosses an edge, so edge rasterization already emits it)
+    r = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+    xi = r[:, 0][None, :]
+    yi = r[:, 1][None, :]
+    xj = np.roll(r[:, 0], 1)[None, :]
+    yj = np.roll(r[:, 1], 1)[None, :]
+    px = clon[:, None]
+    py = clat[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cross = ((yi > py) != (yj > py)) & (
+            px < (xj - xi) * (py - yi) / (yj - yi) + xi
+        )
+    inside = (cross.sum(axis=1) % 2).astype(bool)
     cells = np.concatenate(
         [_pack(level, bi, bj), _pack(level, ii[inside], jj[inside])]
     )
