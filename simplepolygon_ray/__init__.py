@@ -25,3 +25,7 @@ Arrow batches):
 """
 
 __version__ = "0.1.0"
+
+from .geom.geojson_io import decompose_feature as simplepolygon  # noqa: E402
+
+__all__ = ["simplepolygon", "__version__"]

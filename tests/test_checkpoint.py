@@ -81,3 +81,14 @@ def test_partial_output_without_manifest_is_rewritten(ray_session, tmp_path):
     stats = runner.run(["0"], make)
     assert stats == {"ran": 1, "skipped": 0}
     assert load_output(out, "decompose").count() > 0
+
+
+def test_stage_metrics(ray_session):
+    from simplepolygon_ray.stages.decompose_stage import decompose_dataset, polygons_source
+    from simplepolygon_ray.state import stage_metrics
+
+    ds = decompose_dataset(polygons_source(200, parallelism=4)).materialize()
+    df = stage_metrics(ds)
+    assert len(df) >= 1
+    assert {"operator", "total_wall_s", "tasks"} <= set(df.columns)
+    assert (df["total_wall_s"] >= 0).all()
