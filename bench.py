@@ -26,9 +26,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # carries ~600 cpu-seconds of parallel work — enough that the
 # two-parallelism scaling comparison measures throughput, not fixed
 # Ray overhead (per-pipeline startup + compile are a few seconds).
-N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "8000000"))
-N_POLYGONS = int(os.environ.get("GRAFT_BENCH_POLYGONS", "400000"))
-N_POLYGONS_TILES = int(os.environ.get("GRAFT_BENCH_POLYGONS_TILES", "100000"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "32000000"))
+N_POLYGONS = int(os.environ.get("GRAFT_BENCH_POLYGONS", "800000"))
+N_POLYGONS_TILES = int(os.environ.get("GRAFT_BENCH_POLYGONS_TILES", "200000"))
 N_POLYGONS_JOIN = int(os.environ.get("GRAFT_BENCH_POLYGONS_JOIN", "3000"))
 
 
@@ -84,22 +84,24 @@ def run_bench() -> dict:
     # parallelism levels = the same job.
 
     def decompose_job():
-        polys = fixture_polygons().union(polygons_source(N_POLYGONS, parallelism=128))
+        polys = fixture_polygons().union(polygons_source(N_POLYGONS, parallelism=256))
         return decompose_dataset(polys).count()
 
     timed("decompose", decompose_job)
 
     def tiles_job():
-        polys = polygons_source(N_POLYGONS_TILES, parallelism=128)
+        polys = polygons_source(N_POLYGONS_TILES, parallelism=256)
         simple = decompose_dataset(polys)
         return tile_assign_dataset(simple, zoom=8).count()
 
     timed("tile_assign", tiles_job)
 
     def join_job():
-        polys = fixture_polygons().union(polygons_source(N_POLYGONS_JOIN, parallelism=64))
+        # realistic membership density (~1-2 rings per point): small
+        # ring radii; the giant fixture rings stay out of the join index
+        polys = polygons_source(N_POLYGONS_JOIN, parallelism=64, max_radius=0.4)
         simple = decompose_dataset(polys)
-        par = max(NUM_CPUS * 2, N_IMAGES // 16384)
+        par = max(NUM_CPUS * 2, N_IMAGES // 65536)
         imgs = gen_points(N_IMAGES, parallelism=par)
         return pip_join_broadcast(imgs, simple).count()
 

@@ -52,24 +52,36 @@ RING_SCHEMA = pa.schema(
 )
 
 
-def gen_polygon_batch(batch) -> pa.Table:
+def gen_polygon_batch(batch, *, max_radius: float = 1.5) -> pa.Table:
     """{"id": int64 array} → polygon rows (geom_id, rings)."""
     ids = np.asarray(batch["id"], dtype=np.int64)
     return pa.table(
         {
             "geom_id": pa.array([f"poly{int(i):010d}" for i in ids]),
-            "rings": pa.array([polygon_for_id(int(i)) for i in ids], type=_RINGS_T),
+            "rings": pa.array(
+                [polygon_for_id(int(i), max_radius=max_radius) for i in ids],
+                type=_RINGS_T,
+            ),
         }
     )
 
 
-def polygons_source(n: int, *, parallelism: int = -1):
+def polygons_source(n: int, *, parallelism: int = -1, max_radius: float = 1.5):
+    """Deterministic polygon corpus. ``max_radius`` (degrees) controls
+    overlap density: 1.5 gives a dense stress corpus; ~0.4 gives a
+    realistic ~1-2 ring memberships per probe point."""
+    import functools
+
     import ray.data as rd
 
     ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
     # batch per block: forcing a bigger batch_size would coalesce
     # blocks and serialize the whole polygon side into one task
-    return ds.map_batches(gen_polygon_batch, batch_format="numpy", batch_size=None)
+    return ds.map_batches(
+        functools.partial(gen_polygon_batch, max_radius=max_radius),
+        batch_format="numpy",
+        batch_size=None,
+    )
 
 
 def fixture_polygons(fixture_dir: str | None = None):

@@ -243,16 +243,44 @@ class PipJoinActor:
 
 
 def compile_ring_index(simple_rings, *, level: int = DEFAULT_LEVEL) -> CompiledRingIndex:
-    """Build the compiled index from a simple-rings Dataset with the
-    covering computed in PARALLEL (Ray map_batches), so only the cheap
-    dict assembly runs on the driver. The ring side is the small side —
-    materializing it once is the dimension-table pattern."""
-    from .cover_stage import cover_rings_dataset
+    """Build the compiled index from a simple-rings Dataset in ONE
+    parallel pass: each map task computes its rings' coverings inline
+    (an extra ``cover_cells`` list column), so the driver only collects
+    once and assembles dicts. The ring side is the small side — a
+    single materialization is the dimension-table pattern."""
+    from ..cells.grid import cover_ring
 
-    simple = simple_rings.materialize()
-    ring_table = pa.concat_tables([ray.get(r) for r in simple.to_arrow_refs()])
-    cover = pa.concat_tables(
-        [ray.get(r) for r in cover_rings_dataset(simple, level=level).to_arrow_refs()]
+    def add_cover(t: pa.Table) -> pa.Table:
+        covers = [
+            cover_ring(np.asarray(r, np.float64), level).astype(np.int64)
+            for r in t["ring"].to_pylist()
+        ]
+        return t.append_column(
+            "cover_cells", pa.array([c.tolist() for c in covers], type=pa.list_(pa.int64()))
+        )
+
+    with_cover = simple_rings.map_batches(add_cover, batch_format="pyarrow")
+    full = pa.concat_tables([ray.get(r) for r in with_cover.to_arrow_refs()])
+    ring_table = full.drop_columns(["cover_cells"])
+    # explode the cover column into the (geom_id, ring_seq, cell_id) shape
+    lens = np.asarray([len(c) for c in full["cover_cells"].to_pylist()])
+    cover = pa.table(
+        {
+            "geom_id": pa.array(
+                np.repeat(np.asarray(full["geom_id"].to_pylist(), object), lens)
+            ),
+            "ring_seq": pa.array(
+                np.repeat(full["ring_seq"].to_numpy(zero_copy_only=False), lens),
+                type=pa.int32(),
+            ),
+            "cell_id": pa.array(
+                np.concatenate(
+                    [np.asarray(c, np.int64) for c in full["cover_cells"].to_pylist()]
+                )
+                if lens.sum()
+                else np.empty(0, np.int64)
+            ),
+        }
     )
     return CompiledRingIndex(ring_table, level=level, cover=cover)
 
