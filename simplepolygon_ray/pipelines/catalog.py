@@ -349,3 +349,66 @@ GEO_QUERIES.update(
         "approx_distinct_users": q_approx_distinct_users,
     }
 )
+
+
+def q_geo_compact_cover(sf_dir: str):
+    """Mixed-level compacted covering: full sibling quads merge into
+    their parent cell (cells/grid.compact_cells)."""
+    from ..cells.grid import compact_cells
+
+    cover = q_geo_cover(sf_dir)
+
+    def compact(t: pa.Table) -> pa.Table:
+        import collections
+
+        by_ring = collections.defaultdict(list)
+        gids = t["geom_id"].to_pylist()
+        seqs = t["ring_seq"].to_pylist()
+        cells = t["cell_id"].to_numpy(zero_copy_only=False)
+        for k in range(len(t)):
+            by_ring[(gids[k], seqs[k])].append(cells[k])
+        og, os_, oc, ol = [], [], [], []
+        for (g, s), cs in by_ring.items():
+            comp = compact_cells(np.asarray(cs, np.uint64))
+            from ..cells.grid import cell_level
+
+            lv = cell_level(comp)
+            og.extend([g] * len(comp))
+            os_.extend([s] * len(comp))
+            oc.extend(comp.astype(np.int64).tolist())
+            ol.extend(lv.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "geom_id": pa.array(og, type=pa.string()),
+                "ring_seq": pa.array(os_, type=pa.int32()),
+                "cell_id": pa.array(oc, type=pa.int64()),
+                "level": pa.array(ol, type=pa.int8()),
+            }
+        )
+
+    return cover.map_batches(compact, batch_format="pyarrow")
+
+
+def q_geo_zonal_counts(sf_dir: str):
+    """Zonal statistics: image points per simple ring (spatial join
+    composed with a grouped aggregate)."""
+    from ray.data.aggregate import Sum
+
+    from ..relational.queries import _partial_groupby
+
+    joined = q_geo_pip_join(sf_dir)
+    partial = joined.map_batches(
+        _partial_groupby(["geom_id", "ring_seq"], [("ring_seq", "count", "n_points")]),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(["geom_id", "ring_seq"]).aggregate(
+        Sum("n_points", alias_name="n_points")
+    )
+
+
+GEO_QUERIES.update(
+    {
+        "geo_compact_cover": q_geo_compact_cover,
+        "geo_zonal_counts": q_geo_zonal_counts,
+    }
+)
