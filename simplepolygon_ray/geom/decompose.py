@@ -24,7 +24,7 @@ lets the engine run it embarrassingly parallel inside
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -184,9 +184,14 @@ def _set_net_winding(out: list[DecomposedRing]) -> None:
             stack.append((c, net))
 
 
-def decompose(coordinates) -> list[DecomposedRing]:
+def decompose(coordinates, _isect_rows=None) -> list[DecomposedRing]:
     """Decompose one polygon (``coordinates`` = GeoJSON ``Polygon``
-    coordinates: list of rings of [x, y]) into simple rings."""
+    coordinates: list of rings of [x, y]) into simple rings.
+
+    ``_isect_rows``: optional precomputed ``self_intersections`` output
+    for these (closed) rings — the batch stage computes one vectorized
+    gpsi pass for a whole block of polygons (gpsi.self_intersections_batch)
+    and feeds each polygon's slice here."""
     rings = _close_rings(coordinates)
     num_rings = len(rings)
 
@@ -200,7 +205,7 @@ def decompose(coordinates) -> list[DecomposedRing]:
             "(except the first/last vertex of each ring)"
         )
 
-    isect_rows = self_intersections(rings)
+    isect_rows = _isect_rows if _isect_rows is not None else self_intersections(rings)
     n_self = len(isect_rows["ix"])
 
     if n_self == 0:

@@ -27,7 +27,7 @@ import numpy as np
 
 from .kernels import segment_intersections
 
-__all__ = ["self_intersections"]
+__all__ = ["self_intersections", "self_intersections_batch"]
 
 # all-pairs broadcast is O(E^2) memory; switch to interval sweep above this
 _BROADCAST_MAX_EDGES = 1024
@@ -171,3 +171,100 @@ def self_intersections(rings):
         ring1=ring_idx[pj], edge1=edge_idx[pj], frac1=fb,
         unique=pi < pj,
     )
+
+
+_BATCH_MAX_EDGES = 64  # per-polygon cutoff for the batched all-pairs path
+
+
+def self_intersections_batch(ring_lists):
+    """Batched ``self_intersections`` over many polygons in ONE
+    vectorized pass (same contract per polygon, identical output).
+
+    Small polygons (≤ ``_BATCH_MAX_EDGES`` edges) share one global
+    numpy computation — per-polygon numpy call overhead dominates the
+    per-geometry path at corpus scale; large polygons fall back to the
+    bbox-prefiltered single-polygon path.
+    """
+    n = len(ring_lists)
+    results: list[dict | None] = [None] * n
+
+    polys = []  # (poly_row, ring_idx, edge_idx, starts, ends, nedges)
+    for k, rings in enumerate(ring_lists):
+        tab = _edge_table(rings)
+        if len(tab[0]) < 2 or len(tab[0]) > _BATCH_MAX_EDGES:
+            results[k] = self_intersections(rings)
+        else:
+            polys.append((k, *tab))
+    if not polys:
+        return results
+
+    ring_idx = np.concatenate([p[1] for p in polys])
+    edge_idx = np.concatenate([p[2] for p in polys])
+    starts = np.concatenate([p[3] for p in polys])
+    ends = np.concatenate([p[4] for p in polys])
+    e_count = np.asarray([len(p[1]) for p in polys], np.int64)
+    e_offset = np.concatenate([[0], np.cumsum(e_count)[:-1]]).astype(np.int64)
+    # per-ring edge counts aligned to each edge (for cyclic adjacency)
+    nedges_of_edge = np.concatenate(
+        [np.repeat(p[5], p[5]) for p in polys]
+    )
+
+    # all ordered pairs (i, j), i != j, within each polygon
+    p_sq = e_count * e_count
+    pair_poly = np.repeat(np.arange(len(polys)), p_sq)
+    k_within = np.arange(int(p_sq.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(p_sq)[:-1]]).astype(np.int64), p_sq
+    )
+    ecnt = e_count[pair_poly]
+    pi = e_offset[pair_poly] + k_within // ecnt
+    pj = e_offset[pair_poly] + k_within % ecnt
+
+    keep = pi != pj
+    same_ring = ring_idx[pi] == ring_idx[pj]
+    m = nedges_of_edge[pi]
+    d = edge_idx[pi] - edge_idx[pj]
+    adj = same_ring & (((d % m) == 1) | ((-d % m) == 1))
+    keep &= ~adj
+    # bbox overlap prefilter
+    minx = np.minimum(starts[:, 0], ends[:, 0])
+    maxx = np.maximum(starts[:, 0], ends[:, 0])
+    miny = np.minimum(starts[:, 1], ends[:, 1])
+    maxy = np.maximum(starts[:, 1], ends[:, 1])
+    keep &= (
+        (minx[pi] <= maxx[pj])
+        & (maxx[pi] >= minx[pj])
+        & (miny[pi] <= maxy[pj])
+        & (maxy[pi] >= miny[pj])
+    )
+    pi, pj, pair_poly = pi[keep], pj[keep], pair_poly[keep]
+
+    ok, ix, iy, fa, fb = segment_intersections(starts[pi], ends[pi], starts[pj], ends[pj])
+    pi, pj, pair_poly = pi[ok], pj[ok], pair_poly[ok]
+    ix, iy, fa, fb = ix[ok], iy[ok], fa[ok], fb[ok]
+
+    # reference emission order per polygon: (pi, pj) lexicographic —
+    # global edge ids are already poly-then-lex ordered
+    order = np.lexsort((pj, pi))
+    pi, pj, pair_poly = pi[order], pj[order], pair_poly[order]
+    ix, iy, fa, fb = ix[order], iy[order], fa[order], fb[order]
+
+    bounds = np.searchsorted(pair_poly, np.arange(len(polys) + 1))
+    empty = dict(
+        ix=np.empty(0), iy=np.empty(0),
+        ring0=np.empty(0, np.int64), edge0=np.empty(0, np.int64),
+        frac0=np.empty(0), ring1=np.empty(0, np.int64),
+        edge1=np.empty(0, np.int64), frac1=np.empty(0),
+        unique=np.empty(0, bool),
+    )
+    for p_row, (k, *_rest) in enumerate(polys):
+        s, e = bounds[p_row], bounds[p_row + 1]
+        if s == e:
+            results[k] = dict(empty)
+            continue
+        results[k] = dict(
+            ix=ix[s:e], iy=iy[s:e],
+            ring0=ring_idx[pi[s:e]], edge0=edge_idx[pi[s:e]], frac0=fa[s:e],
+            ring1=ring_idx[pj[s:e]], edge1=edge_idx[pj[s:e]], frac1=fb[s:e],
+            unique=pi[s:e] < pj[s:e],
+        )
+    return results

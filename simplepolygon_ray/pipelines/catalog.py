@@ -10,16 +10,14 @@ pytest suites (tests/test_stages.py, tests/test_text.py).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..ann.search import brute_topk, ivf_topk, query_vector
-from ..images.codec import decode, phash64, psnr
+from ..images.codec import decode, psnr
 from ..images.synth import gen_images, gen_points, make_pixels
-from ..stages.cover_stage import DEFAULT_LEVEL, cover_rings_dataset, index_points_batch
+from ..stages.cover_stage import DEFAULT_LEVEL, cover_rings_dataset
 from ..stages.decompose_stage import decompose_dataset, fixture_polygons, polygons_source
 from ..stages.knn import knn_join
 from ..stages.pip_join import pip_join_broadcast, pip_join_shuffle

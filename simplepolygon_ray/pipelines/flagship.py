@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 
 from ..images.synth import gen_points
-from ..stages.cover_stage import DEFAULT_LEVEL, index_points_batch
+from ..stages.cover_stage import DEFAULT_LEVEL
 from ..stages.decompose_stage import decompose_dataset, fixture_polygons, polygons_source
 from ..stages.pip_join import pip_join_broadcast
 
@@ -33,8 +33,6 @@ def scale_counts(sf_dir: str) -> tuple[int, int]:
 
 def flagship(sf_dir: str, *, level: int = DEFAULT_LEVEL, concurrency=4):
     """Returns the PIP-join membership Dataset (image ⋈ simple ring)."""
-    import functools
-
     n_polys, n_images = scale_counts(sf_dir)
 
     polygons = fixture_polygons().union(polygons_source(n_polys))

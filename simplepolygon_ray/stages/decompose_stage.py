@@ -25,7 +25,8 @@ import pathlib
 import numpy as np
 import pyarrow as pa
 
-from ..geom.decompose import decompose
+from ..geom.decompose import _close_rings, decompose
+from ..geom.gpsi import self_intersections_batch
 from ..geom.families import polygon_for_id
 
 __all__ = [
@@ -107,10 +108,13 @@ def decompose_batch(batch: pa.Table) -> pa.Table:
     """One polygon row in → one row per simple output ring."""
     geom_ids = batch["geom_id"].to_pylist()
     ringsets = batch["rings"].to_pylist()
+    # one vectorized self-intersection pass for the whole block
+    closed = [_close_rings(r) for r in ringsets]
+    isect_rows = self_intersections_batch(closed)
     out_gid, out_seq, out_idx = [], [], []
     out_parent, out_wind, out_net, out_ring = [], [], [], []
-    for gid, rings in zip(geom_ids, ringsets):
-        for seq, res in enumerate(decompose(rings)):
+    for gid, rings, rows in zip(geom_ids, ringsets, isect_rows):
+        for seq, res in enumerate(decompose(rings, _isect_rows=rows)):
             out_gid.append(gid)
             out_seq.append(seq)
             out_idx.append(res.index)
