@@ -651,3 +651,112 @@ ORACLE_SQL.update(
         "sessionize": _SQL_SESSIONIZE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# as-of join — each 'purchase' matched to the user's most recent prior
+# 'click' (time-ordered join within co-grouped user partitions)
+# --------------------------------------------------------------------------
+
+
+def q_asof_purchase_click(sf_dir: str):
+    """As-of join: both sides bucketed by user (the only shuffle), then
+    a per-user ``pd.merge_asof`` over ts-sorted groups — the engine's
+    range/as-of join pattern (sort within co-partition, backward scan).
+    Inner semantics: purchases with no prior click are dropped."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"]))
+        return batch.filter(mask)
+
+    both = ev.map_batches(tag, batch_format="pyarrow")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        right = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "ts_us": pd.array([], dtype="int64"),
+                    "click_event_id": pd.array([], dtype="int64"),
+                    "click_value_e4": pd.array([], dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["event_id", "ts", "value"]].rename(
+                columns={"event_id": "click_event_id", "value": "click_value"}
+            ),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        ).dropna(subset=["click_event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "ts_us": m["ts"].astype("int64"),
+                "click_event_id": m["click_event_id"].astype("int64"),
+                "click_value_e4": np.rint(m["click_value"].to_numpy() * 10000.0).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return both.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+_SQL_ASOF = """
+SELECT a.event_id,
+       a.user_id,
+       epoch_us(a.ts) AS ts_us,
+       b.event_id AS click_event_id,
+       CAST(round(b.value * 10000.0) AS BIGINT) AS click_value_e4
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# large-large native hash join (relational.join.hash_join)
+# --------------------------------------------------------------------------
+
+
+def q_hash_join_order_customer(sf_dir: str):
+    """orders ⋈ customer via Ray's native hash-partitioned join."""
+    from .join import hash_join
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]), batch_format="pyarrow"
+    )
+    joined = hash_join(orders, cust, on="o_custkey", num_partitions=16)
+    return joined.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_HASH_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+QUERIES.update(
+    {
+        "asof_purchase_click": q_asof_purchase_click,
+        "hash_join_order_customer": q_hash_join_order_customer,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "asof_purchase_click": _SQL_ASOF,
+        "hash_join_order_customer": _SQL_HASH_JOIN,
+    }
+)
