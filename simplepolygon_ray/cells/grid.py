@@ -213,6 +213,50 @@ def cover_ring(ring: np.ndarray, level: int) -> np.ndarray:
     return np.unique(cells)
 
 
+def cover_ring_with_boundary(ring: np.ndarray, level: int):
+    """Like ``cover_ring`` but also returns which covered cells the
+    ring BOUNDARY passes through. Interior cells (not boundary) lie
+    wholly inside the ring — downstream clipping can emit their bbox
+    rectangle without running the clip. Single rasterization pass."""
+    ring = np.asarray(ring, np.float64)
+    n = 1 << level
+    bi, bj = _segments_cross_cells(ring, level)
+    boundary = np.unique(_pack(level, bi, bj))
+
+    lon0, lat0 = ring[:, 0].min(), ring[:, 1].min()
+    lon1, lat1 = ring[:, 0].max(), ring[:, 1].max()
+    i0 = int(np.clip(np.floor((lon0 + 180.0) / 360.0 * n), 0, n - 1))
+    i1 = int(np.clip(np.floor((lon1 + 180.0) / 360.0 * n), 0, n - 1))
+    j0 = int(np.clip(np.floor((lat0 + 90.0) / 180.0 * n), 0, n - 1))
+    j1 = int(np.clip(np.floor((lat1 + 90.0) / 180.0 * n), 0, n - 1))
+    ii, jj = np.meshgrid(
+        np.arange(i0, i1 + 1, dtype=np.int64),
+        np.arange(j0, j1 + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    ii, jj = ii.ravel(), jj.ravel()
+    clon = (ii + 0.5) / n * 360.0 - 180.0
+    clat = (jj + 0.5) / n * 180.0 - 90.0
+    r = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+    xi = r[:, 0][None, :]
+    yi = r[:, 1][None, :]
+    xj = np.roll(r[:, 0], 1)[None, :]
+    yj = np.roll(r[:, 1], 1)[None, :]
+    px = clon[:, None]
+    py = clat[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cross = ((yi > py) != (yj > py)) & (
+            px < (xj - xi) * (py - yi) / (yj - yi) + xi
+        )
+    inside = (cross.sum(axis=1) % 2).astype(bool)
+    interior = np.setdiff1d(_pack(level, ii[inside], jj[inside]), boundary)
+    cells = np.concatenate([boundary, interior])
+    order = np.argsort(cells, kind="stable")
+    is_boundary = np.zeros(len(cells), bool)
+    is_boundary[: len(boundary)] = True
+    return cells[order], is_boundary[order]
+
+
 def compact_cells(cells: np.ndarray) -> np.ndarray:
     """Merge complete sibling quads into their parent, repeatedly —
     mixed-level compaction of a single-level covering."""

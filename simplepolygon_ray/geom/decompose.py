@@ -51,7 +51,7 @@ class DecomposedRing:
     net_winding: int | None = None
 
 
-@dataclass
+@dataclass(slots=True)
 class _Isect:
     coord: tuple
     re1: tuple  # ringAndEdge1
@@ -62,7 +62,7 @@ class _Isect:
     nxt2: int | None = None
 
 
-@dataclass
+@dataclass(slots=True)
 class _PseudoVtx:
     coord: tuple
     param: float

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..cells.grid import cell_bounds, cell_ij, cover_ring
+from ..cells.grid import cell_bounds, cell_ij, cover_ring_with_boundary
 
 __all__ = ["sutherland_hodgman_bbox", "tile_clip_batch", "tile_assign_dataset"]
 
@@ -84,13 +84,25 @@ def tile_clip_batch(batch: pa.Table, *, zoom: int = 8) -> pa.Table:
     }
     for gid, ri, ring in zip(gids, idxs, rings):
         arr = np.asarray(ring, np.float64)
-        cells = cover_ring(arr, zoom)
+        cells, is_boundary = cover_ring_with_boundary(arr, zoom)
         lon0, lat0, lon1, lat1 = cell_bounds(cells)
         ii, jj = cell_ij(cells)
         for m in range(len(cells)):
-            clipped = sutherland_hodgman_bbox(
-                arr, lon0[m], lat0[m], lon1[m], lat1[m]
-            )
+            if not is_boundary[m]:
+                # tile wholly inside the ring: the clip IS the tile bbox
+                clipped = np.array(
+                    [
+                        [lon0[m], lat0[m]],
+                        [lon1[m], lat0[m]],
+                        [lon1[m], lat1[m]],
+                        [lon0[m], lat1[m]],
+                        [lon0[m], lat0[m]],
+                    ]
+                )
+            else:
+                clipped = sutherland_hodgman_bbox(
+                    arr, lon0[m], lat0[m], lon1[m], lat1[m]
+                )
             if len(clipped) < 4:
                 continue
             out["geom_id"].append(gid)
