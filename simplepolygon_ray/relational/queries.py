@@ -291,7 +291,22 @@ def q_order_revenue_topk(sf_dir: str):
         batch_format="pyarrow",
     )
     per_order = partial.groupby("l_orderkey").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
-    return per_order.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
+
+    # scale-correct top-k: per-block partial top-10, tiny final merge on
+    # the driver (a full distributed sort for k=10 is pure overhead)
+    def local_topk(t: pd.DataFrame) -> pd.DataFrame:
+        return t.sort_values(
+            ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+
+    partials = per_order.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(
+            ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 _SQL_ORDER_REV = """
@@ -760,3 +775,48 @@ ORACLE_SQL.update(
         "hash_join_order_customer": _SQL_HASH_JOIN,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# sliding windows — 1h width, 15min slide, per user (each event lands
+# in exactly 4 windows; the explode is vectorized, the groupby small)
+# --------------------------------------------------------------------------
+
+_WIN_STEP_US = 15 * 60 * 1_000_000
+_WIN_PER_EVENT = 4  # width / step
+
+
+def q_sliding_window(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        k0 = ts // _WIN_STEP_US
+        n = len(ts)
+        offs = np.tile(np.arange(_WIN_PER_EVENT, dtype=np.int64), n)
+        wins = np.repeat(k0, _WIN_PER_EVENT) - offs
+        users = np.repeat(uid, _WIN_PER_EVENT)
+        keep = wins >= 0
+        return pa.table({"user_id": pa.array(users[keep]), "win": pa.array(wins[keep])})
+
+    partial = ev.map_batches(explode, batch_format="pyarrow").map_batches(
+        _partial_groupby(["user_id", "win"], [("win", "count", "n")]),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(["user_id", "win"]).aggregate(Sum("n", alias_name="n"))
+
+
+_SQL_SLIDING = f"""
+SELECT user_id,
+       CAST(floor(epoch_us(ts) / {_WIN_STEP_US}) AS BIGINT) - off AS win,
+       COUNT(*) AS n
+FROM events
+CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(off)
+WHERE CAST(floor(epoch_us(ts) / {_WIN_STEP_US}) AS BIGINT) - off >= 0
+GROUP BY user_id, win
+"""
+
+
+QUERIES["sliding_window"] = q_sliding_window
+ORACLE_SQL["sliding_window"] = _SQL_SLIDING
