@@ -29,7 +29,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(ray_session, con, name):
-    ray_df = QUERIES[name](SF_DIR).to_pandas()
+    res = QUERIES[name](SF_DIR)
+    ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     sql_df = con.execute(ORACLE_SQL[name]).fetchdf()
     assert sorted(ray_df.columns) == sorted(sql_df.columns)
     a, b = canon(ray_df), canon(sql_df)
