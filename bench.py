@@ -112,9 +112,18 @@ def run_bench() -> dict:
     timed("spatial_join", join_job, repeats=2)
 
     # --- relational over the sf tables ---
-    timed("pricing_summary", lambda: QUERIES["pricing_summary"](SF_DIR).count())
-    timed("order_revenue_topk", lambda: QUERIES["order_revenue_topk"](SF_DIR).count())
-    timed("events_hourly", lambda: QUERIES["events_hourly"](SF_DIR).count())
+    def consume(name):
+        def run():
+            import pandas as pd
+
+            res = QUERIES[name](SF_DIR)
+            return len(res) if isinstance(res, pd.DataFrame) else res.count()
+
+        return run
+
+    timed("pricing_summary", consume("pricing_summary"))
+    timed("order_revenue_topk", consume("order_revenue_topk"))
+    timed("events_hourly", consume("events_hourly"))
 
     # --- text + ann ---
     from simplepolygon_ray.ann.search import brute_topk, query_vector

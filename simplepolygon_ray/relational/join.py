@@ -32,13 +32,16 @@ def broadcast_join(
 ):
     """Join a streaming Dataset against a small pandas dimension table.
 
-    ``small_df`` goes to the object store once; each task fetches the
-    ref and runs a vectorized ``pd.merge`` per batch.
+    ``small_df`` goes to the object store once; each worker process
+    deserializes it once (cached) and runs a vectorized ``pd.merge``
+    per batch.
     """
+    from ..stages.pip_join import _cached_get
+
     ref = ray.put(small_df)
 
     def _merge(batch: pd.DataFrame) -> pd.DataFrame:
-        small = ray.get(ref)
+        small = _cached_get(ref)
         return batch.merge(small, on=on, how=how)
 
     return probe.map_batches(_merge, batch_format="pandas", batch_size=batch_size)
