@@ -175,7 +175,17 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    # alternate the two levels and keep each level's best spatial time:
+    # co-tenant noise on this box drifts over minutes, so measuring the
+    # levels in disjoint time windows biases the ratio either way
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    lo = hi = None
+    for _ in range(repeats):
+        a, b = run(8), run(32)
+        if lo is None or a["spatial_sec"] < lo["spatial_sec"]:
+            lo = a
+        if hi is None or b["spatial_sec"] < hi["spatial_sec"]:
+            hi = b
     tput_lo = lo["spatial_rows_per_sec"]
     tput_hi = hi["spatial_rows_per_sec"]
     eff = (tput_hi / tput_lo) / (32 / 8)
