@@ -135,12 +135,65 @@ def decompose_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def decompose_dataset(polygons, *, batch_size: int | None = None):
+def decompose_batch_quarantine(batch: pa.Table) -> pa.Table:
+    """Like ``decompose_batch`` but a bad polygon (duplicate vertices,
+    malformed rings) never kills the task: its error is quarantined as
+    a row with ``ok=False`` and null ring fields — the dead-letter
+    channel of SURVEY.md §2.1 R1. At 100 TB one corrupt record must
+    not poison a block."""
+    geom_ids = batch["geom_id"].to_pylist()
+    ringsets = batch["rings"].to_pylist()
+    cols: dict[str, list] = {k: [] for k in (
+        "geom_id", "ok", "error", "ring_seq", "ring_index",
+        "parent", "winding", "net_winding", "ring",
+    )}
+    for gid, rings in zip(geom_ids, ringsets):
+        try:
+            results = decompose(rings)
+        except Exception as e:  # noqa: BLE001 - quarantine any row error
+            cols["geom_id"].append(gid)
+            cols["ok"].append(False)
+            cols["error"].append(f"{type(e).__name__}: {e}")
+            for k in ("ring_seq", "ring_index", "parent", "winding", "net_winding"):
+                cols[k].append(None)
+            cols["ring"].append([])  # empty, not null: nested nulls break
+            continue  # Ray's Arrow->pandas block conversion
+        for seq, res in enumerate(results):
+            cols["geom_id"].append(gid)
+            cols["ok"].append(True)
+            cols["error"].append(None)
+            cols["ring_seq"].append(seq)
+            cols["ring_index"].append(res.index)
+            cols["parent"].append(res.parent)
+            cols["winding"].append(res.winding)
+            cols["net_winding"].append(res.net_winding)
+            cols["ring"].append(res.ring.tolist())
+    return pa.table(
+        {
+            "geom_id": pa.array(cols["geom_id"], type=pa.string()),
+            "ok": pa.array(cols["ok"], type=pa.bool_()),
+            "error": pa.array(cols["error"], type=pa.string()),
+            "ring_seq": pa.array(cols["ring_seq"], type=pa.int32()),
+            "ring_index": pa.array(cols["ring_index"], type=pa.int32()),
+            "parent": pa.array(cols["parent"], type=pa.int32()),
+            "winding": pa.array(cols["winding"], type=pa.int8()),
+            "net_winding": pa.array(cols["net_winding"], type=pa.int32()),
+            "ring": pa.array(cols["ring"], type=_RING_T),
+        }
+    )
+
+
+def decompose_dataset(polygons, *, batch_size: int | None = None, on_error: str = "raise"):
     """polygons Dataset (geom_id, rings) → simple-rings Dataset.
 
     Default batch = one task per input block (don't coalesce: the
     decompose kernel is CPU-heavy per row, so block-level parallelism
-    is what scales it)."""
+    is what scales it). ``on_error="quarantine"`` emits bad polygons
+    as ``ok=False`` rows instead of failing the task."""
+    if on_error == "quarantine":
+        return polygons.map_batches(
+            decompose_batch_quarantine, batch_format="pyarrow", batch_size=batch_size
+        )
     return polygons.map_batches(
         decompose_batch, batch_format="pyarrow", batch_size=batch_size
     )

@@ -1,4 +1,10 @@
-from .manifest import CheckpointedRunner, ShardManifest, load_output
+from .manifest import CheckpointedRunner, ShardManifest, load_output, write_partitioned
 from .metrics import stage_metrics
 
-__all__ = ["CheckpointedRunner", "ShardManifest", "load_output", "stage_metrics"]
+__all__ = [
+    "CheckpointedRunner",
+    "ShardManifest",
+    "load_output",
+    "write_partitioned",
+    "stage_metrics",
+]

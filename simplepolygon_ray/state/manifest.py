@@ -26,7 +26,7 @@ import time
 from collections.abc import Callable, Sequence
 from dataclasses import asdict, dataclass
 
-__all__ = ["ShardManifest", "CheckpointedRunner", "load_output"]
+__all__ = ["ShardManifest", "CheckpointedRunner", "load_output", "write_partitioned"]
 
 
 @dataclass
@@ -169,3 +169,37 @@ def load_output(out_dir: str, stage: str):
         if fn.endswith(".parquet")
     )
     return rd.read_parquet(files)
+
+
+def write_partitioned(ds, path: str, key_col: str, *, num_buckets: int = 64):
+    """Bucketed, resumable-friendly sink: adds ``bucket =
+    splitmix64(key) % num_buckets`` and writes hive-partitioned parquet
+    (one directory per bucket). A rerun over the same deterministic
+    input rewrites whole buckets idempotently; combined with
+    ``CheckpointedRunner`` it gives key-range-addressable outputs
+    (SURVEY.md §4.3 "resumable output layout")."""
+    import numpy as np
+    import pyarrow as pa
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            x = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            import zlib
+
+            x = np.fromiter(
+                (zlib.crc32(str(v).encode()) for v in col.to_pylist()),
+                dtype=np.uint64,
+                count=len(t),
+            )
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        return t.append_column(
+            "bucket", pa.array((x % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )

@@ -92,3 +92,21 @@ def test_stage_metrics(ray_session):
     assert len(df) >= 1
     assert {"operator", "total_wall_s", "tasks"} <= set(df.columns)
     assert (df["total_wall_s"] >= 0).all()
+
+
+def test_write_partitioned(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from simplepolygon_ray.state import write_partitioned
+
+    from simplepolygon_ray.images.synth import gen_points
+
+    out = str(tmp_path / "parts")
+    write_partitioned(gen_points(2000), out, "image_id", num_buckets=8)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert len(dirs) == 8
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 2000
+    assert set(gen_points(2000).to_pandas()["image_id"]) == set(back["image_id"])

@@ -172,3 +172,36 @@ def test_tile_clip_covers_ring_area(ray_session):
     tx = out["tile_x"].to_numpy()
     ty = out["tile_y"].to_numpy()
     assert len(set(zip(tx.tolist(), ty.tolist()))) == len(out)
+
+
+def test_decompose_quarantine(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.decompose_stage import _RINGS_T, decompose_dataset
+
+    polys = pa.table(
+        {
+            "geom_id": pa.array(["good", "dup_vertex", "also_good"]),
+            "rings": pa.array(
+                [
+                    [[[0.0, 0.0], [2.0, 0.0], [0.0, 2.0], [2.0, 2.0], [0.0, 0.0]]],
+                    [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]]],
+                    [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]]],
+                ],
+                type=_RINGS_T,
+            ),
+        }
+    )
+    out = decompose_dataset(rd.from_arrow(polys), on_error="quarantine").to_pandas()
+    bad = out[~out["ok"]]
+    good = out[out["ok"]]
+    assert list(bad["geom_id"]) == ["dup_vertex"]
+    assert "DuplicateVertexError" in bad["error"].iloc[0]
+    assert set(good["geom_id"]) == {"good", "also_good"}
+    assert len(good[good["geom_id"] == "good"]) == 2  # bowtie decomposes
+    # strict mode still raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="duplicate"):
+        decompose_dataset(rd.from_arrow(polys)).to_pandas()
