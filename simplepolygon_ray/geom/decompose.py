@@ -28,9 +28,21 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import logging
+import os
+
 from .gpsi import self_intersections
 from .jsnum import js_coord_str
 from .kernels import is_convex, point_in_ring, winding_of_ring
+
+# stage logging parity with the reference (src/index.ts:722-730):
+# gated on DEBUG=true; per-worker Python logging instead of console.log
+_log = logging.getLogger("simplepolygon_ray.decompose")
+
+
+def _debug(msg: str) -> None:
+    if os.environ.get("DEBUG") == "true":
+        _log.warning(msg)
 
 __all__ = ["decompose", "DecomposedRing", "DuplicateVertexError"]
 
@@ -205,8 +217,10 @@ def decompose(coordinates, _isect_rows=None) -> list[DecomposedRing]:
             "(except the first/last vertex of each ring)"
         )
 
+    _debug("Processing input")
     isect_rows = _isect_rows if _isect_rows is not None else self_intersections(rings)
     n_self = len(isect_rows["ix"])
+    _debug(f"Computing self-intersections: {n_self} rows")
 
     if n_self == 0:
         out = [
@@ -418,4 +432,5 @@ def decompose(coordinates, _isect_rows=None) -> list[DecomposedRing]:
 
     _determine_parents(out)
     _set_net_winding(out)
+    _debug(f"# Total of {len(out)} rings")
     return out
