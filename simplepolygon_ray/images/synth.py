@@ -150,7 +150,10 @@ def gen_points(n: int, *, parallelism: int = -1):
     """
     import ray.data as rd
 
-    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    # cap blocks at n: rd.range with more blocks than rows emits
+    # zero-row zero-COLUMN blocks that poison downstream concat/joins
+    blocks = parallelism if parallelism > 0 else 200
+    ds = rd.range(n, override_num_blocks=max(1, min(n, blocks)))
     return ds.map_batches(gen_points_batch, batch_format="numpy", batch_size=None)
 
 
@@ -158,5 +161,6 @@ def gen_images(n: int, *, parallelism: int = -1):
     """Synthesize the n-row image table as a lazy Ray Dataset."""
     import ray.data as rd
 
-    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    blocks = parallelism if parallelism > 0 else 200
+    ds = rd.range(n, override_num_blocks=max(1, min(n, blocks)))
     return ds.map_batches(gen_batch, batch_format="numpy", batch_size=2048)

@@ -29,16 +29,6 @@ from .flagship import scale_counts
 __all__ = ["GEO_QUERIES", "TEXT_QUERIES", "ANN_QUERIES", "EXTRA_ORACLE_SQL"]
 
 
-def _rings_table(sf_dir: str):
-    import ray
-
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
-    refs = simple.to_arrow_refs()
-    return pa.concat_tables([ray.get(r) for r in refs])
-
-
 def q_geo_decompose(sf_dir: str):
     n_polys, _ = scale_counts(sf_dir)
     polygons = fixture_polygons().union(polygons_source(n_polys))

@@ -70,12 +70,18 @@ def gen_polygon_batch(batch, *, max_radius: float = 1.5) -> pa.Table:
 def polygons_source(n: int, *, parallelism: int = -1, max_radius: float = 1.5):
     """Deterministic polygon corpus. ``max_radius`` (degrees) controls
     overlap density: 1.5 gives a dense stress corpus; ~0.4 gives a
-    realistic ~1-2 ring memberships per probe point."""
+    realistic ~1-2 ring memberships per probe point.
+
+    ``override_num_blocks`` is always capped at ``n``: more blocks than
+    rows makes ``rd.range`` emit zero-row blocks whose schema is EMPTY
+    (zero columns) — those blocks pass through every map_batches
+    unchanged and break any downstream ``pa.concat_tables``."""
     import functools
 
     import ray.data as rd
 
-    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    blocks = parallelism if parallelism > 0 else 200
+    ds = rd.range(n, override_num_blocks=max(1, min(n, blocks)))
     # batch per block: forcing a bigger batch_size would coalesce
     # blocks and serialize the whole polygon side into one task
     return ds.map_batches(

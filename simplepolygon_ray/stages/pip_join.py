@@ -30,7 +30,14 @@ from ..cells.grid import point_to_cell
 from ..geom.kernels import points_in_ring
 from .cover_stage import DEFAULT_LEVEL, cover_batch
 
-__all__ = ["CompiledRingIndex", "PipJoinActor", "pip_join_broadcast", "pip_join_shuffle"]
+__all__ = [
+    "CompiledRingIndex",
+    "PipJoinActor",
+    "compile_ring_index",
+    "compile_ring_index_ref",
+    "pip_join_broadcast",
+    "pip_join_shuffle",
+]
 
 # per-worker-process cache of deserialized broadcast indexes: Ray reuses
 # worker processes across tasks, so stateless probe tasks amortize the
@@ -63,10 +70,23 @@ class CompiledRingIndex:
         ring_rows: pa.Table,
         level: int = DEFAULT_LEVEL,
         cover: pa.Table | None = None,
+        cover_rows: tuple[np.ndarray, np.ndarray] | None = None,
     ):
+        """``cover_rows``, when given, is ``(cell_id, ring_row)`` numpy
+        arrays mapping covered cells directly to ring ROW NUMBERS in
+        ``ring_rows`` — the task-side compile path supplies it so no
+        (geom_id, ring_seq) → row dict is ever built."""
         self.level = level
-        self.geom_ids = ring_rows["geom_id"].to_pylist()
-        self.ring_seqs = ring_rows["ring_seq"].to_pylist()
+        self._gid_arr = ring_rows["geom_id"].combine_chunks()
+        self._seq_arr = ring_rows["ring_seq"].combine_chunks()
+
+        n_rings = len(ring_rows)
+        self.cell_to_rings: dict[int, list[int]] = {}
+        self.cell_tables: dict[int, tuple] = {}
+        if n_rings == 0:
+            self._coords = np.empty((0, 2))
+            self._vtx_off = np.zeros(1, np.int64)
+            return
 
         # flatten ring coords straight out of the Arrow buffers
         # (zero-copy: list<list<f64>> values are one contiguous float64
@@ -75,8 +95,6 @@ class CompiledRingIndex:
         vtx_off = np.asarray(col.offsets)  # vertex boundaries per ring
         vtx = col.values  # list<double> vertex array
         coords = np.asarray(vtx.values, dtype=np.float64).reshape(-1, 2)
-
-        n_rings = len(ring_rows)
         # per-ring OPEN vertex ranges (decompose output is always closed)
         r_start = vtx_off[:-1].astype(np.int64)
         r_len = (vtx_off[1:] - vtx_off[:-1]).astype(np.int64) - 1  # drop closing
@@ -101,26 +119,34 @@ class CompiledRingIndex:
         self._coords = coords
         self._vtx_off = vtx_off
 
-        if cover is None:
-            cover = cover_batch(ring_rows, level=level)
-        # cover rows → ring row numbers
-        row_of = {}
-        for k, (g, i) in enumerate(zip(self.geom_ids, self.ring_seqs)):
-            row_of[(g, i)] = k
-        cov_ring = np.fromiter(
-            (
-                row_of[(g, i)]
-                for g, i in zip(cover["geom_id"].to_pylist(), cover["ring_seq"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=len(cover),
-        )
-        cov_cell = cover["cell_id"].to_numpy(zero_copy_only=False)
+        if cover_rows is not None:
+            cov_cell, cov_ring = cover_rows
+            cov_cell = np.asarray(cov_cell, np.int64)
+            cov_ring = np.asarray(cov_ring, np.int64)
+        else:
+            if cover is None:
+                cover = cover_batch(ring_rows, level=level)
+            # cover rows → ring row numbers
+            row_of = {}
+            gids = self._gid_arr.to_pylist()
+            seqs = self._seq_arr.to_pylist()
+            for k, (g, i) in enumerate(zip(gids, seqs)):
+                row_of[(g, i)] = k
+            cov_ring = np.fromiter(
+                (
+                    row_of[(g, i)]
+                    for g, i in zip(
+                        cover["geom_id"].to_pylist(), cover["ring_seq"].to_pylist()
+                    )
+                ),
+                dtype=np.int64,
+                count=len(cover),
+            )
+            cov_cell = cover["cell_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((cov_ring, cov_cell))
         cov_cell = cov_cell[order]
         cov_ring = cov_ring[order]
 
-        self.cell_to_rings: dict[int, list[int]] = {}
         # fused per-cell probe tables: gather all candidate rings' edges
         # into one contiguous block per cell so a single numpy expression
         # tests every (point, ring) pair; reduceat offsets segment per
@@ -171,10 +197,6 @@ class CompiledRingIndex:
     def emit(self, batch: pa.Table, id_col: str, lon, lat, pts, rrows) -> pa.Table:
         """Vectorized membership-row construction (arrow takes, no
         per-output-row Python)."""
-        if not hasattr(self, "_gid_arr"):
-            # lazily built once per (de)serialized copy
-            self._gid_arr = pa.array(self.geom_ids, type=pa.string())
-            self._seq_arr = pa.array(self.ring_seqs, type=pa.int32())
         ridx = pa.array(rrows)
         return pa.table(
             {
@@ -242,47 +264,80 @@ class PipJoinActor:
         return self.index.emit(batch, self.id_col, lon, lat, pts, rrows)
 
 
-def compile_ring_index(simple_rings, *, level: int = DEFAULT_LEVEL) -> CompiledRingIndex:
-    """Build the compiled index from a simple-rings Dataset in ONE
-    parallel pass: each map task computes its rings' coverings inline
-    (an extra ``cover_cells`` list column), so the driver only collects
-    once and assembles dicts. The ring side is the small side — a
-    single materialization is the dimension-table pattern."""
+def _add_cover_batch(t: pa.Table, *, level: int) -> pa.Table:
+    """simple-ring rows → + ``cover_cells`` list column. Ring coords are
+    read as zero-copy slices off the Arrow buffers (no to_pylist)."""
     from ..cells.grid import cover_ring
+    from .decompose_stage import RING_SCHEMA
 
-    def add_cover(t: pa.Table) -> pa.Table:
-        covers = [
-            cover_ring(np.asarray(r, np.float64), level).astype(np.int64)
-            for r in t["ring"].to_pylist()
-        ]
-        return t.append_column(
-            "cover_cells", pa.array([c.tolist() for c in covers], type=pa.list_(pa.int64()))
-        )
-
-    with_cover = simple_rings.map_batches(add_cover, batch_format="pyarrow")
-    full = pa.concat_tables([ray.get(r) for r in with_cover.to_arrow_refs()])
-    ring_table = full.drop_columns(["cover_cells"])
-    # explode the cover column into the (geom_id, ring_seq, cell_id) shape
-    lens = np.asarray([len(c) for c in full["cover_cells"].to_pylist()])
-    cover = pa.table(
-        {
-            "geom_id": pa.array(
-                np.repeat(np.asarray(full["geom_id"].to_pylist(), object), lens)
-            ),
-            "ring_seq": pa.array(
-                np.repeat(full["ring_seq"].to_numpy(zero_copy_only=False), lens),
-                type=pa.int32(),
-            ),
-            "cell_id": pa.array(
-                np.concatenate(
-                    [np.asarray(c, np.int64) for c in full["cover_cells"].to_pylist()]
-                )
-                if lens.sum()
-                else np.empty(0, np.int64)
-            ),
-        }
+    covered_schema = RING_SCHEMA.append(pa.field("cover_cells", pa.list_(pa.int64())))
+    if t.num_columns == 0 or t.num_rows == 0:
+        # rd.range emits zero-row ZERO-COLUMN blocks when it has more
+        # blocks than rows; normalize them to the typed empty table so
+        # downstream concat never sees a divergent schema
+        return covered_schema.empty_table()
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    covers = [
+        cover_ring(coords[offs[i] : offs[i + 1]], level) for i in range(len(t))
+    ]
+    lens = np.asarray([len(c) for c in covers], np.int32)
+    flat = (
+        np.concatenate(covers).astype(np.int64)
+        if len(covers)
+        else np.empty(0, np.int64)
     )
-    return CompiledRingIndex(ring_table, level=level, cover=cover)
+    cover_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(lens)]), type=pa.int32()),
+        pa.array(flat),
+    )
+    return t.append_column("cover_cells", cover_col)
+
+
+@ray.remote
+def _assemble_index(level: int, *blocks: pa.Table) -> CompiledRingIndex:
+    """Assemble the compiled index INSIDE a Ray task: block refs are
+    fetched into this worker, never onto the driver. Returns the index
+    (its ObjectRef doubles as the broadcast handle)."""
+    from .decompose_stage import RING_SCHEMA
+
+    tables = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
+    if tables:
+        full = pa.concat_tables(tables)
+    else:
+        full = RING_SCHEMA.append(
+            pa.field("cover_cells", pa.list_(pa.int64()))
+        ).empty_table()
+    ring_table = full.drop_columns(["cover_cells"])
+    cov = full["cover_cells"].combine_chunks()
+    lens = np.diff(np.asarray(cov.offsets).astype(np.int64))
+    cov_ring = np.repeat(np.arange(len(full), dtype=np.int64), lens)
+    cov_cell = np.asarray(cov.values, dtype=np.int64)
+    return CompiledRingIndex(
+        ring_table, level=level, cover_rows=(cov_cell, cov_ring)
+    )
+
+
+def compile_ring_index_ref(simple_rings, *, level: int = DEFAULT_LEVEL):
+    """Compile the broadcast ring index WITHOUT driver materialization:
+    coverings are computed in parallel map tasks (``cover_cells``
+    column), then one assembly task concats the blocks and builds the
+    numpy edge tables. The driver only ever holds ObjectRefs — at 100×
+    the ring side nothing transits the driver heap."""
+    import functools
+
+    with_cover = simple_rings.map_batches(
+        functools.partial(_add_cover_batch, level=level), batch_format="pyarrow"
+    )
+    refs = with_cover.to_arrow_refs()
+    return _assemble_index.remote(level, *refs)
+
+
+def compile_ring_index(simple_rings, *, level: int = DEFAULT_LEVEL) -> CompiledRingIndex:
+    """Materialized-index convenience wrapper around
+    :func:`compile_ring_index_ref` (tests / local inspection)."""
+    return ray.get(compile_ring_index_ref(simple_rings, level=level))
 
 
 def pip_join_broadcast(
@@ -311,12 +366,12 @@ def pip_join_broadcast(
     index is big enough that per-task deserialization matters.
     """
     if isinstance(ring_rows, CompiledRingIndex):
-        index = ring_rows
+        index_ref = ray.put(ring_rows)
     elif isinstance(ring_rows, pa.Table):
-        index = CompiledRingIndex(ring_rows, level=level)
+        index_ref = ray.put(CompiledRingIndex(ring_rows, level=level))
     else:
-        index = compile_ring_index(ring_rows, level=level)
-    index_ref = ray.put(index)
+        # Dataset: compiled entirely in tasks; the driver holds one ref
+        index_ref = compile_ring_index_ref(ring_rows, level=level)
 
     if use_actors:
         return points.map_batches(

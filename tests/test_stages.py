@@ -174,6 +174,38 @@ def test_tile_clip_covers_ring_area(ray_session):
     assert len(set(zip(tx.tolist(), ty.tolist()))) == len(out)
 
 
+def test_pip_join_survives_empty_blocks(ray_session):
+    """Regression (CORRECTNESS_r01 geo_pip_join): rd.range with more
+    blocks than rows emits zero-row ZERO-COLUMN blocks; the compile
+    path must normalize them, and polygons_source must cap its block
+    count at n so they never arise from the public source."""
+    import functools
+
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.decompose_stage import gen_polygon_batch
+    from simplepolygon_ray.stages.pip_join import compile_ring_index
+
+    # hand-built failing shape: 12 blocks for 3 rows -> 9 empty blocks
+    polys = rd.range(3, override_num_blocks=12).map_batches(
+        functools.partial(gen_polygon_batch, max_radius=1.5),
+        batch_format="numpy",
+        batch_size=None,
+    )
+    simple = decompose_dataset(polys)
+    index = compile_ring_index(simple)
+    assert len(index.cell_to_rings) > 0
+
+    imgs = gen_batch({"id": np.arange(500, dtype=np.int64)})
+    pts = rd.from_arrow(imgs.select(["image_id", "lon", "lat"]))
+    joined = pip_join_broadcast(pts, simple).to_pandas()
+    assert {"image_id", "geom_id", "ring_seq"} <= set(joined.columns)
+
+    # the public source caps blocks at n: no empty blocks at any width
+    capped = polygons_source(3, parallelism=64).materialize()
+    assert capped.num_blocks() <= 3
+
+
 def test_decompose_quarantine(ray_session):
     import pyarrow as pa
     import ray.data as rd
