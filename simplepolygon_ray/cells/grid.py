@@ -28,6 +28,7 @@ __all__ = [
     "cell_children",
     "cell_neighbors",
     "cover_ring",
+    "cover_rings_flat",
     "compact_cells",
 ]
 
@@ -255,6 +256,126 @@ def cover_ring_with_boundary(ring: np.ndarray, level: int):
     is_boundary = np.zeros(len(cells), bool)
     is_boundary[: len(boundary)] = True
     return cells[order], is_boundary[order]
+
+
+def cover_rings_flat(
+    coords: np.ndarray, offs: np.ndarray, level: int, with_boundary: bool = False
+):
+    """Batched :func:`cover_ring` over MANY rings stored as flat coords
+    plus vertex offsets (the Arrow list layout): one vectorized
+    rasterization pass over all rings' edges, one flat PIP pass over
+    all rings' bbox cell centers. Per-ring output equals
+    ``cover_ring(ring, level)`` (sorted unique cells).
+
+    Returns ``(ring_row, cell_id)`` int64/uint64 flat arrays, plus
+    ``is_boundary`` when requested (cells the ring boundary passes
+    through, as in :func:`cover_ring_with_boundary`).
+    """
+    n = 1 << level
+    offs = np.asarray(offs, np.int64)
+    n_rings = len(offs) - 1
+    empty = (
+        (np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, bool))
+        if with_boundary
+        else (np.empty(0, np.int64), np.empty(0, np.uint64))
+    )
+    if n_rings <= 0 or len(coords) == 0:
+        return empty
+    vlen = offs[1:] - offs[:-1]
+    ring_of_vertex = np.repeat(np.arange(n_rings, dtype=np.int64), vlen)
+
+    # ---- boundary: rasterize all consecutive-pair edges at once
+    x = (coords[:, 0] + 180.0) / 360.0 * n
+    y = (coords[:, 1] + 90.0) / 180.0 * n
+    pair_ok = np.ones(max(len(coords) - 1, 0), bool)
+    if n_rings > 1:
+        pair_ok[offs[1:-1] - 1] = False  # pairs that straddle two rings
+    x0 = x[:-1][pair_ok]
+    x1 = x[1:][pair_ok]
+    y0 = y[:-1][pair_ok]
+    y1 = y[1:][pair_ok]
+    ering = ring_of_vertex[:-1][pair_ok]
+
+    i0 = np.clip(np.floor(np.minimum(x0, x1)), 0, n - 1).astype(np.int64)
+    i1 = np.clip(np.floor(np.maximum(x0, x1)), 0, n - 1).astype(np.int64)
+    ncols = i1 - i0 + 1
+    eidx = np.repeat(np.arange(len(x0)), ncols)
+    cols = _rl_arange(i0, ncols)
+    vert = x0[eidx] == x1[eidx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (y1 - y0) / np.where(x1 - x0 != 0.0, x1 - x0, 1.0)
+    colf = cols.astype(np.float64)
+    xa = np.maximum(colf, np.minimum(x0, x1)[eidx])
+    xb = np.minimum(colf + 1.0, np.maximum(x0, x1)[eidx])
+    ya = np.where(vert, np.minimum(y0, y1)[eidx], y0[eidx] + slope[eidx] * (xa - x0[eidx]))
+    yb = np.where(vert, np.maximum(y0, y1)[eidx], y0[eidx] + slope[eidx] * (xb - x0[eidx]))
+    jlo = np.floor(np.clip(np.minimum(ya, yb), 0, n - 1)).astype(np.int64)
+    jhi = np.floor(np.clip(np.maximum(ya, yb), 0, n - 1)).astype(np.int64)
+    nrows = jhi - jlo + 1
+    b_ring = np.repeat(ering[eidx], nrows)
+    b_cell = _pack(level, np.repeat(cols, nrows), _rl_arange(jlo, nrows))
+
+    # ---- interior candidates: per-ring bbox cell centers
+    rlon0 = np.minimum.reduceat(coords[:, 0], offs[:-1])
+    rlon1 = np.maximum.reduceat(coords[:, 0], offs[:-1])
+    rlat0 = np.minimum.reduceat(coords[:, 1], offs[:-1])
+    rlat1 = np.maximum.reduceat(coords[:, 1], offs[:-1])
+    i0r = np.clip(np.floor((rlon0 + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    i1r = np.clip(np.floor((rlon1 + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    j0r = np.clip(np.floor((rlat0 + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    j1r = np.clip(np.floor((rlat1 + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    hj = j1r - j0r + 1
+    ncand = (i1r - i0r + 1) * hj
+    cand_ring = np.repeat(np.arange(n_rings, dtype=np.int64), ncand)
+    loc = _rl_arange(np.zeros(n_rings, np.int64), ncand)
+    ci = i0r[cand_ring] + loc // hj[cand_ring]
+    cj = j0r[cand_ring] + loc % hj[cand_ring]
+    cx = (ci + 0.5) / n * 360.0 - 180.0
+    cy = (cj + 0.5) / n * 180.0 - 90.0
+
+    # open-vertex edges (cur=v, prev=cyclic v-1) matching cover_ring's
+    # np.roll formulation bit-for-bit
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    vidx = np.arange(len(oc), dtype=np.int64)
+    prev = vidx - 1
+    nz = olen > 0
+    prev[ostart[nz]] = (ostart + olen - 1)[nz]
+    exi, eyi = oc[:, 0], oc[:, 1]
+    exj, eyj = oc[prev, 0], oc[prev, 1]
+
+    plens = olen[cand_ring]
+    pg = _rl_arange(ostart[cand_ring], plens)
+    pc_ = np.repeat(np.arange(len(cand_ring), dtype=np.int64), plens)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cross = ((eyi[pg] > cy[pc_]) != (eyj[pg] > cy[pc_])) & (
+            cx[pc_]
+            < (exj[pg] - exi[pg]) * (cy[pc_] - eyi[pg]) / (eyj[pg] - eyi[pg])
+            + exi[pg]
+        )
+    counts = np.bincount(pc_, weights=cross, minlength=len(cand_ring))
+    inside = (counts.astype(np.int64) & 1).astype(bool)
+    i_ring = cand_ring[inside]
+    i_cell = _pack(level, ci[inside], cj[inside])
+
+    # ---- union with per-ring dedupe; boundary wins the flag
+    all_ring = np.concatenate([b_ring, i_ring])
+    all_cell = np.concatenate([b_cell, i_cell])
+    all_b = np.zeros(len(all_ring), bool)
+    all_b[: len(b_ring)] = True
+    order = np.lexsort((~all_b, all_cell, all_ring))
+    all_ring = all_ring[order]
+    all_cell = all_cell[order]
+    all_b = all_b[order]
+    first = np.ones(len(all_ring), bool)
+    first[1:] = (all_ring[1:] != all_ring[:-1]) | (all_cell[1:] != all_cell[:-1])
+    if with_boundary:
+        return all_ring[first], all_cell[first], all_b[first]
+    return all_ring[first], all_cell[first]
 
 
 def compact_cells(cells: np.ndarray) -> np.ndarray:

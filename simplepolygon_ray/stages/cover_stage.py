@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..cells.grid import cover_ring, point_to_cell
+from ..cells.grid import cover_rings_flat, point_to_cell
 
 __all__ = ["cover_batch", "index_points_batch", "DEFAULT_LEVEL", "cover_rings_dataset"]
 
@@ -22,23 +22,27 @@ DEFAULT_LEVEL = 8
 
 
 def cover_batch(batch: pa.Table, *, level: int = DEFAULT_LEVEL) -> pa.Table:
-    gids = batch["geom_id"].to_pylist()
-    idxs = batch["ring_seq"].to_pylist()
-    rings = batch["ring"].to_pylist()
-    out_g, out_i, out_c = [], [], []
-    for gid, ri, ring in zip(gids, idxs, rings):
-        cells = cover_ring(np.asarray(ring, np.float64), level)
-        out_g.extend([gid] * len(cells))
-        out_i.extend([ri] * len(cells))
-        out_c.append(cells.astype(np.int64))
-    cell_col = (
-        np.concatenate(out_c) if out_c else np.empty(0, np.int64)
-    )
+    """Batched covering: one vectorized pass over every ring in the
+    block (``cover_rings_flat``); ring coords are zero-copy Arrow
+    buffer views and output columns are Arrow takes — no to_pylist."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return pa.table(
+            {
+                "geom_id": pa.array([], type=pa.string()),
+                "ring_seq": pa.array([], type=pa.int32()),
+                "cell_id": pa.array([], type=pa.int64()),
+            }
+        )
+    col = batch["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    ring_row, cells = cover_rings_flat(coords, offs, level)
+    take = pa.array(ring_row)
     return pa.table(
         {
-            "geom_id": pa.array(out_g, type=pa.string()),
-            "ring_seq": pa.array(out_i, type=pa.int32()),
-            "cell_id": pa.array(cell_col),
+            "geom_id": batch["geom_id"].take(take),
+            "ring_seq": batch["ring_seq"].take(take),
+            "cell_id": pa.array(cells.astype(np.int64)),
         }
     )
 

@@ -267,7 +267,7 @@ class PipJoinActor:
 def _add_cover_batch(t: pa.Table, *, level: int) -> pa.Table:
     """simple-ring rows → + ``cover_cells`` list column. Ring coords are
     read as zero-copy slices off the Arrow buffers (no to_pylist)."""
-    from ..cells.grid import cover_ring
+    from ..cells.grid import cover_rings_flat
     from .decompose_stage import RING_SCHEMA
 
     covered_schema = RING_SCHEMA.append(pa.field("cover_cells", pa.list_(pa.int64())))
@@ -279,18 +279,11 @@ def _add_cover_batch(t: pa.Table, *, level: int) -> pa.Table:
     col = t["ring"].combine_chunks()
     offs = np.asarray(col.offsets).astype(np.int64)
     coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
-    covers = [
-        cover_ring(coords[offs[i] : offs[i + 1]], level) for i in range(len(t))
-    ]
-    lens = np.asarray([len(c) for c in covers], np.int32)
-    flat = (
-        np.concatenate(covers).astype(np.int64)
-        if len(covers)
-        else np.empty(0, np.int64)
-    )
+    ring_row, cells = cover_rings_flat(coords, offs, level)
+    lens = np.bincount(ring_row, minlength=len(t)).astype(np.int64)
     cover_col = pa.ListArray.from_arrays(
         pa.array(np.concatenate([[0], np.cumsum(lens)]), type=pa.int32()),
-        pa.array(flat),
+        pa.array(cells.astype(np.int64)),
     )
     return t.append_column("cover_cells", cover_col)
 

@@ -174,6 +174,53 @@ def test_tile_clip_covers_ring_area(ray_session):
     assert len(set(zip(tx.tolist(), ty.tolist()))) == len(out)
 
 
+def test_tile_clip_vectorized_matches_scalar(ray_session, ring_table):
+    """The slabbed (T, M, 2) Sutherland–Hodgman must emit bit-identical
+    clipped rings to the scalar per-tile kernel, for every tile of a
+    real decomposed corpus."""
+    from simplepolygon_ray.cells.grid import cell_bounds, cell_ij, cover_ring_with_boundary
+
+    sub = ring_table.slice(0, 40)
+    out = tile_clip_batch(sub, zoom=7)
+    got = {}
+    for k in range(len(out)):
+        key = (
+            out["geom_id"][k].as_py(),
+            out["ring_seq"][k].as_py(),
+            out["tile_x"][k].as_py(),
+            out["tile_y"][k].as_py(),
+        )
+        got[key] = np.asarray(out["clipped_ring"][k].as_py())
+    n = 1 << 7
+    expected = {}
+    for rr in range(len(sub)):
+        ring = np.asarray(sub["ring"][rr].as_py())
+        cells, is_b = cover_ring_with_boundary(ring, 7)
+        lon0, lat0, lon1, lat1 = cell_bounds(cells)
+        ii, jj = cell_ij(cells)
+        for m in range(len(cells)):
+            if is_b[m]:
+                clipped = sutherland_hodgman_bbox(ring, lon0[m], lat0[m], lon1[m], lat1[m])
+            else:
+                clipped = np.array(
+                    [[lon0[m], lat0[m]], [lon1[m], lat0[m]], [lon1[m], lat1[m]],
+                     [lon0[m], lat1[m]], [lon0[m], lat0[m]]]
+                )
+            if len(clipped) < 4:
+                continue
+            key = (
+                sub["geom_id"][rr].as_py(),
+                sub["ring_seq"][rr].as_py(),
+                int(ii[m]),
+                int(n - 1 - jj[m]),
+            )
+            expected[key] = clipped
+    assert set(got) == set(expected)
+    for key in expected:
+        assert got[key].shape == expected[key].shape, key
+        assert (got[key] == expected[key]).all(), key  # float64 bit-exact
+
+
 def test_pip_join_survives_empty_blocks(ray_session):
     """Regression (CORRECTNESS_r01 geo_pip_join): rd.range with more
     blocks than rows emits zero-row ZERO-COLUMN blocks; the compile
