@@ -19,7 +19,6 @@ from ..images.codec import decode, psnr
 from ..images.synth import gen_images, gen_points, make_pixels
 from ..stages.cover_stage import DEFAULT_LEVEL, cover_rings_dataset
 from ..stages.decompose_stage import decompose_dataset, fixture_polygons, polygons_source
-from ..stages.knn import knn_join
 from ..stages.pip_join import pip_join_broadcast, pip_join_shuffle
 from ..stages.tiles import tile_assign_dataset
 from ..text.dedup import embedding_near_dup_pairs, minhash_dedup_pairs
@@ -84,20 +83,13 @@ def q_geo_pip_join_shuffle(sf_dir: str):
 
 
 def q_geo_knn(sf_dir: str):
+    from ..stages.knn import knn_join_dataset
+
     _, n_images = scale_counts(sf_dir)
     n_sites = max(n_images // 10, 100)
-    import ray
-
-    sites = gen_points(n_sites).to_pandas()
+    sites = gen_points(n_sites)  # stays distributed; index compiles in a task
     probes = gen_points(min(n_images, 5_000))
-    return knn_join(
-        probes,
-        sites["image_id"].to_numpy(),
-        sites["lon"].to_numpy(),
-        sites["lat"].to_numpy(),
-        k=5,
-        level=DEFAULT_LEVEL,
-    )
+    return knn_join_dataset(probes, sites, k=5, level=DEFAULT_LEVEL)
 
 
 def q_geo_tile_assign(sf_dir: str):
@@ -347,30 +339,47 @@ def q_geo_compact_cover(sf_dir: str):
     cover = q_geo_cover(sf_dir)
 
     def compact(t: pa.Table) -> pa.Table:
-        import collections
+        from ..cells.grid import cell_level
 
-        by_ring = collections.defaultdict(list)
-        gids = t["geom_id"].to_pylist()
-        seqs = t["ring_seq"].to_pylist()
+        empty = pa.table(
+            {
+                "geom_id": pa.array([], type=pa.string()),
+                "ring_seq": pa.array([], type=pa.int32()),
+                "cell_id": pa.array([], type=pa.int64()),
+                "level": pa.array([], type=pa.int8()),
+            }
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        # sort-split by (geom_id, ring_seq) instead of a per-row dict
+        gid_codes = (
+            t["geom_id"]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        seqs = t["ring_seq"].to_numpy(zero_copy_only=False).astype(np.int64)
         cells = t["cell_id"].to_numpy(zero_copy_only=False)
-        for k in range(len(t)):
-            by_ring[(gids[k], seqs[k])].append(cells[k])
-        og, os_, oc, ol = [], [], [], []
-        for (g, s), cs in by_ring.items():
-            comp = compact_cells(np.asarray(cs, np.uint64))
-            from ..cells.grid import cell_level
-
-            lv = cell_level(comp)
-            og.extend([g] * len(comp))
-            os_.extend([s] * len(comp))
-            oc.extend(comp.astype(np.int64).tolist())
-            ol.extend(lv.astype(np.int64).tolist())
+        key = gid_codes * np.int64(1 << 31) + seqs
+        order = np.argsort(key, kind="stable")
+        bounds = np.flatnonzero(np.diff(key[order])) + 1
+        row_ids, comp_cells = [], []
+        for rows in np.split(order, bounds):
+            comp = compact_cells(cells[rows].astype(np.uint64))
+            row_ids.append(np.full(len(comp), rows[0], np.int64))
+            comp_cells.append(comp)
+        if not row_ids:
+            return empty
+        rid = np.concatenate(row_ids)
+        cc = np.concatenate(comp_cells)
+        take = pa.array(rid)
         return pa.table(
             {
-                "geom_id": pa.array(og, type=pa.string()),
-                "ring_seq": pa.array(os_, type=pa.int32()),
-                "cell_id": pa.array(oc, type=pa.int64()),
-                "level": pa.array(ol, type=pa.int8()),
+                "geom_id": t["geom_id"].take(take),
+                "ring_seq": t["ring_seq"].take(take),
+                "cell_id": pa.array(cc.astype(np.int64)),
+                "level": pa.array(cell_level(cc).astype(np.int8)),
             }
         )
 

@@ -527,29 +527,29 @@ WHERE o_orderkey % 16 = 0
 # --------------------------------------------------------------------------
 
 
-def _big_spender_keys(sf_dir: str):
+def _big_spender_keys(sf_dir: str, cutoff: float) -> pa.Array:
+    """Distinct custkeys with an order above ``cutoff`` (small side of
+    the broadcast semi/anti join), as an Arrow array."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    df = orders.to_pandas()
-    return set(df.loc[df["o_totalprice"] > 300_000.0, "o_custkey"].astype("int64"))
+    keys = orders.filter(pc.greater(orders["o_totalprice"], cutoff))["o_custkey"]
+    return pc.unique(keys.combine_chunks())
 
 
 def q_semi_join_customers(sf_dir: str):
-    """Customers having at least one order over 300k (broadcast semi join)."""
+    """Customers having at least one order over 300k (broadcast semi
+    join; membership test is one vectorized ``pc.is_in``)."""
+    import pyarrow.compute as pc
     import ray
 
-    keys_ref = ray.put(_big_spender_keys(sf_dir))
+    keys_ref = ray.put(_big_spender_keys(sf_dir, 300_000.0))
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def f(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        mask = np.fromiter(
-            (int(k) in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)),
-            dtype=bool,
-            count=len(batch),
-        )
-        return batch.filter(pa.array(mask))
+        return batch.filter(pc.is_in(batch["c_custkey"], value_set=keys))
 
     return cust.map_batches(f, batch_format="pyarrow")
 
@@ -562,25 +562,17 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 
 
 def q_anti_join_customers(sf_dir: str):
-    """Customers with NO order above 400k (broadcast anti join)."""
-    import pyarrow.parquet as pq
+    """Customers with NO order above 400k (broadcast anti join;
+    vectorized ``pc.is_in`` + invert)."""
+    import pyarrow.compute as pc
     import ray
 
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    ).to_pandas()
-    big = set(orders.loc[orders["o_totalprice"] > 400_000.0, "o_custkey"].astype("int64"))
-    keys_ref = ray.put(big)
+    keys_ref = ray.put(_big_spender_keys(sf_dir, 400_000.0))
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def f(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        mask = np.fromiter(
-            (int(k) not in keys for k in batch["c_custkey"].to_numpy(zero_copy_only=False)),
-            dtype=bool,
-            count=len(batch),
-        )
-        return batch.filter(pa.array(mask))
+        return batch.filter(pc.invert(pc.is_in(batch["c_custkey"], value_set=keys)))
 
     return cust.map_batches(f, batch_format="pyarrow")
 

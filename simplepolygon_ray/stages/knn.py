@@ -17,7 +17,13 @@ import ray
 from ..cells.grid import point_to_cell
 from .cover_stage import DEFAULT_LEVEL
 
-__all__ = ["haversine_km", "CellPointIndex", "KnnActor", "knn_join"]
+__all__ = [
+    "haversine_km",
+    "CellPointIndex",
+    "KnnActor",
+    "knn_join",
+    "knn_join_dataset",
+]
 
 _EARTH_R = 6371.0088
 
@@ -111,8 +117,101 @@ class CellPointIndex:
             r += 1
 
 
+    def _ring_cells(self, qi: int, qj: int, r: int):
+        """Cell ids of the Chebyshev ring at radius r, in the scalar
+        enumeration order (top/bottom rows, then side columns) so
+        candidate accumulation order — and thus distance-tie behavior —
+        matches :meth:`knn` exactly."""
+        n = self.n_cells
+        lvl = self.level
+        if r == 0:
+            dis = np.zeros(1, np.int64)
+            djs = np.zeros(1, np.int64)
+        else:
+            di1 = np.repeat(np.arange(-r, r + 1, dtype=np.int64), 2)
+            dj1 = np.tile(np.array([-r, r], np.int64), 2 * r + 1)
+            dj2 = np.repeat(np.arange(-r + 1, r, dtype=np.int64), 2)
+            di2 = np.tile(np.array([-r, r], np.int64), max(2 * r - 1, 0))
+            dis = np.concatenate([di1, di2])
+            djs = np.concatenate([dj1, dj2])
+        jj = qj + djs
+        ok = (jj >= 0) & (jj < n)
+        ii = np.mod(qi + dis[ok], n)
+        return (np.int64(lvl) << np.int64(58)) | (ii << np.int64(29)) | jj[ok]
+
+    def knn_batch(self, lon: np.ndarray, lat: np.ndarray, k: int):
+        """Exact kNN for a whole probe batch: probes sharing a cell are
+        expanded and scored together (one distance matrix per cell
+        group per radius round). Results equal per-probe :meth:`knn`.
+
+        Returns (probe_pos, site_row, rank, dist) flat arrays ordered
+        by (probe_pos, rank)."""
+        lvl = self.level
+        n = self.n_cells
+        cells = point_to_cell(lon, lat, lvl).astype(np.int64)
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        bounds = np.flatnonzero(np.diff(sc)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(order)]])
+        lon_km_per_cell = 360.0 / n * 111.19492664455873 * self.cos_floor
+        cell_km = min(self.cell_lat_km, lon_km_per_cell)
+
+        out_p, out_s, out_r, out_d = [], [], [], []
+        for s, e in zip(starts, ends):
+            qcell = int(sc[s])
+            qi = (qcell >> 29) & ((1 << 29) - 1)
+            qj = qcell & ((1 << 29) - 1)
+            pos = order[s:e]
+            plon = lon[pos]
+            plat = lat[pos]
+            got: list[np.ndarray] = []
+            r = 0
+            while True:
+                for c in self._ring_cells(qi, qj, r):
+                    rng = self.cell_range(int(c))
+                    if rng:
+                        got.append(np.arange(rng[0], rng[1]))
+                total = sum(len(a) for a in got)
+                bound_km = r * cell_km
+                if total >= k or r >= n:
+                    idx = np.concatenate(got) if got else np.empty(0, np.int64)
+                    if total == 0:
+                        break
+                    d = haversine_km(
+                        plon[:, None], plat[:, None], self.lon[idx], self.lat[idx]
+                    )
+                    kk = min(k, total)
+                    top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                    dk = np.take_along_axis(d, top, axis=1)
+                    if (total >= k and (dk[:, -1] <= bound_km).all()) or r >= n:
+                        ranks = np.broadcast_to(np.arange(kk), (len(pos), kk))
+                        out_p.append(np.repeat(pos, kk))
+                        out_s.append(idx[top].ravel())
+                        out_r.append(ranks.ravel())
+                        out_d.append(dk.ravel())
+                        break
+                r += 1
+        if not out_p:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0),
+            )
+        p = np.concatenate(out_p)
+        srt = np.argsort(p, kind="stable")  # rank order preserved within probe
+        return (
+            p[srt],
+            np.concatenate(out_s)[srt],
+            np.concatenate(out_r)[srt],
+            np.concatenate(out_d)[srt],
+        )
+
+
 class KnnActor:
-    """Actor-pool stage: site index fetched once per actor."""
+    """Actor-pool stage: site index fetched once per actor; probes are
+    scored in vectorized per-cell groups (no per-probe Python loop)."""
 
     def __init__(self, index_ref, k: int, id_col: str):
         self.index: CellPointIndex = ray.get(index_ref)
@@ -122,21 +221,13 @@ class KnnActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        pids = batch[self.id_col].to_pylist()
-        out_p, out_n, out_rank, out_d = [], [], [], []
-        for m in range(len(lon)):
-            idx, d = self.index.knn(float(lon[m]), float(lat[m]), self.k)
-            for rank, (i, dist) in enumerate(zip(idx, d)):
-                out_p.append(pids[m])
-                out_n.append(self.index.ids[i])
-                out_rank.append(rank)
-                out_d.append(float(dist))
+        pp, ss, rr, dd = self.index.knn_batch(lon, lat, self.k)
         return pa.table(
             {
-                self.id_col: pa.array(out_p),
-                "neighbor_id": pa.array(out_n),
-                "rank": pa.array(out_rank, type=pa.int32()),
-                "dist_km": pa.array(out_d, type=pa.float64()),
+                self.id_col: batch[self.id_col].take(pa.array(pp)),
+                "neighbor_id": pa.array(self.index.ids[ss]),
+                "rank": pa.array(rr.astype(np.int32)),
+                "dist_km": pa.array(dd),
             }
         )
 
@@ -155,6 +246,51 @@ def knn_join(
 ):
     """probes Dataset (id, lon, lat) × site arrays → kNN rows."""
     index_ref = ray.put(CellPointIndex(site_ids, site_lon, site_lat, level=level))
+    return probes.map_batches(
+        KnnActor,
+        fn_constructor_args=(index_ref, k, id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+@ray.remote
+def _compile_site_index(level: int, id_col: str, *blocks: pa.Table) -> CellPointIndex:
+    """Build the site index INSIDE a Ray task (sites never transit the
+    driver; the returned ObjectRef is the broadcast handle)."""
+    tables = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
+    if tables:
+        full = pa.concat_tables(tables)
+        ids = np.asarray(full[id_col].to_pylist())
+        lon = full["lon"].to_numpy(zero_copy_only=False)
+        lat = full["lat"].to_numpy(zero_copy_only=False)
+    else:
+        ids = np.empty(0, object)
+        lon = np.empty(0)
+        lat = np.empty(0)
+    return CellPointIndex(ids, lon, lat, level=level)
+
+
+def knn_join_dataset(
+    probes,
+    sites,
+    *,
+    k: int = 5,
+    level: int = DEFAULT_LEVEL,
+    id_col: str = "image_id",
+    site_id_col: str = "image_id",
+    concurrency: int | tuple = 4,
+    batch_size: int = 4096,
+):
+    """probes Dataset × sites DATASET → kNN rows. The site index is the
+    broadcast dimension table: compiled in one Ray task from the sites
+    Dataset's block refs and fetched once per probe actor — the driver
+    only holds ObjectRefs. (Partitioning assumption: the site side
+    fits one worker's heap as a compiled index; for site sets beyond
+    that, shard by cell range and union the per-shard joins.)"""
+    refs = sites.to_arrow_refs()
+    index_ref = _compile_site_index.remote(level, site_id_col, *refs)
     return probes.map_batches(
         KnnActor,
         fn_constructor_args=(index_ref, k, id_col),

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ._hash import FNV_OFFSET, FNV_PRIME, fnv64_batch
+
 __all__ = [
     "shingle_minhash_batch",
     "explode_bands",
@@ -45,22 +47,42 @@ _A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
 
 
-def _hash_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles → uint64 hashes (vectorized FNV over bytes)."""
+def _shingle_strings(text: str, k: int = 3) -> list[str]:
     words = text.lower().split()
     if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def _hash_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles → uint64 hashes (vectorized FNV-1a)."""
+    shingles = _shingle_strings(text, k)
     if not shingles:
         return np.zeros(1, np.uint64)
-    out = np.empty(len(shingles), np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in s.encode():
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    return fnv64_batch([s.encode() for s in shingles])
+
+
+def _hash_shingles_docs(texts: list[str], k: int = 3):
+    """Shingle-hash MANY documents in one vectorized FNV pass.
+    Returns (hashes, doc_offsets) with one zero-hash sentinel for
+    shingle-less docs (matching ``_hash_shingles``)."""
+    all_s: list[bytes] = []
+    lens = np.empty(len(texts), np.int64)
+    sentinel: list[int] = []
+    for d, t in enumerate(texts):
+        sh = _shingle_strings(t, k)
+        if not sh:
+            sentinel.append(len(all_s))
+            all_s.append(b"")
+            lens[d] = 1
+            continue
+        all_s.extend(s.encode() for s in sh)
+        lens[d] = len(sh)
+    h = fnv64_batch(all_s)
+    if sentinel:
+        h[np.asarray(sentinel, np.int64)] = np.uint64(0)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    return h, offs
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
@@ -73,30 +95,42 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
 
 
 def shingle_minhash_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    sigs = [minhash_signature(t or "") for t in batch[text_col]]
+    """Docs → 128-perm minhash signatures, one vectorized pass for the
+    whole batch (shared FNV shingle matrix + per-perm reduceat mins)."""
+    texts = [t or "" for t in batch[text_col]]
+    h, offs = _hash_shingles_docs(texts)
+    x = h % np.uint64(_MERSENNE)
+    sigs = np.empty((len(texts), _N_PERM), np.uint64)
+    starts = offs[:-1]
+    for p in range(_N_PERM):
+        v = (_A[p] * x + _B[p]) % np.uint64(_MERSENNE)
+        sigs[:, p] = np.minimum.reduceat(v, starts)
     return pd.DataFrame(
         {"doc_id": batch["doc_id"].to_numpy(), "sig": [s.tobytes() for s in sigs]}
     )
 
 
 def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-    """signature rows → (doc_id, band_id, band_hash) rows."""
-    doc_ids, band_ids, band_hashes = [], [], []
-    for did, sb in zip(batch["doc_id"], batch["sig"]):
-        sig = np.frombuffer(sb, np.uint64)
-        for b in range(_BANDS):
-            chunk = sig[b * _ROWS : (b + 1) * _ROWS]
-            h = np.uint64(0xCBF29CE484222325)
-            for v in chunk:
-                h = np.uint64((int(h) ^ int(v)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            doc_ids.append(did)
-            band_ids.append(b)
-            band_hashes.append(np.int64(np.uint64(h) >> np.uint64(1)))
+    """signature rows → (doc_id, band_id, band_hash) rows. The per-band
+    FNV over 8 uint64 lanes runs as 8 full-width vector ops."""
+    D = len(batch)
+    if D == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": np.empty(0, np.int64),
+                "band_id": np.empty(0, np.int64),
+                "band_hash": np.empty(0, np.int64),
+            }
+        )
+    sigs = np.frombuffer(b"".join(batch["sig"]), np.uint64).reshape(D, _BANDS, _ROWS)
+    h = np.full((D, _BANDS), FNV_OFFSET, np.uint64)
+    for r in range(_ROWS):
+        h = (h ^ sigs[:, :, r]) * FNV_PRIME
     return pd.DataFrame(
         {
-            "doc_id": np.asarray(doc_ids, np.int64),
-            "band_id": np.asarray(band_ids, np.int64),
-            "band_hash": np.asarray(band_hashes, np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), _BANDS),
+            "band_id": np.tile(np.arange(_BANDS, dtype=np.int64), D),
+            "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
         }
     )
 
@@ -117,10 +151,26 @@ def jaccard_ngrams(t1: str, t2: str, k: int = 3) -> float:
     return len(s1 & s2) / len(s1 | s2)
 
 
-def minhash_dedup_pairs(docs, *, threshold: float = 0.8, text_col: str = "text"):
+def minhash_dedup_pairs(
+    docs,
+    *,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
     """Full MinHash-LSH near-dup pipeline over a docs Dataset
-    (doc_id, text) → verified pairs (doc_a, doc_b, jaccard)."""
-    import ray
+    (doc_id, text) → verified pairs (doc_a, doc_b, jaccard).
+
+    The verify stage fetches texts via TWO slim hash joins of the
+    candidate pairs back onto (doc_id, text) — nothing is ever
+    materialized on the driver, so the docs side streams at any scale."""
+    if num_partitions is None:
+        # each hash join spawns num_partitions aggregator actors; two
+        # chained joins must fit the cluster alongside the map tasks
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
 
     sigs = docs.map_batches(shingle_minhash_batch, batch_format="pandas")
     bands = sigs.map_batches(explode_bands, batch_format="pandas")
@@ -137,51 +187,79 @@ def minhash_dedup_pairs(docs, *, threshold: float = 0.8, text_col: str = "text")
         lambda g: g.head(1), batch_format="pandas"
     )
 
-    # verify true Jaccard; text side broadcast (slim id→text map). At
-    # 100 TB the text map would be a hash-join back on doc_id instead.
-    texts = dict(
-        zip(
-            docs.to_pandas()["doc_id"].to_numpy(np.int64),
-            docs.to_pandas()[text_col],
-        )
+    def _as_side(col: str):
+        def rename(t: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {col: t["doc_id"].to_numpy(np.int64), f"text_{col[-1]}": t[text_col]}
+            )
+
+        return rename
+
+    with_a = cands.join(
+        docs.map_batches(_as_side("doc_a"), batch_format="pandas"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
     )
-    text_ref = ray.put(texts)
+    with_b = with_a.join(
+        docs.map_batches(_as_side("doc_b"), batch_format="pandas"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+    )
 
     def verify(t: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(text_ref)
         jac = np.array(
-            [jaccard_ngrams(tx[a], tx[b]) for a, b in zip(t["doc_a"], t["doc_b"])]
+            [
+                jaccard_ngrams(a, b)
+                for a, b in zip(t["text_a"], t["text_b"])
+            ]
         )
-        t = t.assign(jaccard=jac)
-        return t[t["jaccard"] >= threshold]
+        out = pd.DataFrame(
+            {
+                "doc_a": t["doc_a"].to_numpy(np.int64),
+                "doc_b": t["doc_b"].to_numpy(np.int64),
+                "jaccard": jac,
+            }
+        )
+        return out[out["jaccard"] >= threshold]
 
-    return cands.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas")
+
+
+def simhash64_many(texts: list[str]) -> np.ndarray:
+    """(N,) uint64 SimHash of many documents in one vectorized pass:
+    all words hash through the shared FNV matrix, per-doc ±1 bit sums
+    come from one reduceat."""
+    words_per: list[list[str]] = [t.lower().split() for t in texts]
+    lens = np.fromiter((len(w) for w in words_per), np.int64, len(texts))
+    all_words: list[bytes] = []
+    for w in words_per:
+        all_words.extend(x.encode() for x in w)
+    h = fnv64_batch(all_words)
+    shifts = np.arange(64, dtype=np.uint64)
+    contrib = np.where(((h[:, None] >> shifts[None, :]) & np.uint64(1)) == 1, 1, -1)
+    out = np.zeros(len(texts), np.uint64)
+    nz = lens > 0
+    if nz.any():
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        acc = np.add.reduceat(contrib, offs[:-1][nz], axis=0)
+        bits = (acc > 0).astype(np.uint64)
+        out[nz] = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
 
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word hashes."""
-    words = text.lower().split()
-    if not words:
-        return 0
-    acc = np.zeros(64, np.int64)
-    for w in words:
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in w.encode():
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    bits = (acc > 0).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return int(simhash64_many([text])[0])
 
 
 def simhash_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    sh = simhash64_many([t or "" for t in batch[text_col]])
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "simhash": pd.array(
-                [int(np.uint64(simhash64(t or "")).astype(np.int64)) for t in batch[text_col]],
-                dtype="int64",
-            ),
+            "simhash": pd.array(sh.astype(np.int64), dtype="int64"),
         }
     )
 
@@ -260,9 +338,7 @@ def ngram_jaccard_pairs(
     (doc_a < doc_b) with their exact similarity."""
 
     def sig(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = np.asarray(
-            [np.uint64(simhash64(t or "")) for t in batch[text_col]], np.uint64
-        )
+        sh = simhash64_many([t or "" for t in batch[text_col]])
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(np.int64),

@@ -45,6 +45,9 @@ _LANG_BIGRAMS = {
 }
 
 
+_LANG_ORDER = list(_LANG_BIGRAMS)  # dict order = scalar tie-break order
+
+
 def _bigram_scores(text: str) -> str:
     t = re.sub(r"[^a-z ]", "", text.lower())
     bigs = [t[i : i + 2] for i in range(len(t) - 1) if " " not in t[i : i + 2]]
@@ -63,8 +66,29 @@ def _bigram_scores(text: str) -> str:
 
 
 def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized language ID: per-language evidence comes from ~10
+    ``str.count``/``str.contains`` passes over the whole column instead
+    of a per-document Python bigram loop. Output is identical to the
+    scalar ``_bigram_scores`` (integer evidence counts, same division,
+    same first-wins tie-break)."""
     batch = batch.copy()
-    batch["lang_pred"] = [_bigram_scores(t or "") for t in batch[text_col]]
+    s = batch[text_col].fillna("").astype(str)
+    t = s.str.lower().str.replace(r"[^a-z ]", "", regex=True)
+    # letter-letter bigram positions (overlapping) = scalar's len(bigs)
+    n = t.str.count(r"(?=[a-z][a-z])").to_numpy(np.float64)
+    scores = np.empty((len(_LANG_ORDER), len(s)))
+    for li, lang in enumerate(_LANG_ORDER):
+        c = np.zeros(len(s))
+        for b in _LANG_BIGRAMS[lang]:
+            c += t.str.count(f"(?={b})").to_numpy(np.float64)
+        stop = np.zeros(len(s))
+        for w in _STOPWORDS.get(lang, set()):
+            stop += t.str.contains(rf"\b{w}\b", regex=True).to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores[li] = np.where(n > 0, c / np.maximum(n, 1.0), -1.0) + 0.5 * stop
+    pick = np.argmax(scores, axis=0)  # first max, as in the scalar loop
+    langs = np.asarray(_LANG_ORDER, object)[pick]
+    batch["lang_pred"] = np.where(n > 0, langs, "und")
     return batch
 
 
@@ -102,7 +126,7 @@ def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
         {
             "doc_id": batch["doc_id"],
             "n_ws_tokens": s.str.count(r"\S+").astype(np.int64),
-            "n_bpeish_tokens": s.map(lambda t: len(_BPE_RE.findall(t))).astype(np.int64),
+            "n_bpeish_tokens": s.str.count(_BPE_RE.pattern).astype(np.int64),
         }
     )
     return out
@@ -117,10 +141,28 @@ def _rolling_fnv64(tokens: list[str]) -> int:
     return h
 
 
+def _rolling_fnv64_docs(texts: list[str]) -> np.ndarray:
+    """Vectorized ``_rolling_fnv64`` over many documents: each doc's
+    token stream becomes one byte string with a 0x00 marker after each
+    token (UTF-8 word chars never encode to 0x00), and the chain
+    iterates over byte positions with full-width numpy ops."""
+    from ._hash import FNV_OFFSET, FNV_PRIME, byte_matrix
+
+    streams = [
+        b"".join(tok.encode() + b"\x00" for tok in _WORD_RE.findall(t.lower()))
+        for t in texts
+    ]
+    mat, mask = byte_matrix(streams)
+    h = np.full(len(texts), FNV_OFFSET, np.uint64)
+    t31, t7 = np.uint64(31), np.uint64(7)
+    for pos in range(mat.shape[1]):
+        b = mat[:, pos]
+        nh = np.where(b == 0, h * t31 + t7, (h ^ b.astype(np.uint64)) * FNV_PRIME)
+        h = np.where(mask[:, pos], nh, h)
+    return h
+
+
 def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     s = batch[text_col].fillna("")
-    fp = [
-        int(np.uint64(_rolling_fnv64(_WORD_RE.findall(t.lower()))).astype(np.int64))
-        for t in s
-    ]
+    fp = _rolling_fnv64_docs(list(s)).astype(np.int64)
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": pd.array(fp, dtype="int64")})

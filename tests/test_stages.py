@@ -122,6 +122,55 @@ def test_knn_matches_exhaustive(ray_session):
         assert set(got) == set(sids[order])
 
 
+def test_knn_batch_matches_scalar(ray_session):
+    """The per-cell-group batched probe path must equal the per-probe
+    scalar expansion exactly (sites, ranks and distances)."""
+    imgs = gen_batch({"id": np.arange(600, dtype=np.int64)})
+    sids = np.asarray(imgs["image_id"].to_pylist())
+    index = CellPointIndex(sids, imgs["lon"].to_numpy(), imgs["lat"].to_numpy(), level=8)
+    probes = gen_batch({"id": np.arange(20_000, 20_300, dtype=np.int64)})
+    plon = probes["lon"].to_numpy()
+    plat = probes["lat"].to_numpy()
+    k = 5
+    pp, ss, rr, dd = index.knn_batch(plon, plat, k)
+    for m in range(len(plon)):
+        idx, d = index.knn(float(plon[m]), float(plat[m]), k)
+        sel = pp == m
+        assert (ss[sel] == idx).all(), m
+        assert (rr[sel] == np.arange(len(idx))).all(), m
+        assert (dd[sel] == d).all(), m  # bit-exact
+
+
+def test_knn_join_dataset(ray_session):
+    """Dataset-sides kNN join: index compiled in a task, same rows as
+    the array-sides join."""
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.knn import knn_join, knn_join_dataset
+
+    sites_tbl = gen_batch({"id": np.arange(400, dtype=np.int64)}).select(
+        ["image_id", "lon", "lat"]
+    )
+    probes = rd.from_arrow(
+        gen_batch({"id": np.arange(30_000, 30_200, dtype=np.int64)}).select(
+            ["image_id", "lon", "lat"]
+        )
+    )
+    a = knn_join(
+        probes,
+        np.asarray(sites_tbl["image_id"].to_pylist()),
+        sites_tbl["lon"].to_numpy(),
+        sites_tbl["lat"].to_numpy(),
+        k=3,
+        concurrency=2,
+    ).to_pandas()
+    b = knn_join_dataset(
+        probes, rd.from_arrow(sites_tbl), k=3, concurrency=2
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["image_id"], df["neighbor_id"], df["rank"]))
+    assert key(a) == key(b)
+
+
 def test_cover_batch_empty():
     empty = pa.table(
         {

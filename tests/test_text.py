@@ -17,6 +17,81 @@ from simplepolygon_ray.text.ops import (
 )
 
 
+def _scalar_fnv1a(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for ch in data:
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def test_vectorized_hash_kernels_match_scalar():
+    """The masked-matrix FNV kernels must be bit-identical to the
+    per-character scalar chains they replaced."""
+    import numpy as np
+    import pandas as pd
+
+    from simplepolygon_ray.text._hash import fnv64_batch
+    from simplepolygon_ray.text.dedup import (
+        _hash_shingles,
+        _shingle_strings,
+        explode_bands,
+        shingle_minhash_batch,
+        simhash64_many,
+    )
+    from simplepolygon_ray.text.ops import _bigram_scores, _rolling_fnv64, _rolling_fnv64_docs, _WORD_RE
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "a",
+        "der schnelle braune fuchs und der faule hund",
+        "punctuation, everywhere!!! 123 nums\nand newlines",
+        "x " * 300,
+    ]
+    # fnv64_batch vs scalar FNV-1a
+    strs = [t.encode() for t in texts]
+    assert [int(v) for v in fnv64_batch(strs)] == [_scalar_fnv1a(s) for s in strs]
+    # shingle hashes vs scalar chain
+    for t in texts:
+        sh = _hash_shingles(t, 3)
+        exp = [_scalar_fnv1a(s.encode()) for s in _shingle_strings(t, 3)] or [0]
+        assert [int(v) for v in sh] == exp
+    # simhash vs the round-1 scalar definition
+    def scalar_simhash(text):
+        words = text.lower().split()
+        if not words:
+            return 0
+        acc = np.zeros(64, np.int64)
+        for w in words:
+            h = np.uint64(_scalar_fnv1a(w.encode()))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        bits = (acc > 0).astype(np.uint64)
+        return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    assert [int(v) for v in simhash64_many(texts)] == [scalar_simhash(t) for t in texts]
+    # rolling fingerprint vs scalar chain
+    exp_fp = [_rolling_fnv64(_WORD_RE.findall(t.lower())) for t in texts]
+    assert [int(v) for v in _rolling_fnv64_docs(texts)] == exp_fp
+    # band hashes vs scalar per-band FNV over uint64 lanes
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    sigs = shingle_minhash_batch(df)
+    bands = explode_bands(sigs)
+    for k in range(len(bands)):
+        did, bid, bh = bands.iloc[k]
+        sig = np.frombuffer(sigs["sig"][did], np.uint64)
+        h = 0xCBF29CE484222325
+        for v in sig[bid * 8 : (bid + 1) * 8]:
+            h = ((h ^ int(v)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        assert int(np.uint64(bh << 1)) >> 1 == h >> 1
+        assert int(bh) == int(np.int64(np.uint64(h) >> np.uint64(1)))
+    # vectorized langid equals the scalar reference on every text
+    from simplepolygon_ray.text.ops import langid_batch
+
+    got = langid_batch(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    assert list(got["lang_pred"]) == [_bigram_scores(t) for t in texts]
+
+
 def test_minhash_estimates_jaccard():
     a = "the quick brown fox jumps over the lazy dog again and again today"
     b = "the quick brown fox jumps over the lazy cat again and again today"
