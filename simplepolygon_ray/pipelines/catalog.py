@@ -27,6 +27,100 @@ from .flagship import scale_counts
 
 __all__ = ["GEO_QUERIES", "TEXT_QUERIES", "ANN_QUERIES", "EXTRA_ORACLE_SQL"]
 
+# ------------------------------------------------------------------
+# DuckDB oracle scaffolding: geometry inputs are synthesized, so the
+# queries persist their EXACT inputs (points / ring edges / covers) as
+# parquet under /tmp via DISTRIBUTED write_parquet, and the oracle SQL
+# recomputes the operator (point-in-polygon crossing count, group-bys,
+# kNN ranking) from those files. The driver always runs the Ray query
+# before its SQL, so the files exist when DuckDB reads them.
+# ------------------------------------------------------------------
+
+_ORACLE_DIR = "/tmp/simplepolygon_oracle"
+
+
+def _persist(ds, name: str) -> str:
+    """Distributed-write a dataset to the oracle dir; returns the dir.
+    (Never materializes on the driver — blocks stream to parquet.)"""
+    import shutil
+
+    out = f"{_ORACLE_DIR}/{name}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_parquet(out)
+    return out
+
+
+def _edges_batch(t: pa.Table) -> pa.Table:
+    """simple-ring rows → one row per edge (cur vertex, cyclic prev),
+    the exact edge table the PIP kernel tests against."""
+    from ..cells.grid import _rl_arange
+
+    if t.num_columns == 0 or t.num_rows == 0:
+        return pa.table(
+            {
+                "geom_id": pa.array([], type=pa.string()),
+                "ring_seq": pa.array([], type=pa.int32()),
+                "xi": pa.array([], type=pa.float64()),
+                "yi": pa.array([], type=pa.float64()),
+                "xj": pa.array([], type=pa.float64()),
+                "yj": pa.array([], type=pa.float64()),
+            }
+        )
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    vidx = np.arange(len(oc), dtype=np.int64)
+    prev = vidx - 1
+    nz = olen > 0
+    prev[ostart[nz]] = (ostart + olen - 1)[nz]
+    take = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), olen))
+    return pa.table(
+        {
+            "geom_id": t["geom_id"].take(take),
+            "ring_seq": t["ring_seq"].take(take),
+            "xi": pa.array(oc[:, 0]),
+            "yi": pa.array(oc[:, 1]),
+            "xj": pa.array(oc[prev, 0]),
+            "yj": pa.array(oc[prev, 1]),
+        }
+    )
+
+
+def _pip_sql(points_dir: str, edges_dir: str) -> str:
+    """Crossing-number PIP in SQL, arithmetically identical (same ops,
+    same order) to geom.kernels.points_in_ring / CompiledRingIndex.
+    Division by zero yields NULL in DuckDB → predicate false, matching
+    the numpy cond-mask. Boundary points count as outside."""
+    return f"""
+WITH pts AS (SELECT image_id, lon, lat FROM read_parquet('{points_dir}/*.parquet')),
+e AS (SELECT * FROM read_parquet('{edges_dir}/*.parquet')),
+bb AS (SELECT geom_id, ring_seq,
+         min(least(xi, xj)) AS x0, max(greatest(xi, xj)) AS x1,
+         min(least(yi, yj)) AS y0, max(greatest(yi, yj)) AS y1
+       FROM e GROUP BY geom_id, ring_seq),
+cand AS (SELECT p.image_id, p.lon, p.lat, b.geom_id, b.ring_seq
+         FROM pts p JOIN bb b
+           ON p.lon >= b.x0 AND p.lon <= b.x1 AND p.lat >= b.y0 AND p.lat <= b.y1),
+t AS (SELECT c.image_id, c.geom_id, c.ring_seq,
+        SUM(CASE WHEN ((e.yi > c.lat) <> (e.yj > c.lat))
+                  AND c.lon < (e.xj - e.xi) * (c.lat - e.yi) / (e.yj - e.yi) + e.xi
+            THEN 1 ELSE 0 END) AS crossings,
+        SUM(CASE WHEN c.lat * (e.xi - e.xj) + e.yi * (e.xj - c.lon) + e.yj * (c.lon - e.xi) = 0
+                  AND (e.xi - c.lon) * (e.xj - c.lon) <= 0
+                  AND (e.yi - c.lat) * (e.yj - c.lat) <= 0
+            THEN 1 ELSE 0 END) AS on_edges
+      FROM cand c JOIN e ON e.geom_id = c.geom_id AND e.ring_seq = c.ring_seq
+      GROUP BY c.image_id, c.geom_id, c.ring_seq)
+SELECT image_id, geom_id, ring_seq FROM t WHERE crossings % 2 = 1 AND on_edges = 0
+"""
+
 
 def q_geo_decompose(sf_dir: str):
     n_polys, _ = scale_counts(sf_dir)
@@ -60,10 +154,16 @@ def q_geo_cover(sf_dir: str):
 
 
 def q_geo_pip_join(sf_dir: str):
+    import ray.data as rd
+
     n_polys, n_images = scale_counts(sf_dir)
     polygons = fixture_polygons().union(polygons_source(n_polys))
     simple = decompose_dataset(polygons)
-    images = gen_points(n_images)
+    # persist the join inputs for the SQL oracle, then read them back
+    # so both engines see byte-identical inputs (single compute)
+    _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "pip_edges")
+    pts_dir = _persist(gen_points(n_images), "pip_points")
+    images = rd.read_parquet(pts_dir)
     return pip_join_broadcast(images, simple, level=DEFAULT_LEVEL).select_columns(
         ["image_id", "geom_id", "ring_seq"]
     )
@@ -76,20 +176,32 @@ def q_geo_pip_join_shuffle(sf_dir: str):
     n_images = min(n_images, 20_000)  # shuffle variant exercised at reduced scale
     polygons = fixture_polygons().union(polygons_source(n_polys))
     simple = decompose_dataset(polygons)
-    images = gen_points(n_images)
+    _persist(
+        simple.map_batches(_edges_batch, batch_format="pyarrow"), "pip_edges_shuffle"
+    )
+    pts_dir = _persist(gen_points(n_images), "pip_points_shuffle")
+    images = rd.read_parquet(pts_dir)
     return pip_join_shuffle(
         images, simple, level=DEFAULT_LEVEL, num_partitions=16, salt_factor=2
     ).select_columns(["image_id", "geom_id", "ring_seq"])
 
 
 def q_geo_knn(sf_dir: str):
+    import ray.data as rd
+
     from ..stages.knn import knn_join_dataset
 
     _, n_images = scale_counts(sf_dir)
     n_sites = max(n_images // 10, 100)
-    sites = gen_points(n_sites)  # stays distributed; index compiles in a task
-    probes = gen_points(min(n_images, 5_000))
-    return knn_join_dataset(probes, sites, k=5, level=DEFAULT_LEVEL)
+    sites_dir = _persist(gen_points(n_sites), "knn_sites")
+    probes_dir = _persist(gen_points(min(n_images, 5_000)), "knn_probes")
+    sites = rd.read_parquet(sites_dir)  # stays distributed; index compiles in a task
+    probes = rd.read_parquet(probes_dir)
+    out = knn_join_dataset(probes, sites, k=5, level=DEFAULT_LEVEL)
+    # dist_km is dropped from the oracle-checked projection: haversine
+    # needs sin/cos whose last-ulp differs between numpy and DuckDB's
+    # libm, so the hash compare is on the exact (probe, neighbor, rank)
+    return out.select_columns(["image_id", "neighbor_id", "rank"])
 
 
 def q_geo_tile_assign(sf_dir: str):
@@ -179,10 +291,23 @@ def q_text_langid(sf_dir: str):
 
 
 def q_text_quality(sf_dir: str):
-    return _docs(sf_dir).map_batches(
-        lambda b: quality_batch(b)[["doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"]],
-        batch_format="pandas",
-    )
+    """Quality scores in exact-integer fixed point (parts-per-million
+    floors) so the DuckDB oracle hash-compares without float drift."""
+    import pandas as pd
+
+    def f(b):
+        q = quality_batch(b)
+        return pd.DataFrame(
+            {
+                "doc_id": q["doc_id"],
+                "n_words": q["n_words"],
+                "punct_ppm": np.floor(q["punct_ratio"].to_numpy() * 1e6).astype(np.int64),
+                "stop_ppm": np.floor(q["stop_ratio"].to_numpy() * 1e6).astype(np.int64),
+                "quality_ppm": np.floor(q["quality"].to_numpy() * 1e6).astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
 def q_text_fingerprint(sf_dir: str):
@@ -227,10 +352,16 @@ TEXT_QUERIES = {
 
 
 def q_ann_brute(sf_dir: str):
+    """Exact cosine top-10; oracle-checked on (vec_id, rank) — the
+    cosine VALUES are float32 matmul on the Ray side vs float64 list
+    kernels in DuckDB, so only the ranking is hash-comparable."""
     import ray.data as rd
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return brute_topk(emb, query_vector(64), k=10)
+    top = brute_topk(emb, query_vector(64), k=10).to_pandas()
+    top = top.reset_index(drop=True)
+    top["rank"] = np.arange(len(top), dtype=np.int64)
+    return top[["vec_id", "rank"]]
 
 
 def q_ann_ivf(sf_dir: str):
@@ -245,7 +376,90 @@ ANN_QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
 }
 
-EXTRA_ORACLE_SQL: dict[str, str] = {}
+def _knn_sql(probes_dir: str, sites_dir: str, k: int) -> str:
+    return f"""
+WITH p AS (SELECT image_id, lon, lat FROM read_parquet('{probes_dir}/*.parquet')),
+s AS (SELECT image_id AS neighbor_id, lon AS slon, lat AS slat
+      FROM read_parquet('{sites_dir}/*.parquet')),
+d AS (SELECT p.image_id, s.neighbor_id,
+        2 * 6371.0088 * asin(sqrt(
+          pow(sin((radians(s.slat) - radians(p.lat)) / 2), 2)
+          + cos(radians(p.lat)) * cos(radians(s.slat))
+            * pow(sin((radians(s.slon) - radians(p.lon)) / 2), 2))) AS dist
+      FROM p CROSS JOIN s),
+r AS (SELECT image_id, neighbor_id,
+        row_number() OVER (PARTITION BY image_id ORDER BY dist, neighbor_id) AS rn
+      FROM d)
+SELECT image_id, neighbor_id, CAST(rn - 1 AS INTEGER) AS "rank" FROM r WHERE rn <= {k}
+"""
+
+
+def _ann_sql(k: int) -> str:
+    from ..ann.search import query_vector
+
+    qlit = "[" + ", ".join(repr(float(v)) for v in query_vector(64)) + "]"
+    return f"""
+SELECT vec_id,
+       CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qlit}) DESC,
+                  vec_id) - 1 AS BIGINT) AS "rank"
+FROM embeddings
+ORDER BY "rank"
+LIMIT {k}
+"""
+
+
+_QUALITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\\w+')) AS DOUBLE) AS n_words,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '\\b(?:the|and|of|a|to|in|is|it|that|for)\\b')) AS DOUBLE) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN (n_chars - n_words + 1) / greatest(n_words, 1.0) ELSE 0.0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN n_punct / greatest(n_chars, 1.0) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN n_stop / greatest(n_words, 1.0) ELSE 0.0 END AS stop_ratio
+  FROM m)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(floor(punct_ratio * 1000000.0) AS BIGINT) AS punct_ppm,
+       CAST(floor(stop_ratio * 1000000.0) AS BIGINT) AS stop_ppm,
+       CAST(floor((
+           0.25 * least(greatest(n_words / 50.0, 0.0), 1.0)
+         + 0.25 * least(greatest(1.0 - abs(mwl - 5.0) / 5.0, 0.0), 1.0)
+         + 0.25 * least(greatest(1.0 - punct_ratio * 5.0, 0.0), 1.0)
+         + 0.25 * least(greatest(stop_ratio * 5.0, 0.0), 1.0)
+       ) * 1000000.0) AS BIGINT) AS quality_ppm
+FROM r
+"""
+
+
+EXTRA_ORACLE_SQL: dict[str, str] = {
+    "geo_pip_join": _pip_sql(f"{_ORACLE_DIR}/pip_points", f"{_ORACLE_DIR}/pip_edges"),
+    "geo_pip_join_shuffle": _pip_sql(
+        f"{_ORACLE_DIR}/pip_points_shuffle", f"{_ORACLE_DIR}/pip_edges_shuffle"
+    ),
+    "geo_zonal_counts": (
+        # ring_seq is BIGINT here because the Ray partial-groupby
+        # promotes int32 keys to int64
+        "SELECT geom_id, CAST(ring_seq AS BIGINT) AS ring_seq, COUNT(*) AS n_points FROM ("
+        + _pip_sql(f"{_ORACLE_DIR}/pip_points", f"{_ORACLE_DIR}/pip_edges")
+        + ") GROUP BY geom_id, ring_seq"
+    ),
+    "cell_counts": (
+        f"SELECT cell_id, COUNT(*) AS n_rings FROM "
+        f"read_parquet('{_ORACLE_DIR}/cover_counts/*.parquet') GROUP BY cell_id"
+    ),
+    "distinct_cells": (
+        f"SELECT DISTINCT cell_id FROM read_parquet('{_ORACLE_DIR}/cover_distinct/*.parquet')"
+    ),
+    "geo_knn": _knn_sql(f"{_ORACLE_DIR}/knn_probes", f"{_ORACLE_DIR}/knn_sites", k=5),
+    "ann_brute_topk": _ann_sql(10),
+    "text_quality": _QUALITY_SQL,
+}
 
 
 # ---------------------------------------------------------- cell stats
@@ -253,12 +467,15 @@ EXTRA_ORACLE_SQL: dict[str, str] = {}
 
 def q_cell_counts(sf_dir: str):
     """Per-cell covering density (skew diagnostic that sizes the salt
-    factor of the shuffle join — SURVEY.md §4.3)."""
+    factor of the shuffle join — SURVEY.md §4.3). The exploded cover is
+    persisted so DuckDB recomputes the group-by as the oracle."""
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
-    cover = q_geo_cover(sf_dir)
     from ..relational.queries import _partial_groupby
 
+    cover_dir = _persist(q_geo_cover(sf_dir), "cover_counts")
+    cover = rd.read_parquet(cover_dir, columns=["cell_id"])
     partial = cover.map_batches(
         _partial_groupby(["cell_id"], [("cell_id", "count", "n_rings")]),
         batch_format="pyarrow",
@@ -268,9 +485,11 @@ def q_cell_counts(sf_dir: str):
 
 def q_distinct_cells(sf_dir: str):
     """Distinct covered cell ids (local unique -> tiny global groupby)."""
+    import ray.data as rd
     from ray.data.aggregate import Count
 
-    cover = q_geo_cover(sf_dir)
+    cover_dir = _persist(q_geo_cover(sf_dir), "cover_distinct")
+    cover = rd.read_parquet(cover_dir, columns=["cell_id"])
     local = cover.map_batches(
         lambda t: pa.table({"cell_id": t["cell_id"].unique()}), batch_format="pyarrow"
     )
