@@ -156,22 +156,16 @@ def minhash_dedup_pairs(
     *,
     threshold: float = 0.8,
     text_col: str = "text",
-    num_partitions: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline over a docs Dataset
     (doc_id, text) → verified pairs (doc_a, doc_b, jaccard).
 
-    The verify stage fetches texts via TWO slim hash joins of the
-    candidate pairs back onto (doc_id, text) — nothing is ever
-    materialized on the driver, so the docs side streams at any scale."""
-    if num_partitions is None:
-        # each hash join spawns num_partitions aggregator actors; two
-        # chained joins must fit the cluster alongside the map tasks
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(16, cpus // 2))
-
+    The verify stage never materializes the docs side anywhere: the
+    candidate-id set (bounded by the LSH output) is assembled in a Ray
+    task, broadcast to filter docs down to candidate texts inside
+    ``map_batches``, and the resulting candidate-id→text map — also
+    task-assembled — is broadcast to the verify stage. The docs table
+    itself only ever streams."""
     sigs = docs.map_batches(shingle_minhash_batch, batch_format="pandas")
     bands = sigs.map_batches(explode_bands, batch_format="pandas")
     cands = bands.groupby(["band_id", "band_hash"]).map_groups(
@@ -187,33 +181,60 @@ def minhash_dedup_pairs(
         lambda g: g.head(1), batch_format="pandas"
     )
 
-    def _as_side(col: str):
-        def rename(t: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {col: t["doc_id"].to_numpy(np.int64), f"text_{col[-1]}": t[text_col]}
+    # slim the text side BEFORE the joins: only docs that appear in a
+    # candidate pair carry their text through the shuffle. The id set
+    # is bounded by the LSH candidate count (not the corpus), collected
+    # in a Ray task and broadcast — the driver holds one ObjectRef.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    cands = cands.materialize()
+
+    @ray.remote
+    def _cand_ids(*blocks):
+        parts = [
+            np.concatenate(
+                [
+                    t["doc_a"].to_numpy(zero_copy_only=False),
+                    t["doc_b"].to_numpy(zero_copy_only=False),
+                ]
             )
+            for t in blocks
+            if t.num_columns > 0 and t.num_rows > 0
+        ]
+        return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
-        return rename
+    ids_ref = _cand_ids.remote(*cands.to_arrow_refs())
 
-    with_a = cands.join(
-        docs.map_batches(_as_side("doc_a"), batch_format="pandas"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("doc_a",),
-    )
-    with_b = with_a.join(
-        docs.map_batches(_as_side("doc_b"), batch_format="pandas"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("doc_b",),
-    )
+    def _filter(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        keep = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(ids)))
+        return keep.select(["doc_id", text_col])
+
+    docs_small = docs.map_batches(_filter, batch_format="pyarrow")
+
+    @ray.remote
+    def _collect_texts(*blocks) -> dict:
+        out: dict = {}
+        for t in blocks:
+            if t.num_columns == 0 or t.num_rows == 0:
+                continue
+            for i, txt in zip(t["doc_id"].to_pylist(), t[text_col].to_pylist()):
+                out[int(i)] = txt
+        return out
+
+    # candidate-id→text map, assembled in a task and broadcast: its
+    # size is bounded by the candidate-pair count (LSH output), NOT the
+    # corpus, so the broadcast stays small at any input scale. (A
+    # pathological corpus where candidates ~ corpus breaks any
+    # pair-verify design, joins included.)
+    texts_ref = _collect_texts.remote(*docs_small.to_arrow_refs())
 
     def verify(t: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(texts_ref)
         jac = np.array(
-            [
-                jaccard_ngrams(a, b)
-                for a, b in zip(t["text_a"], t["text_b"])
-            ]
+            [jaccard_ngrams(tx[int(a)], tx[int(b)]) for a, b in zip(t["doc_a"], t["doc_b"])]
         )
         out = pd.DataFrame(
             {
@@ -224,7 +245,7 @@ def minhash_dedup_pairs(
         )
         return out[out["jaccard"] >= threshold]
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    return cands.map_batches(verify, batch_format="pandas")
 
 
 def simhash64_many(texts: list[str]) -> np.ndarray:
