@@ -128,9 +128,8 @@ def q_geo_decompose(sf_dir: str):
     simple = decompose_dataset(polygons)
 
     def project(t: pa.Table) -> pa.Table:
-        nv = pa.array(
-            [len(r) for r in t["ring"].to_pylist()], type=pa.int32()
-        )
+        col = t["ring"].combine_chunks()
+        nv = pa.array(np.diff(np.asarray(col.offsets)).astype(np.int32))
         return pa.table(
             {
                 "geom_id": t["geom_id"],
@@ -211,7 +210,8 @@ def q_geo_tile_assign(sf_dir: str):
     tiles = tile_assign_dataset(simple, zoom=8)
 
     def project(t: pa.Table) -> pa.Table:
-        nv = pa.array([len(r) for r in t["clipped_ring"].to_pylist()], type=pa.int32())
+        col = t["clipped_ring"].combine_chunks()
+        nv = pa.array(np.diff(np.asarray(col.offsets)).astype(np.int32))
         return pa.table(
             {
                 "geom_id": t["geom_id"],
@@ -264,12 +264,28 @@ def q_image_decode_check(sf_dir: str):
     return gen_images(min(n_images, 20_000)).map_batches(check, batch_format="pyarrow")
 
 
+def q_geo_knn_shuffle(sf_dir: str):
+    """Cell-keyed shuffle kNN (huge-sites path): probes fan out to
+    neighbor cells, hash join on cell, per-probe top-k groupby. Level 6
+    + radius 2 certifies most probes exact on this corpus; rows carry
+    the ``exact`` flag (pytest oracle: exact rows == broadcast kNN)."""
+    from ..stages.knn import knn_join_shuffle
+
+    _, n_images = scale_counts(sf_dir)
+    sites = gen_points(max(n_images // 10, 100))
+    probes = gen_points(min(n_images, 2_000))
+    return knn_join_shuffle(
+        probes, sites, k=5, level=6, radius=2, num_partitions=8
+    ).select_columns(["image_id", "neighbor_id", "rank", "exact"])
+
+
 GEO_QUERIES = {
     "geo_decompose": q_geo_decompose,
     "geo_cover": q_geo_cover,
     "geo_pip_join": q_geo_pip_join,
     "geo_pip_join_shuffle": q_geo_pip_join_shuffle,
     "geo_knn": q_geo_knn,
+    "geo_knn_shuffle": q_geo_knn_shuffle,
     "geo_tile_assign": q_geo_tile_assign,
     "image_decode_check": q_image_decode_check,
 }

@@ -23,6 +23,7 @@ __all__ = [
     "KnnActor",
     "knn_join",
     "knn_join_dataset",
+    "knn_join_shuffle",
 ]
 
 _EARTH_R = 6371.0088
@@ -253,6 +254,126 @@ def knn_join(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def knn_join_shuffle(
+    probes,
+    sites,
+    *,
+    k: int = 5,
+    level: int = DEFAULT_LEVEL,
+    radius: int = 1,
+    id_col: str = "image_id",
+    site_id_col: str = "image_id",
+    num_partitions: int = 16,
+):
+    """Shuffle kNN for HUGE site sets (no broadcast index): sites are
+    keyed by cell, each probe fans out to its (2·radius+1)² neighbor
+    cells, a cell-keyed hash join co-locates candidates, and a
+    per-probe groupby takes the top-k.
+
+    Partitioning assumption: ``radius`` must be sized so a probe's
+    neighborhood usually holds ≥ k sites AND the k-th distance fits
+    inside the ring bound; each output group carries an ``exact`` flag
+    (count ≥ k and d_k ≤ bound) so callers can re-run the flagged
+    remainder at a larger radius (or through the broadcast path).
+    """
+    import pandas as pd
+
+    n = 1 << level
+    cell_km_lat = 180.0 / n * 111.19492664455873
+
+    def key_sites(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cells = point_to_cell(lon, lat, level).astype(np.int64)
+        return pa.table(
+            {
+                "neighbor_id": t[site_id_col],
+                "slon": pa.array(lon),
+                "slat": pa.array(lat),
+                "cell_id": pa.array(cells),
+            }
+        )
+
+    def expand_probes(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cells = point_to_cell(lon, lat, level).astype(np.int64)
+        qi = (cells >> np.int64(29)) & np.int64((1 << 29) - 1)
+        qj = cells & np.int64((1 << 29) - 1)
+        d = np.arange(-radius, radius + 1, dtype=np.int64)
+        di = np.repeat(d, len(d))[None, :]
+        dj = np.tile(d, len(d))[None, :]
+        ii = np.mod(qi[:, None] + di, n)
+        jj = qj[:, None] + dj
+        ok = (jj >= 0) & (jj < n)
+        ncell = ok.sum(axis=1)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), ncell)
+        cell = (np.int64(level) << np.int64(58)) | (ii[ok] << np.int64(29)) | jj[ok]
+        take = pa.array(rows)
+        return pa.table(
+            {
+                id_col: t[id_col].take(take),
+                "lon": pa.array(lon[rows]),
+                "lat": pa.array(lat[rows]),
+                "cell_id": pa.array(cell),
+            }
+        )
+
+    exp = probes.map_batches(expand_probes, batch_format="pyarrow")
+    keyed = sites.map_batches(key_sites, batch_format="pyarrow")
+    matched = exp.join(
+        keyed, join_type="inner", num_partitions=num_partitions, on=("cell_id",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        plat = t["lat"].to_numpy(zero_copy_only=False)
+        d = haversine_km(
+            t["lon"].to_numpy(zero_copy_only=False),
+            plat,
+            t["slon"].to_numpy(zero_copy_only=False),
+            t["slat"].to_numpy(zero_copy_only=False),
+        )
+        # conservative per-probe lower bound on the distance to ANY
+        # cell outside the explored (2r+1)² neighborhood: the lat-band
+        # argument caps cos(λ) over cells within ±(radius+1) rows
+        cosf = np.cos(
+            np.radians(
+                np.minimum(np.abs(plat) + (radius + 1) * 180.0 / n, 90.0)
+            )
+        )
+        bound = radius * np.minimum(
+            cell_km_lat, 360.0 / n * 111.19492664455873 * cosf
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "neighbor_id": t["neighbor_id"],
+                "dist_km": pa.array(d),
+                "bound_km": pa.array(bound),
+            }
+        )
+
+    scored = matched.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        bound_km = float(g["bound_km"].iloc[0])
+        g = g.sort_values(["dist_km", "neighbor_id"], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(len(g), dtype=np.int32),
+                "dist_km": g["dist_km"].to_numpy(),
+                "exact": np.full(
+                    len(g),
+                    bool(len(g) >= k and g["dist_km"].iloc[-1] <= bound_km),
+                ),
+            }
+        )
+
+    return scored.groupby(id_col).map_groups(topk, batch_format="pandas")
 
 
 @ray.remote

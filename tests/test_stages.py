@@ -171,6 +171,37 @@ def test_knn_join_dataset(ray_session):
     assert key(a) == key(b)
 
 
+def test_knn_shuffle_matches_broadcast_when_exact(ray_session):
+    """Cell-keyed shuffle kNN: rows flagged exact must equal the
+    broadcast result; inexact flags only occur when the radius bound
+    genuinely cannot certify the group."""
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.knn import knn_join_dataset, knn_join_shuffle
+
+    sites_tbl = gen_batch({"id": np.arange(1500, dtype=np.int64)}).select(
+        ["image_id", "lon", "lat"]
+    )
+    probes = rd.from_arrow(
+        gen_batch({"id": np.arange(40_000, 40_150, dtype=np.int64)}).select(
+            ["image_id", "lon", "lat"]
+        )
+    )
+    sites = rd.from_arrow(sites_tbl)
+    sh = knn_join_shuffle(
+        probes, sites, k=3, radius=2, num_partitions=4
+    ).to_pandas()
+    bc = knn_join_dataset(probes, sites, k=3, concurrency=2).to_pandas()
+    exact = sh[sh["exact"]]
+    assert len(exact) > 0  # radius 2 certifies most probes on this corpus
+    key = lambda df: set(zip(df["image_id"], df["neighbor_id"], df["rank"]))
+    assert key(exact) <= key(bc)
+    # per-probe: every fully-exact probe's rows agree with broadcast
+    for pid, grp in exact.groupby("image_id"):
+        bgrp = bc[bc["image_id"] == pid]
+        assert key(grp) == key(bgrp.head(len(grp))), pid
+
+
 def test_cover_batch_empty():
     empty = pa.table(
         {
