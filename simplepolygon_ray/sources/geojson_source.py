@@ -22,7 +22,12 @@ import pyarrow as pa
 
 _RINGS_T = pa.list_(pa.list_(pa.list_(pa.float64())))
 
-__all__ = ["read_geojson", "read_geojson_ndjson", "write_feature_collections"]
+__all__ = [
+    "read_geojson",
+    "read_geojson_ndjson",
+    "write_feature_collections",
+    "write_geojson_ndjson",
+]
 
 
 def _feature_row(feat: dict, fallback_id: str):
@@ -124,3 +129,46 @@ def write_feature_collections(simple_rings, out_dir: str):
         return pd.DataFrame({"geom_id": [gid], "n_features": [len(feats)]})
 
     return simple_rings.groupby("geom_id").map_groups(write_group, batch_format="pandas")
+
+
+def write_geojson_ndjson(simple_rings, out_dir: str):
+    """simple-rings Dataset → sharded NDJSON (one Feature per line, one
+    ``part-*.jsonl`` file per block) — the scale-path sink: no
+    per-geometry grouping shuffle, each task streams its block straight
+    to its own shard, resumable at shard granularity. Emits one receipt
+    row per shard."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"shard": pa.array([], type=pa.string()),
+                             "n_features": pa.array([], type=pa.int64())})
+        name = f"part-{uuid.uuid4().hex[:12]}.jsonl"
+        tmp = os.path.join(out_dir, name + ".tmp")
+        idx = t["ring_index"].to_pylist()
+        with open(tmp, "w") as f:
+            for k in range(t.num_rows):
+                props = {}
+                if idx[k] is not None:
+                    props["index"] = int(idx[k])
+                props["parent"] = int(t["parent"][k].as_py())
+                props["winding"] = int(t["winding"][k].as_py())
+                props["netWinding"] = int(t["net_winding"][k].as_py())
+                props["geomId"] = t["geom_id"][k].as_py()
+                props["ringSeq"] = int(t["ring_seq"][k].as_py())
+                feat = {
+                    "type": "Feature",
+                    "properties": props,
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [t["ring"][k].as_py()],
+                    },
+                }
+                f.write(json.dumps(feat) + "\n")
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"shard": pa.array([name]),
+                         "n_features": pa.array([t.num_rows], type=pa.int64())})
+
+    return simple_rings.map_batches(write_block, batch_format="pyarrow")

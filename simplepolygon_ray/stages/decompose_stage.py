@@ -111,14 +111,18 @@ def fixture_polygons(fixture_dir: str | None = None):
 
 
 def decompose_batch(batch: pa.Table) -> pa.Table:
-    """One polygon row in → one row per simple output ring."""
+    """One polygon row in → one row per simple output ring. The ring
+    column is assembled straight from the kernels' float64 coordinate
+    arrays (offsets + flat buffer — values pass through bit-unchanged,
+    no tolist round-trip)."""
     geom_ids = batch["geom_id"].to_pylist()
     ringsets = batch["rings"].to_pylist()
     # one vectorized self-intersection pass for the whole block
     closed = [_close_rings(r) for r in ringsets]
     isect_rows = self_intersections_batch(closed)
     out_gid, out_seq, out_idx = [], [], []
-    out_parent, out_wind, out_net, out_ring = [], [], [], []
+    out_parent, out_wind, out_net = [], [], []
+    out_rings: list[np.ndarray] = []
     for gid, rings, rows in zip(geom_ids, ringsets, isect_rows):
         for seq, res in enumerate(decompose(rings, _isect_rows=rows)):
             out_gid.append(gid)
@@ -127,7 +131,21 @@ def decompose_batch(batch: pa.Table) -> pa.Table:
             out_parent.append(res.parent)
             out_wind.append(res.winding)
             out_net.append(res.net_winding)
-            out_ring.append(res.ring.tolist())
+            out_rings.append(res.ring)
+    lens = np.fromiter((len(r) for r in out_rings), np.int64, len(out_rings))
+    flat = (
+        np.concatenate(out_rings).astype(np.float64, copy=False)
+        if out_rings
+        else np.empty((0, 2))
+    )
+    inner = pa.ListArray.from_arrays(
+        pa.array(np.arange(len(flat) + 1, dtype=np.int64) * 2, type=pa.int32()),
+        pa.array(flat.ravel()),
+    )
+    ring_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int64), type=pa.int32()),
+        inner,
+    ).cast(_RING_T)
     return pa.table(
         {
             "geom_id": pa.array(out_gid, type=pa.string()),
@@ -136,7 +154,7 @@ def decompose_batch(batch: pa.Table) -> pa.Table:
             "parent": pa.array(out_parent, type=pa.int32()),
             "winding": pa.array(out_wind, type=pa.int8()),
             "net_winding": pa.array(out_net, type=pa.int32()),
-            "ring": pa.array(out_ring, type=_RING_T),
+            "ring": ring_col,
         }
     )
 

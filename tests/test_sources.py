@@ -52,6 +52,34 @@ def test_ndjson_reader(ray_session, tmp_path):
     assert got == simple_in["geometry"]["coordinates"]
 
 
+def test_ndjson_sink_roundtrip(ray_session, tmp_path):
+    """Sharded NDJSON sink: decompose → write_geojson_ndjson → read
+    lines back; ring coords survive float64-exact and receipts match."""
+    import numpy as np
+
+    from simplepolygon_ray.sources import write_geojson_ndjson
+    from simplepolygon_ray.stages.decompose_stage import decompose_dataset, fixture_polygons
+
+    simple = decompose_dataset(fixture_polygons())
+    out = str(tmp_path / "shards")
+    receipts = write_geojson_ndjson(simple, out).to_pandas()
+    assert receipts["n_features"].sum() == simple.count()
+    feats = []
+    for p in sorted((tmp_path / "shards").glob("part-*.jsonl")):
+        feats += [json.loads(line) for line in p.read_text().splitlines()]
+    assert len(feats) == receipts["n_features"].sum()
+    # bit-exact coords through the text round trip
+    direct = decompose_dataset(fixture_polygons()).to_pandas()
+    by_key = {
+        (f["properties"]["geomId"], f["properties"]["ringSeq"]): f for f in feats
+    }
+    for _, row in direct.iterrows():
+        f = by_key[(row["geom_id"], int(row["ring_seq"]))]
+        got = np.asarray(f["geometry"]["coordinates"][0])
+        exp = np.asarray([list(p) for p in row["ring"]])
+        assert (got == exp).all()
+
+
 def test_image_table_roundtrip(ray_session, tmp_path):
     from simplepolygon_ray.images.synth import gen_images
     from simplepolygon_ray.sources import read_image_table, write_image_table
