@@ -227,24 +227,29 @@ class CompiledRingIndex:
                 if entry is None:
                     continue
                 xi, yi, xj, yj, offs, rrows = entry
-                pos = order[s:e]
-                px = lon[pos][:, None]
-                py = lat[pos][:, None]
-                cond = (yi > py) != (yj > py)
-                xcross = (xj - xi) * (py - yi) / (yj - yi) + xi
-                cross = cond & (px < xcross)
-                counts = np.add.reduceat(cross, offs, axis=1)
-                on = (
-                    (py * (xi - xj) + yi * (xj - px) + yj * (px - xi) == 0)
-                    & ((xi - px) * (xj - px) <= 0)
-                    & ((yi - py) * (yj - py) <= 0)
-                )
-                on_ring = np.add.reduceat(on, offs, axis=1) > 0
-                inside = ((counts & 1).astype(bool)) & ~on_ring
-                pidx, ridx = np.nonzero(inside)
-                if len(pidx):
-                    out_pts.append(pos[pidx])
-                    out_rings.append(rrows[ridx])
+                # probe sub-chunks sized so the (chunk, E) temporaries
+                # stay cache-resident instead of streaming through DRAM
+                E = xi.shape[1]
+                chunk = max(1, 125_000 // max(E, 1))
+                for cs in range(s, e, chunk):
+                    pos = order[cs : min(cs + chunk, e)]
+                    px = lon[pos][:, None]
+                    py = lat[pos][:, None]
+                    cond = (yi > py) != (yj > py)
+                    xcross = (xj - xi) * (py - yi) / (yj - yi) + xi
+                    cross = cond & (px < xcross)
+                    counts = np.add.reduceat(cross, offs, axis=1)
+                    on = (
+                        (py * (xi - xj) + yi * (xj - px) + yj * (px - xi) == 0)
+                        & ((xi - px) * (xj - px) <= 0)
+                        & ((yi - py) * (yj - py) <= 0)
+                    )
+                    on_ring = np.add.reduceat(on, offs, axis=1) > 0
+                    inside = ((counts & 1).astype(bool)) & ~on_ring
+                    pidx, ridx = np.nonzero(inside)
+                    if len(pidx):
+                        out_pts.append(pos[pidx])
+                        out_rings.append(rrows[ridx])
         if not out_pts:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(out_pts), np.concatenate(out_rings)

@@ -138,9 +138,11 @@ def _rl_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.cumsum(step)
 
 
-# max padded float64 elements per clip slab (bounds peak memory of the
-# (T, M, 2) pass arrays regardless of tile count × ring size skew)
-_SLAB_ELEMS = 2_000_000
+# max padded float64 elements per clip slab: sized so a pass's (T, M, 2)
+# temporaries stay ~1 MB (cache-resident; measured ~35% faster than
+# 16 MB slabs, which thrash DRAM) while still amortizing numpy call
+# overhead across thousands of tiles
+_SLAB_ELEMS = 125_000
 
 
 def tile_clip_batch(batch: pa.Table, *, zoom: int = 8) -> pa.Table:
