@@ -453,7 +453,40 @@ FROM r
 """
 
 
+# All-pairs word-trigram Jaccard in SQL. Valid as a minhash oracle on
+# this corpus because every true pair has J ≥ 0.9, where the 16-band /
+# 8-row LSH detects with ~certainty (and deterministically: fixed
+# seeds) — so candidates ∩ threshold == all-pairs ∩ threshold. The
+# jaccard value is an integer ratio on both sides (bit-equal float64).
+_MINHASH_SQL = """
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+           FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in generate_series(1, len(ws) - 2)]) AS s
+  FROM d WHERE len(ws) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') AS s FROM d WHERE len(ws) IN (1, 2)
+  UNION ALL
+  SELECT doc_id, '' AS s FROM d WHERE len(ws) = 0
+),
+u AS (SELECT DISTINCT doc_id, s FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+          FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.5
+"""
+
+
 EXTRA_ORACLE_SQL: dict[str, str] = {
+    "minhash_dedup_pairs": _MINHASH_SQL,
     "geo_pip_join": _pip_sql(f"{_ORACLE_DIR}/pip_points", f"{_ORACLE_DIR}/pip_edges"),
     "geo_pip_join_shuffle": _pip_sql(
         f"{_ORACLE_DIR}/pip_points_shuffle", f"{_ORACLE_DIR}/pip_edges_shuffle"
