@@ -453,6 +453,55 @@ FROM r
 """
 
 
+def _compact_sql(cover_dir: str) -> str:
+    """Level-by-level quad compaction in SQL, unrolled 8→1. Mirrors
+    compact_cells' semantics exactly: a ring merges at level L only
+    while L is its CURRENT deepest level (the `mx` gate); full quads
+    (4 distinct children) collapse to their parent; any leftover cell
+    at the deepest level permanently stops that ring (its max level
+    stays L, so it never becomes eligible at L-1)."""
+    mask = (1 << 29) - 1
+    p = (
+        "(((c.cell_id >> 58) - 1) << 58) "
+        f"| ((((c.cell_id >> 29) & {mask}) >> 1) << 29) "
+        f"| ((c.cell_id & {mask}) >> 1)"
+    )
+    parts = [
+        "WITH s9 AS MATERIALIZED (SELECT geom_id, ring_seq, cell_id "
+        f"FROM read_parquet('{cover_dir}/*.parquet'))"
+    ]
+    for L in range(8, 0, -1):
+        parts.append(
+            f"""
+mx{L} AS MATERIALIZED (SELECT geom_id, ring_seq, max(cell_id >> 58) AS ml
+          FROM s{L + 1} GROUP BY geom_id, ring_seq),
+full{L} AS MATERIALIZED (
+  SELECT c.geom_id, c.ring_seq, {p} AS parent
+  FROM s{L + 1} c JOIN mx{L} m
+    ON m.geom_id = c.geom_id AND m.ring_seq = c.ring_seq AND m.ml = {L}
+  WHERE (c.cell_id >> 58) = {L}
+  GROUP BY c.geom_id, c.ring_seq, parent
+  HAVING COUNT(*) = 4
+),
+s{L} AS MATERIALIZED (
+  SELECT c.geom_id, c.ring_seq, c.cell_id
+  FROM s{L + 1} c LEFT JOIN full{L} f
+    ON f.geom_id = c.geom_id AND f.ring_seq = c.ring_seq
+   AND (c.cell_id >> 58) = {L} AND f.parent = {p}
+  WHERE f.parent IS NULL
+  UNION ALL
+  SELECT geom_id, ring_seq, parent AS cell_id FROM full{L}
+)"""
+        )
+    return (
+        parts[0]
+        + ","
+        + ",".join(parts[1:])
+        + "\nSELECT geom_id, ring_seq, cell_id, "
+        "CAST(cell_id >> 58 AS TINYINT) AS level FROM s1"
+    )
+
+
 # All-pairs word-trigram Jaccard in SQL. Valid as a minhash oracle on
 # this corpus because every true pair has J ≥ 0.9, where the 16-band /
 # 8-row LSH detects with ~certainty (and deterministically: fixed
@@ -506,6 +555,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
         f"SELECT DISTINCT cell_id FROM read_parquet('{_ORACLE_DIR}/cover_distinct/*.parquet')"
     ),
     "geo_knn": _knn_sql(f"{_ORACLE_DIR}/knn_probes", f"{_ORACLE_DIR}/knn_sites", k=5),
+    "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "text_quality": _QUALITY_SQL,
 }
@@ -601,10 +651,14 @@ GEO_QUERIES.update(
 
 def q_geo_compact_cover(sf_dir: str):
     """Mixed-level compacted covering: full sibling quads merge into
-    their parent cell (cells/grid.compact_cells)."""
+    their parent cell (cells/grid.compact_cells). Input cover persists
+    so the SQL oracle replays the level-by-level merge."""
+    import ray.data as rd
+
     from ..cells.grid import compact_cells
 
-    cover = q_geo_cover(sf_dir)
+    cover_dir = _persist(q_geo_cover(sf_dir), "cover_compact")
+    cover = rd.read_parquet(cover_dir)
 
     def compact(t: pa.Table) -> pa.Table:
         from ..cells.grid import cell_level
