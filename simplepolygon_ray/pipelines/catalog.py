@@ -149,6 +149,9 @@ def q_geo_cover(sf_dir: str):
     n_polys, _ = scale_counts(sf_dir)
     polygons = fixture_polygons().union(polygons_source(n_polys))
     simple = decompose_dataset(polygons)
+    # persist the ring edge table so the SQL oracle can replay the
+    # covering (slab rasterization + center PIP) on identical inputs
+    _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "cover_edges")
     return cover_rings_dataset(simple, level=DEFAULT_LEVEL)
 
 
@@ -453,6 +456,218 @@ FROM r
 """
 
 
+def _langid_sql() -> str:
+    """Language-ID oracle generated from the SAME marker tables as
+    text/ops.py. Marker bigrams never self-overlap (no 'aa'-style
+    pairs), so the non-overlapping replace-count equals the scalar's
+    overlapping count; n_bigs = letters − letter-runs (RE2 has no
+    lookahead). Scores are integer evidence with one double division
+    in the same order as the numpy kernel, so the strict-first-max
+    CASE reproduces the Python tie-break bit-exactly."""
+    from ..text.ops import _LANG_BIGRAMS, _LANG_ORDER, _STOPWORDS
+
+    score_cols = []
+    for lang in _LANG_ORDER:
+        markers = " + ".join(
+            f"(length(t) - length(replace(t, '{b}', ''))) / 2"
+            for b in sorted(_LANG_BIGRAMS[lang])
+        )
+        stops = " + ".join(
+            f"(CASE WHEN regexp_matches(t, '\\b{w}\\b') THEN 1 ELSE 0 END)"
+            for w in sorted(_STOPWORDS[lang])
+        )
+        score_cols.append(
+            f"CAST({markers} AS DOUBLE) / greatest(CAST(n_bigs AS DOUBLE), 1.0)"
+            f" + 0.5 * ({stops}) AS s_{lang}"
+        )
+    first_max = "CASE " + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in _LANG_ORDER[:-1]
+    ) + f" ELSE '{_LANG_ORDER[-1]}' END"
+    glist = ", ".join(f"s_{lang}" for lang in _LANG_ORDER)
+    return f"""
+WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+           FROM documents),
+n AS (SELECT doc_id, t,
+        length(replace(t, ' ', '')) - len(regexp_extract_all(t, '[a-z]+')) AS n_bigs
+      FROM d),
+s AS (SELECT doc_id, n_bigs, {", ".join(score_cols)} FROM n),
+m AS (SELECT *, greatest({glist}) AS m FROM s)
+SELECT doc_id, CASE WHEN n_bigs = 0 THEN 'und' ELSE {first_max} END AS lang_pred
+FROM m
+"""
+
+
+# n-gram Jaccard with SimHash-prefix blocking, replicated end-to-end:
+# the bit-exact SimHash CTE reproduces the exact candidate buckets
+# (top-8 bits), then trigram-set Jaccard verifies within buckets — so
+# unlike the all-pairs minhash oracle this one matches the blocking's
+# recall exactly, misses and all.
+_NGRAM_SQL = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents),
+hs AS (SELECT doc_id,
+  [ list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                   [unicode(substr(t, i, 1)) for i in generate_series(1, length(t))]),
+      (a, c) -> (xor(a, CAST(c AS HUGEINT)) * 1099511628211)
+                % CAST(18446744073709551616 AS HUGEINT))
+    for t in ts ] AS hl
+  FROM toks),
+b AS (SELECT doc_id,
+  [ CASE WHEN len(hl) = 0 THEN CAST(0 AS HUGEINT)
+         WHEN list_sum([CASE WHEN (h >> bb) % 2 = 1 THEN 1 ELSE -1 END for h in hl]) > 0
+         THEN CAST(1 AS HUGEINT) << bb ELSE CAST(0 AS HUGEINT) END
+    for bb in generate_series(0, 63) ] AS bitvals
+  FROM hs),
+v AS (SELECT doc_id, list_sum(bitvals) AS sh FROM b),
+bkt AS (SELECT doc_id, CAST(sh >> 56 AS BIGINT) AS bucket FROM v),
+dd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents),
+shg AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in generate_series(1, len(ws) - 2)]) AS s
+  FROM dd WHERE len(ws) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') AS s FROM dd WHERE len(ws) IN (1, 2)
+  UNION ALL
+  SELECT doc_id, '' AS s FROM dd WHERE len(ws) = 0
+),
+u AS (SELECT DISTINCT doc_id, s FROM shg),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         FROM bkt a JOIN bkt b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+          FROM cand c
+          JOIN u ua ON ua.doc_id = c.doc_a
+          JOIN u ub ON ub.doc_id = c.doc_b AND ub.s = ua.s
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.3
+"""
+
+
+def _cover_sql(edges_dir: str, level: int = 8) -> str:
+    """Covering oracle: replays cover_rings_flat in SQL — column-slab
+    edge rasterization (same clip/floor order, same consecutive-pair
+    orientation: prev=(xj,yj)→cur=(xi,yi)) unioned with bbox cell
+    centers that pass the crossing-number test. All arithmetic mirrors
+    the numpy kernel op-for-op, so floors land on identical cells."""
+    n = 1 << level
+    return f"""
+WITH raw AS (SELECT * FROM read_parquet('{edges_dir}/*.parquet')),
+e AS (SELECT geom_id, ring_seq, xi, yi, xj, yj,
+        (xj + 180.0) / 360.0 * {n} AS x0, (yj + 90.0) / 180.0 * {n} AS y0,
+        (xi + 180.0) / 360.0 * {n} AS x1, (yi + 90.0) / 180.0 * {n} AS y1
+      FROM raw),
+ec AS (SELECT *,
+        CAST(least(greatest(floor(least(x0, x1)), 0), {n - 1}) AS BIGINT) AS i0,
+        CAST(least(greatest(floor(greatest(x0, x1)), 0), {n - 1}) AS BIGINT) AS i1,
+        x0 = x1 AS vert,
+        (y1 - y0) / (CASE WHEN x1 - x0 <> 0.0 THEN x1 - x0 ELSE 1.0 END) AS slope
+      FROM e),
+cols AS (SELECT geom_id, ring_seq, x0, y0, x1, y1, vert, slope,
+          unnest(generate_series(i0, i1)) AS col FROM ec),
+yy AS (SELECT geom_id, ring_seq, col,
+        CASE WHEN vert THEN least(y0, y1)
+             ELSE y0 + slope * (greatest(CAST(col AS DOUBLE), least(x0, x1)) - x0) END AS ya,
+        CASE WHEN vert THEN greatest(y0, y1)
+             ELSE y0 + slope * (least(CAST(col AS DOUBLE) + 1.0, greatest(x0, x1)) - x0) END AS yb
+      FROM cols),
+jr AS (SELECT geom_id, ring_seq, col,
+        CAST(floor(least(greatest(least(ya, yb), 0), {n - 1})) AS BIGINT) AS jlo,
+        CAST(floor(least(greatest(greatest(ya, yb), 0), {n - 1})) AS BIGINT) AS jhi
+      FROM yy),
+bnd AS (SELECT geom_id, ring_seq, col, unnest(generate_series(jlo, jhi)) AS row_ FROM jr),
+bcells AS (SELECT DISTINCT geom_id, ring_seq,
+            (CAST({level} AS BIGINT) << 58) | (col << 29) | row_ AS cell_id FROM bnd),
+bb AS (SELECT geom_id, ring_seq,
+        min(xi) AS lon0, max(xi) AS lon1, min(yi) AS lat0, max(yi) AS lat1
+       FROM raw GROUP BY geom_id, ring_seq),
+bbi AS (SELECT geom_id, ring_seq,
+        CAST(least(greatest(floor((lon0 + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT) AS i0r,
+        CAST(least(greatest(floor((lon1 + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT) AS i1r,
+        CAST(least(greatest(floor((lat0 + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT) AS j0r,
+        CAST(least(greatest(floor((lat1 + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT) AS j1r
+       FROM bb),
+gi_ AS (SELECT geom_id, ring_seq, j0r, j1r, unnest(generate_series(i0r, i1r)) AS gi FROM bbi),
+grid AS (SELECT geom_id, ring_seq, gi, unnest(generate_series(j0r, j1r)) AS gj FROM gi_),
+cent AS (SELECT geom_id, ring_seq, gi, gj,
+          (gi + 0.5) / {n} * 360.0 - 180.0 AS cx,
+          (gj + 0.5) / {n} * 180.0 - 90.0 AS cy FROM grid),
+pipc AS (SELECT c.geom_id, c.ring_seq, c.gi, c.gj,
+           SUM(CASE WHEN ((e2.yi > c.cy) <> (e2.yj > c.cy))
+                    AND c.cx < (e2.xj - e2.xi) * (c.cy - e2.yi) / (e2.yj - e2.yi) + e2.xi
+               THEN 1 ELSE 0 END) AS crossings
+         FROM cent c JOIN raw e2
+           ON e2.geom_id = c.geom_id AND e2.ring_seq = c.ring_seq
+         GROUP BY c.geom_id, c.ring_seq, c.gi, c.gj),
+icells AS (SELECT geom_id, ring_seq,
+            (CAST({level} AS BIGINT) << 58) | (gi << 29) | gj AS cell_id
+           FROM pipc WHERE crossings % 2 = 1)
+SELECT DISTINCT geom_id, ring_seq, cell_id
+FROM (SELECT * FROM bcells UNION ALL SELECT * FROM icells)
+"""
+
+
+# FNV-1a in SQL: the 64-bit wrap-around chain runs in HUGEINT (the
+# 105-bit intermediate product fits) reduced mod 2^64 per step via
+# list_reduce over the code-point stream — bit-identical to the numpy
+# masked-matrix kernel (docs are ASCII, so unicode(char) == byte).
+_FINGERPRINT_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents),
+ops AS (
+  SELECT doc_id,
+    flatten([
+      [unicode(substr(t, i, 1)) for i in generate_series(1, length(t))] || [-1]
+      for t in ts
+    ]) AS o
+  FROM toks),
+h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT), o),
+      (a, c) -> CASE WHEN c = -1
+                     THEN (a * 31 + 7) % CAST(18446744073709551616 AS HUGEINT)
+                     ELSE (xor(a, CAST(c AS HUGEINT)) * 1099511628211)
+                          % CAST(18446744073709551616 AS HUGEINT)
+                END
+    ) AS fp
+  FROM ops)
+SELECT doc_id,
+       CAST(CASE WHEN fp >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN fp - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE fp END AS BIGINT) AS fingerprint
+FROM h
+"""
+
+_SIMHASH_SQL = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents),
+hs AS (SELECT doc_id,
+  [ list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                   [unicode(substr(t, i, 1)) for i in generate_series(1, length(t))]),
+      (a, c) -> (xor(a, CAST(c AS HUGEINT)) * 1099511628211)
+                % CAST(18446744073709551616 AS HUGEINT))
+    for t in ts ] AS hl
+  FROM toks),
+b AS (SELECT doc_id,
+  [ CASE WHEN len(hl) = 0 THEN CAST(0 AS HUGEINT)
+         WHEN list_sum([CASE WHEN (h >> bb) % 2 = 1 THEN 1 ELSE -1 END for h in hl]) > 0
+         THEN CAST(1 AS HUGEINT) << bb ELSE CAST(0 AS HUGEINT) END
+    for bb in generate_series(0, 63) ] AS bitvals
+  FROM hs),
+v AS (SELECT doc_id, list_sum(bitvals) AS sh FROM b)
+SELECT doc_id,
+  CAST(CASE WHEN sh >= CAST(9223372036854775808 AS HUGEINT)
+            THEN sh - CAST(18446744073709551616 AS HUGEINT) ELSE sh END AS BIGINT) AS simhash
+FROM v
+"""
+
+
 def _compact_sql(cover_dir: str) -> str:
     """Level-by-level quad compaction in SQL, unrolled 8→1. Mirrors
     compact_cells' semantics exactly: a ring merges at level L only
@@ -558,6 +773,11 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "text_quality": _QUALITY_SQL,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": _FINGERPRINT_SQL,
+    "text_simhash": _SIMHASH_SQL,
+    "geo_cover": _cover_sql(f"{_ORACLE_DIR}/cover_edges"),
+    "ngram_jaccard_pairs": _NGRAM_SQL,
 }
 
 
