@@ -593,6 +593,53 @@ WHERE NOT EXISTS (
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+_LATENESS_US = 15 * 60 * 1_000_000  # 15-minute allowed lateness
+_DELAY_STEP_US = 10 * 60 * 1_000_000  # deterministic arrival-delay seed
+
+
+def q_late_data_drop(sf_dir: str):
+    """Watermark semantics replayed over the batch event log: per user
+    stream, the watermark is the running max EVENT-time in ARRIVAL
+    order (event_id) minus the allowed lateness; rows behind it drop.
+    The synthesized log is time-ordered, so a deterministic per-event
+    delay (event_id % 7 steps of 10 min, applied identically in the
+    SQL oracle) reorders event-time vs arrival and produces genuine
+    late data. Deterministic batch equivalent of a streaming
+    late-data filter (SURVEY §2.3 streaming gap, partial closure)."""
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def drop_late(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        eid = g["event_id"].to_numpy(np.int64)
+        ts_us = g["ts"].astype("int64").to_numpy() - (eid % 7) * _DELAY_STEP_US
+        wm = np.maximum.accumulate(ts_us)
+        keep = ts_us >= wm - _LATENESS_US
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64)[keep],
+                "event_id": eid[keep],
+                "ts_us": ts_us[keep],
+                "event_type": g["event_type"].to_numpy()[keep],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(drop_late, batch_format="pandas")
+
+
+_SQL_LATE_DROP = """
+SELECT user_id, event_id, ts_us, event_type
+FROM (
+  SELECT user_id, event_id, ts_us, event_type,
+         MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS wm
+  FROM (SELECT user_id, event_id,
+               epoch_us(ts) - (event_id % 7) * 600000000 AS ts_us,
+               event_type
+        FROM events))
+WHERE ts_us >= wm - 900000000
+"""
+
+
 def q_sessionize(sf_dir: str):
     """30-minute-gap session windows per user: events sorted by ts
     within each user group, session boundaries where the gap exceeds
@@ -647,6 +694,7 @@ QUERIES.update(
         "semi_join_customers": q_semi_join_customers,
         "anti_join_customers": q_anti_join_customers,
         "sessionize": q_sessionize,
+        "late_data_drop": q_late_data_drop,
     }
 )
 
@@ -656,6 +704,7 @@ ORACLE_SQL.update(
         "semi_join_customers": _SQL_SEMI,
         "anti_join_customers": _SQL_ANTI,
         "sessionize": _SQL_SESSIONIZE,
+        "late_data_drop": _SQL_LATE_DROP,
     }
 )
 
