@@ -875,57 +875,63 @@ def q_geo_compact_cover(sf_dir: str):
     so the SQL oracle replays the level-by-level merge."""
     import ray.data as rd
 
-    from ..cells.grid import compact_cells
-
     cover_dir = _persist(q_geo_cover(sf_dir), "cover_compact")
     cover = rd.read_parquet(cover_dir)
+    # compaction needs every cell of a ring in ONE task: a block-local
+    # pass silently under-merges whenever the read splits a ring
+    # across blocks (happens at high cpu counts). groupby co-locates.
+    return cover.groupby(["geom_id", "ring_seq"]).map_groups(
+        compact_cover_table, batch_format="pyarrow"
+    )
 
-    def compact(t: pa.Table) -> pa.Table:
-        from ..cells.grid import cell_level
 
-        empty = pa.table(
-            {
-                "geom_id": pa.array([], type=pa.string()),
-                "ring_seq": pa.array([], type=pa.int32()),
-                "cell_id": pa.array([], type=pa.int64()),
-                "level": pa.array([], type=pa.int8()),
-            }
-        )
-        if t.num_columns == 0 or t.num_rows == 0:
-            return empty
-        # sort-split by (geom_id, ring_seq) instead of a per-row dict
-        gid_codes = (
-            t["geom_id"]
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        seqs = t["ring_seq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cells = t["cell_id"].to_numpy(zero_copy_only=False)
-        key = gid_codes * np.int64(1 << 31) + seqs
-        order = np.argsort(key, kind="stable")
-        bounds = np.flatnonzero(np.diff(key[order])) + 1
-        row_ids, comp_cells = [], []
-        for rows in np.split(order, bounds):
-            comp = compact_cells(cells[rows].astype(np.uint64))
-            row_ids.append(np.full(len(comp), rows[0], np.int64))
-            comp_cells.append(comp)
-        if not row_ids:
-            return empty
-        rid = np.concatenate(row_ids)
-        cc = np.concatenate(comp_cells)
-        take = pa.array(rid)
-        return pa.table(
-            {
-                "geom_id": t["geom_id"].take(take),
-                "ring_seq": t["ring_seq"].take(take),
-                "cell_id": pa.array(cc.astype(np.int64)),
-                "level": pa.array(cell_level(cc).astype(np.int8)),
-            }
-        )
+def compact_cover_table(t: pa.Table) -> pa.Table:
+    """Compact one co-located group (or block) of cover rows: sort-split
+    by ring identity, compact_cells per ring. Requires every cell of a
+    ring to be present (use under a (geom_id, ring_seq) groupby)."""
+    from ..cells.grid import cell_level, compact_cells
 
-    return cover.map_batches(compact, batch_format="pyarrow")
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "cell_id": pa.array([], type=pa.int64()),
+            "level": pa.array([], type=pa.int8()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    # sort-split by (geom_id, ring_seq) instead of a per-row dict
+    gid_codes = (
+        t["geom_id"]
+        .combine_chunks()
+        .dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    seqs = t["ring_seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cells = t["cell_id"].to_numpy(zero_copy_only=False)
+    key = gid_codes * np.int64(1 << 31) + seqs
+    order = np.argsort(key, kind="stable")
+    bounds = np.flatnonzero(np.diff(key[order])) + 1
+    row_ids, comp_cells = [], []
+    for rows in np.split(order, bounds):
+        comp = compact_cells(cells[rows].astype(np.uint64))
+        row_ids.append(np.full(len(comp), rows[0], np.int64))
+        comp_cells.append(comp)
+    if not row_ids:
+        return empty
+    rid = np.concatenate(row_ids)
+    cc = np.concatenate(comp_cells)
+    take = pa.array(rid)
+    return pa.table(
+        {
+            "geom_id": t["geom_id"].take(take),
+            "ring_seq": t["ring_seq"].take(take),
+            "cell_id": pa.array(cc.astype(np.int64)),
+            "level": pa.array(cell_level(cc).astype(np.int8)),
+        }
+    )
 
 
 def q_geo_zonal_counts(sf_dir: str):

@@ -202,6 +202,39 @@ def test_knn_shuffle_matches_broadcast_when_exact(ray_session):
         assert key(grp) == key(bgrp.head(len(grp))), pid
 
 
+def test_compact_cover_ring_split_across_blocks(ray_session):
+    """Regression: compaction must see every cell of a ring in one
+    task. A full sibling quad split across two input blocks still
+    merges when routed through the (geom_id, ring_seq) groupby."""
+    import ray.data as rd
+
+    from simplepolygon_ray.cells.grid import _pack, cell_children
+    from simplepolygon_ray.pipelines.catalog import compact_cover_table
+
+    kids = cell_children(_pack(7, 3, 5)).ravel().astype(np.int64)
+
+    def block(cells):
+        return pa.table(
+            {
+                "geom_id": pa.array(["g"] * len(cells)),
+                "ring_seq": pa.array([0] * len(cells), type=pa.int32()),
+                "cell_id": pa.array(cells),
+            }
+        )
+
+    ds = rd.from_arrow(block(kids[:2])).union(rd.from_arrow(block(kids[2:])))
+    out = (
+        ds.groupby(["geom_id", "ring_seq"])
+        .map_groups(compact_cover_table, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert len(out) == 1  # all 4 siblings merged into the parent
+    assert int(out["level"].iloc[0]) == 7
+    # block-local compaction would have missed the merge:
+    partial = compact_cover_table(block(kids[:2]))
+    assert len(partial) == 2
+
+
 def test_cover_batch_empty():
     empty = pa.table(
         {

@@ -70,7 +70,12 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        import os
+
+        cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+        ray.init(
+            address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR"
+        )
 
     sys.path.insert(0, "/root/repo")
     import importlib.util
