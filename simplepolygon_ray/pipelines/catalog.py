@@ -350,10 +350,23 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs; the bucket assignment persists so
+    the SQL oracle recomputes the within-bucket cosine pairs from the
+    embeddings view. The cosine VALUE is float32 on the Ray side vs
+    float64 list kernels in DuckDB, so the hash compares the pair SET."""
     import ray.data as rd
 
+    from ..text.dedup import hyperplane_bucketize
+
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dup_pairs(emb, threshold=0.3)
+    buckets = emb.map_batches(
+        lambda b: hyperplane_bucketize(b)[["vec_id", "bucket"]], batch_format="pandas"
+    )
+    _persist(buckets, "emb_buckets")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    return pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
 
 
 TEXT_QUERIES = {
@@ -778,6 +791,14 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "text_simhash": _SIMHASH_SQL,
     "geo_cover": _cover_sql(f"{_ORACLE_DIR}/cover_edges"),
     "ngram_jaccard_pairs": _NGRAM_SQL,
+    "embedding_near_dup": f"""
+WITH b AS (SELECT vec_id, bucket FROM read_parquet('{_ORACLE_DIR}/emb_buckets/*.parquet')),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+j AS (SELECT b.vec_id, b.bucket, e.v FROM b JOIN e USING (vec_id))
+SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+FROM j a JOIN j b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.3
+""",
 }
 
 

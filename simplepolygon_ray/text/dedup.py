@@ -296,25 +296,35 @@ def exact_dedup(ds, key_cols, *, id_col: str = "doc_id"):
     )
 
 
+def hyperplane_bucketize(
+    batch: pd.DataFrame, *, n_planes: int = 12, vec_col: str = "embedding"
+) -> pd.DataFrame:
+    """Deterministic hyperplane-LSH bucket per vector (seeded planes,
+    pure function of the embedding dim)."""
+    vecs = np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
+    r = np.random.RandomState(0x91A)
+    p = r.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
+    bits = (vecs @ p) > 0
+    bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": batch["vec_id"].to_numpy(np.int64),
+            "bucket": bucket.astype(np.int64),
+            "vec": [v.tobytes() for v in vecs],
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     emb, *, threshold: float = 0.95, n_planes: int = 12, vec_col: str = "embedding"
 ):
     """Near-dup by embedding cosine: LSH hyperplane bucket groupby, then
     within-bucket exact cosine (pairs emitted once, doc_a < doc_b)."""
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
-        # deterministic hyperplanes: seeded per call, pure function of dim
-        r = np.random.RandomState(0x91A)
-        p = r.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
-        bits = (vecs @ p) > 0
-        bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": batch["vec_id"].to_numpy(np.int64),
-                "bucket": bucket.astype(np.int64),
-                "vec": [v.tobytes() for v in vecs],
-            }
-        )
+    import functools
+
+    bucketize = functools.partial(
+        hyperplane_bucketize, n_planes=n_planes, vec_col=vec_col
+    )
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
