@@ -111,3 +111,105 @@ def test_crossed_rings_invariants(cx, cy, scale, seed):
 )
 def test_nested_invariants(d, cx, cy, scale, seed):
     _check_invariants(_place(nested(d), cx, cy, scale, seed))
+
+
+# ------------------------------------------------------------------
+# round-2 vectorized kernels: batched == scalar, property-driven
+# ------------------------------------------------------------------
+
+
+def _random_simple_ring(rng, cx, cy, scale):
+    """Random star-convex closed ring (guaranteed simple)."""
+    n = int(rng.integers(4, 24))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(0.3, 1.0, n)
+    pts = np.stack([cx + rad * np.cos(ang) * scale, cy + rad * np.sin(ang) * scale], 1)
+    return np.vstack([pts, pts[:1]])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    cx=st.floats(-160, 160),
+    cy=st.floats(-70, 70),
+    scale=st.floats(0.05, 20),
+    level=st.integers(3, 10),
+)
+def test_cover_rings_flat_matches_scalar(seed, cx, cy, scale, level):
+    from simplepolygon_ray.cells.grid import cover_ring, cover_rings_flat
+
+    rng = np.random.default_rng(seed)
+    rings = [
+        _random_simple_ring(rng, cx + dx, cy, scale) for dx in (0.0, scale, -scale)
+    ]
+    coords = np.concatenate(rings)
+    offs = np.concatenate([[0], np.cumsum([len(r) for r in rings])]).astype(np.int64)
+    rr, cc = cover_rings_flat(coords, offs, level)
+    for k, ring in enumerate(rings):
+        exp = cover_ring(ring, level)
+        got = cc[rr == k]
+        assert len(got) == len(exp) and (got == exp).all(), (k, level)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    cx=st.floats(-160, 160),
+    cy=st.floats(-70, 70),
+    scale=st.floats(0.05, 20),
+)
+def test_vectorized_clip_matches_scalar_random(seed, cx, cy, scale):
+    from simplepolygon_ray.stages.tiles import (
+        _clip_tiles_vec,
+        sutherland_hodgman_bbox,
+    )
+
+    rng = np.random.default_rng(seed)
+    ring = _random_simple_ring(rng, cx, cy, scale)
+    open_ring = ring[:-1]
+    T = 6
+    x0 = rng.uniform(cx - scale, cx + scale, T)
+    y0 = rng.uniform(cy - scale, cy + scale, T)
+    x1 = x0 + rng.uniform(0.1, 1.5, T) * scale
+    y1 = y0 + rng.uniform(0.1, 1.5, T) * scale
+    P = np.broadcast_to(open_ring, (T, len(open_ring), 2)).copy()
+    cnt = np.full(T, len(open_ring), np.int64)
+    cP, ccnt = _clip_tiles_vec(P, cnt, x0, y0, x1, y1)
+    for t in range(T):
+        exp = sutherland_hodgman_bbox(ring, x0[t], y0[t], x1[t], y1[t])
+        if len(exp) < 4:
+            assert ccnt[t] < 3, t
+            continue
+        got_open = cP[t, : ccnt[t]]
+        assert ccnt[t] == len(exp) - 1, t
+        assert (got_open == exp[:-1]).all(), t  # float64 bit-exact
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(st.text(max_size=200), min_size=1, max_size=12))
+def test_hash_kernels_property(texts):
+    from simplepolygon_ray.text._hash import fnv64_batch
+    from simplepolygon_ray.text.dedup import simhash64_many
+
+    def scalar_fnv(data: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for ch in data:
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    enc = [t.encode() for t in texts]
+    assert [int(v) for v in fnv64_batch(enc)] == [scalar_fnv(b) for b in enc]
+
+    def scalar_simhash(text):
+        words = text.lower().split()
+        if not words:
+            return 0
+        acc = np.zeros(64, np.int64)
+        for w in words:
+            h = np.uint64(scalar_fnv(w.encode()))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        bits = (acc > 0).astype(np.uint64)
+        return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    assert [int(v) for v in simhash64_many(texts)] == [scalar_simhash(t) for t in texts]
