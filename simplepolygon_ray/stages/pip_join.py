@@ -421,9 +421,10 @@ def pip_join_shuffle(
     # slim ring-blob side: (geom_id, ring_seq, ring_blob) — joined onto
     # the cover rows by ring identity before the wide cell shuffle
     def blobify(t: pa.Table) -> pa.Table:
-        blobs = [
-            np.asarray(r, np.float64).tobytes() for r in t["ring"].to_pylist()
-        ]
+        col = t["ring"].combine_chunks()
+        offs = np.asarray(col.offsets).astype(np.int64)
+        coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+        blobs = [coords[offs[i] : offs[i + 1]].tobytes() for i in range(len(t))]
         return pa.table(
             {
                 "geom_id": t["geom_id"],
@@ -473,7 +474,7 @@ def pip_join_shuffle(
     def refine(t: pa.Table) -> pa.Table:
         lon = t["lon"].to_numpy(zero_copy_only=False)
         lat = t["lat"].to_numpy(zero_copy_only=False)
-        blobs = t["ring_blob"].to_pylist()
+        blob_col = t["ring_blob"].combine_chunks()
         # group rows by ring identity via blob length + first bytes proxy:
         # exact grouping on (geom_id, ring_seq) via dictionary-encoded sort
         gid_codes = t["geom_id"].dictionary_encode().combine_chunks().indices.to_numpy(
@@ -487,7 +488,8 @@ def pip_join_shuffle(
         order = np.argsort(rkeys, kind="stable")
         bounds = np.flatnonzero(np.diff(rkeys[order])) + 1
         for rows in np.split(order, bounds):
-            ring = np.frombuffer(blobs[rows[0]], np.float64).reshape(-1, 2)
+            # one blob decode per ring GROUP, straight off the Arrow cell
+            ring = np.frombuffer(blob_col[int(rows[0])].as_py(), np.float64).reshape(-1, 2)
             keep[rows] = points_in_ring(lon[rows], lat[rows], ring)
         t = t.filter(pa.array(keep))
         return t.select([id_col, "geom_id", "ring_seq", "lon", "lat"])
