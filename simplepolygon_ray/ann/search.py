@@ -76,6 +76,23 @@ def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndar
     return cent
 
 
+@ray.remote
+def _compile_centroids(n_clusters, nprobe, q, vec_col, *blocks):
+    """k-means-lite centroids + probe-bucket set, built INSIDE a Ray
+    task from the bounded sample's block refs — sample vectors never
+    transit the driver; the returned ObjectRef is the broadcast."""
+    import pyarrow as pa
+
+    tables = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
+    full = pa.concat_tables(tables)
+    sample = np.stack(
+        [np.asarray(v, np.float32) for v in full[vec_col].to_pylist()]
+    )
+    cent = _kmeans_lite(sample, min(n_clusters, len(sample)))
+    probe_buckets = np.argsort(((cent - q[None, :]) ** 2).sum(1), kind="stable")[:nprobe]
+    return cent, set(int(b) for b in probe_buckets)
+
+
 def ivf_topk(
     emb,
     query: np.ndarray,
@@ -87,20 +104,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ):
-    """IVF-bucketed approximate top-k: centroids from a driver sample,
-    probe side searches only the ``nprobe`` nearest buckets."""
-    sample = _batch_vecs(emb.limit(sample_rows).to_pandas(), vec_col)
-    cent = _kmeans_lite(sample, min(n_clusters, len(sample)))
+    """IVF-bucketed approximate top-k: centroids from a bounded sample
+    compiled in a Ray task (driver holds only refs), probe side
+    searches only the ``nprobe`` nearest buckets."""
     q = np.asarray(query, np.float32)
-    probe_buckets = np.argsort(((cent - q[None, :]) ** 2).sum(1), kind="stable")[:nprobe]
-    cent_ref = ray.put(cent)
+    sample_refs = emb.limit(sample_rows).to_arrow_refs()
+    compiled_ref = _compile_centroids.remote(n_clusters, nprobe, q, vec_col, *sample_refs)
     qref = ray.put(q)
-    probe_set_ref = ray.put(set(int(b) for b in probe_buckets))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cent_ref)
+        c, probes = ray.get(compiled_ref)
         qq = ray.get(qref)
-        probes = ray.get(probe_set_ref)
         vecs = _batch_vecs(batch, vec_col)
         d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
