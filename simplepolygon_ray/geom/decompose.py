@@ -178,6 +178,104 @@ def _determine_parents(out: list[DecomposedRing]) -> None:
         out[i].parent = parent
 
 
+def _rl_runs(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [arange(s, s+l)] runs, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    step = np.ones(total, np.int64)
+    pos = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    step[0] = starts[0]
+    if len(lens) > 1:
+        step[pos[1:]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(step)
+
+
+def determine_parents_batch(outs: list[list[DecomposedRing]]) -> None:
+    """Fused parent determination + net winding for MANY polygons'
+    outputs: every (orphan, candidate-ring) containment test of the
+    whole block runs in ONE vectorized pass over a flat edge table
+    (same per-element formulas as kernels.points_in_ring, same
+    last-containing-wins overwrite, same single-orphan early-out) —
+    output identical to per-polygon ``_determine_parents`` +
+    ``_set_net_winding`` (reference src/index.ts:645-694)."""
+    work: list[tuple[int, list[int]]] = []
+    for p, out in enumerate(outs):
+        orphans = [i for i, f in enumerate(out) if f.parent == -1]
+        if len(orphans) > 1:
+            work.append((p, orphans))
+    if work:
+        ring_arrays: list[np.ndarray] = []
+        poly_R = np.empty(len(work), np.int64)
+        for k, (p, _) in enumerate(work):
+            poly_R[k] = len(outs[p])
+            for f in outs[p]:
+                r = f.ring
+                if r[0][0] == r[-1][0] and r[0][1] == r[-1][1]:
+                    r = r[:-1]
+                ring_arrays.append(np.asarray(r, np.float64))
+        elen = np.fromiter((len(r) for r in ring_arrays), np.int64, len(ring_arrays))
+        flat = np.concatenate(ring_arrays)
+        estart = np.concatenate([[0], np.cumsum(elen)[:-1]]).astype(np.int64)
+        xi = flat[:, 0]
+        yi = flat[:, 1]
+        prev = np.arange(len(flat), dtype=np.int64) - 1
+        nz = elen > 0
+        prev[estart[nz]] = (estart + elen - 1)[nz]
+        xj = flat[prev, 0]
+        yj = flat[prev, 1]
+
+        poly_ring_start = np.concatenate([[0], np.cumsum(poly_R)[:-1]]).astype(np.int64)
+        probe_x, probe_y, probe_k, probe_local = [], [], [], []
+        for k, (p, orphans) in enumerate(work):
+            for i in orphans:
+                probe_x.append(float(outs[p][i].ring[0][0]))
+                probe_y.append(float(outs[p][i].ring[0][1]))
+                probe_k.append(k)
+                probe_local.append(i)
+        probe_x = np.asarray(probe_x)
+        probe_y = np.asarray(probe_y)
+        probe_k = np.asarray(probe_k, np.int64)
+        probe_local = np.asarray(probe_local, np.int64)
+
+        Rs = poly_R[probe_k]
+        pair_ring = _rl_runs(poly_ring_start[probe_k], Rs)
+        pair_probe = np.repeat(np.arange(len(probe_x), dtype=np.int64), Rs)
+        ring_local = pair_ring - poly_ring_start[probe_k][pair_probe]
+
+        plen = elen[pair_ring]
+        eg = _rl_runs(estart[pair_ring], plen)
+        pe = np.repeat(np.arange(len(pair_ring), dtype=np.int64), plen)
+        px = probe_x[pair_probe][pe]
+        py = probe_y[pair_probe][pe]
+        gxi = xi[eg]
+        gyi = yi[eg]
+        gxj = xj[eg]
+        gyj = yj[eg]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cross = ((gyi > py) != (gyj > py)) & (
+                px < (gxj - gxi) * (py - gyi) / (gyj - gyi) + gxi
+            )
+            on = (
+                (py * (gxi - gxj) + gyi * (gxj - px) + gyj * (px - gxi) == 0)
+                & ((gxi - px) * (gxj - px) <= 0)
+                & ((gyi - py) * (gyj - py) <= 0)
+            )
+        counts = np.bincount(pe, weights=cross, minlength=len(pair_ring)).astype(np.int64)
+        on_any = np.bincount(pe, weights=on, minlength=len(pair_ring)) > 0
+        inside = (counts & 1).astype(bool) & ~on_any & (ring_local != probe_local[pair_probe])
+
+        parent = np.full(len(probe_x), -1, np.int64)
+        sel = np.flatnonzero(inside)
+        if len(sel):
+            np.maximum.at(parent, pair_probe[sel], ring_local[sel])
+        for m in range(len(probe_x)):
+            p, _ = work[int(probe_k[m])]
+            outs[p][int(probe_local[m])].parent = int(parent[m])
+    for out in outs:
+        _set_net_winding(out)
+
+
 def _set_net_winding(out: list[DecomposedRing]) -> None:
     """Iterative topological pass (reference src/index.ts:696-720)."""
     children: dict[int, list[int]] = {}
@@ -196,14 +294,20 @@ def _set_net_winding(out: list[DecomposedRing]) -> None:
             stack.append((c, net))
 
 
-def decompose(coordinates, _isect_rows=None) -> list[DecomposedRing]:
+def decompose(
+    coordinates, _isect_rows=None, _defer_parents=False
+) -> list[DecomposedRing]:
     """Decompose one polygon (``coordinates`` = GeoJSON ``Polygon``
     coordinates: list of rings of [x, y]) into simple rings.
 
     ``_isect_rows``: optional precomputed ``self_intersections`` output
     for these (closed) rings — the batch stage computes one vectorized
     gpsi pass for a whole block of polygons (gpsi.self_intersections_batch)
-    and feeds each polygon's slice here."""
+    and feeds each polygon's slice here.
+
+    ``_defer_parents``: skip parent/net-winding assignment — the batch
+    stage runs ONE fused pass for a whole block of polygons
+    (``determine_parents_batch``), identical output."""
     rings = _close_rings(coordinates)
     num_rings = len(rings)
 
@@ -227,8 +331,9 @@ def decompose(coordinates, _isect_rows=None) -> list[DecomposedRing]:
             DecomposedRing(ring=r, index=None, parent=-1, winding=winding_of_ring(r))
             for r in rings
         ]
-        _determine_parents(out)
-        _set_net_winding(out)
+        if not _defer_parents:
+            _determine_parents(out)
+            _set_net_winding(out)
         return out
 
     # ---- build pseudo-vertex lists and intersection list ----
@@ -430,7 +535,8 @@ def decompose(coordinates, _isect_rows=None) -> list[DecomposedRing]:
             )
         )
 
-    _determine_parents(out)
-    _set_net_winding(out)
+    if not _defer_parents:
+        _determine_parents(out)
+        _set_net_winding(out)
     _debug(f"# Total of {len(out)} rings")
     return out

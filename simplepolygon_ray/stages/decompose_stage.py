@@ -25,7 +25,7 @@ import pathlib
 import numpy as np
 import pyarrow as pa
 
-from ..geom.decompose import _close_rings, decompose
+from ..geom.decompose import _close_rings, decompose, determine_parents_batch
 from ..geom.gpsi import self_intersections_batch
 from ..geom.families import polygon_for_id
 
@@ -120,11 +120,18 @@ def decompose_batch(batch: pa.Table) -> pa.Table:
     # one vectorized self-intersection pass for the whole block
     closed = [_close_rings(r) for r in ringsets]
     isect_rows = self_intersections_batch(closed)
+    # decompose with parents deferred, then ONE fused containment pass
+    # for the whole block (identical output, no per-pair Python PIP)
+    all_outs = [
+        decompose(rings, _isect_rows=rows, _defer_parents=True)
+        for rings, rows in zip(ringsets, isect_rows)
+    ]
+    determine_parents_batch(all_outs)
     out_gid, out_seq, out_idx = [], [], []
     out_parent, out_wind, out_net = [], [], []
     out_rings: list[np.ndarray] = []
-    for gid, rings, rows in zip(geom_ids, ringsets, isect_rows):
-        for seq, res in enumerate(decompose(rings, _isect_rows=rows)):
+    for gid, results in zip(geom_ids, all_outs):
+        for seq, res in enumerate(results):
             out_gid.append(gid)
             out_seq.append(seq)
             out_idx.append(res.index)

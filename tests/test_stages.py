@@ -202,6 +202,26 @@ def test_knn_shuffle_matches_broadcast_when_exact(ray_session):
         assert key(grp) == key(bgrp.head(len(grp))), pid
 
 
+def test_fused_parent_pass_matches_per_polygon():
+    """decompose(_defer_parents) + determine_parents_batch must equal
+    per-polygon decompose exactly (parents, windings, net windings)
+    over a diverse corpus slice."""
+    from simplepolygon_ray.geom.decompose import decompose, determine_parents_batch
+    from simplepolygon_ray.geom.families import polygon_for_id
+
+    ringsets = [polygon_for_id(i, max_radius=1.5) for i in range(120)]
+    direct = [decompose(r) for r in ringsets]
+    deferred = [decompose(r, _defer_parents=True) for r in ringsets]
+    determine_parents_batch(deferred)
+    for d, f in zip(direct, deferred):
+        assert len(d) == len(f)
+        for a, b in zip(d, f):
+            assert a.parent == b.parent
+            assert a.winding == b.winding
+            assert a.net_winding == b.net_winding
+            assert (a.ring == b.ring).all()
+
+
 def test_compact_cover_ring_split_across_blocks(ray_session):
     """Regression: compaction must see every cell of a ring in one
     task. A full sibling quad split across two input blocks still
