@@ -282,6 +282,21 @@ def cover_rings_flat(
     if n_rings <= 0 or len(coords) == 0:
         return empty
     vlen = offs[1:] - offs[:-1]
+    if (vlen == 0).any():
+        # zero-vertex rings poison the run-length machinery (reduceat
+        # over an empty segment, zero-length _rl_arange runs): compute
+        # over the non-empty rings only and remap ring ids back
+        nonempty = np.flatnonzero(vlen > 0)
+        if len(nonempty) == 0:
+            return empty
+        gather = _rl_arange(offs[:-1][nonempty], vlen[nonempty])
+        sub_offs = np.concatenate([[0], np.cumsum(vlen[nonempty])]).astype(np.int64)
+        res = cover_rings_flat(coords[gather], sub_offs, level, with_boundary)
+        if with_boundary:
+            r, c, b = res
+            return nonempty[r], c, b
+        r, c = res
+        return nonempty[r], c
     ring_of_vertex = np.repeat(np.arange(n_rings, dtype=np.int64), vlen)
 
     # ---- boundary: rasterize all consecutive-pair edges at once
@@ -289,7 +304,12 @@ def cover_rings_flat(
     y = (coords[:, 1] + 90.0) / 180.0 * n
     pair_ok = np.ones(max(len(coords) - 1, 0), bool)
     if n_rings > 1:
-        pair_ok[offs[1:-1] - 1] = False  # pairs that straddle two rings
+        # pairs that straddle two rings; a leading zero-vertex ring has
+        # offs==0 whose -1 would wrap to the LAST pair — mask only
+        # positive boundaries (an empty ring contributes no vertices,
+        # so the straddling pair it shares sits at the same offset)
+        bnd = offs[1:-1]
+        pair_ok[bnd[bnd > 0] - 1] = False
     x0 = x[:-1][pair_ok]
     x1 = x[1:][pair_ok]
     y0 = y[:-1][pair_ok]

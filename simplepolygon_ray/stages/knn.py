@@ -104,6 +104,10 @@ class CellPointIndex:
             bound_km = r * min(self.cell_lat_km, lon_km_per_cell)
             if total >= k:
                 idx = np.concatenate(got_idx)
+                # pre-sort candidates by neighbor id: the stable
+                # distance argsort then tie-breaks by (dist, id),
+                # deterministic and matching the SQL oracle's ORDER BY
+                idx = idx[np.argsort(self.ids[idx], kind="stable")]
                 d = haversine_km(qlon, qlat, self.lon[idx], self.lat[idx])
                 top = np.argsort(d, kind="stable")[:k]
                 if d[top[-1]] <= bound_km or r >= n:
@@ -112,6 +116,7 @@ class CellPointIndex:
                 if total == 0:
                     return np.empty(0, np.int64), np.empty(0)
                 idx = np.concatenate(got_idx)
+                idx = idx[np.argsort(self.ids[idx], kind="stable")]
                 d = haversine_km(qlon, qlat, self.lon[idx], self.lat[idx])
                 top = np.argsort(d, kind="stable")[: min(k, total)]
                 return idx[top], d[top]
@@ -179,6 +184,8 @@ class CellPointIndex:
                     idx = np.concatenate(got) if got else np.empty(0, np.int64)
                     if total == 0:
                         break
+                    # deterministic (dist, neighbor_id) tie-break as in knn()
+                    idx = idx[np.argsort(self.ids[idx], kind="stable")]
                     d = haversine_km(
                         plon[:, None], plat[:, None], self.lon[idx], self.lat[idx]
                     )

@@ -74,6 +74,10 @@ def _clip_pass(P, cnt, axis, keep_ge, bound):
     Returns (newP, newcnt). Semantics (incl. emission order) match the
     scalar ``sutherland_hodgman_bbox`` exactly."""
     T, M, _ = P.shape
+    if M == 0:
+        # a previous pass clipped every polygon in the slab empty;
+        # indexing a zero-width vertex axis below would raise
+        return P, np.zeros(T, np.int64)
     idx = np.broadcast_to(np.arange(M), (T, M))
     valid = idx < cnt[:, None]
     coord = P[:, :, axis]
@@ -193,10 +197,17 @@ def tile_clip_batch(batch: pa.Table, *, zoom: int = 8) -> pa.Table:
     kept_rows: list[np.ndarray] = []  # tile-row ids kept
     kept_coords: list[np.ndarray] = []  # flat closed coords
     kept_lens: list[np.ndarray] = []  # closed vertex counts
+    # per-tile vertex lengths + suffix max, computed once (a per-slab
+    # tail .max() is O(slabs × remaining) — quadratic when one huge
+    # ring forces tiny slabs)
+    vl_all = open_len[t_ring[bnd_sel]] if len(bnd_sel) else np.empty(0, np.int64)
+    suf_max = (
+        np.maximum.accumulate(vl_all[::-1])[::-1] if len(vl_all) else vl_all
+    )
     s = 0
     while s < len(bnd_sel):
         # size the slab so T*M stays bounded
-        vmax_here = int(open_len[t_ring[bnd_sel[s:]]].max()) if s < len(bnd_sel) else 1
+        vmax_here = int(suf_max[s])
         per = max(1, _SLAB_ELEMS // max(vmax_here + 8, 1))
         sel = bnd_sel[s : s + per]
         s += per

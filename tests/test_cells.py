@@ -106,3 +106,20 @@ def test_compact():
     # an incomplete quad stays
     out2 = compact_cells(kids[:3])
     assert len(out2) == 3
+
+
+def test_cover_rings_flat_leading_empty_ring():
+    """A zero-vertex leading ring (offs 0,0,...) must not wrap the
+    straddle mask to -1 and drop the last ring's closing edge."""
+    from simplepolygon_ray.cells.grid import cover_rings_flat
+
+    ring = np.array(
+        [[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [0.0, 3.0], [0.0, 0.0]]
+    )
+    offs_plain = np.array([0, len(ring)])
+    r0, c0 = cover_rings_flat(ring, offs_plain, 7)
+    coords = np.concatenate([np.empty((0, 2)), ring])
+    offs_empty = np.array([0, 0, len(ring)])
+    r1, c1 = cover_rings_flat(coords, offs_empty, 7)
+    assert (r1 == 1).all()
+    assert sorted(c1.tolist()) == sorted(c0.tolist())

@@ -417,3 +417,38 @@ def test_decompose_quarantine(ray_session):
 
     with _pytest.raises(Exception, match="duplicate"):
         decompose_dataset(rd.from_arrow(polys)).to_pandas()
+
+
+def test_clip_pass_empty_slab():
+    """A slab whose polygons ALL clip empty must not raise on the
+    remaining passes (ADVICE: zero-width vertex axis after M_new==0)."""
+    from simplepolygon_ray.stages.tiles import _clip_tiles_vec
+
+    # triangle entirely left of its clip window -> first pass empties it
+    P = np.zeros((2, 3, 2))
+    P[:, 0] = (-10.0, 0.0)
+    P[:, 1] = (-9.0, 0.0)
+    P[:, 2] = (-9.5, 1.0)
+    cnt = np.array([3, 3], np.int64)
+    lo = np.array([5.0, 5.0])
+    hi = np.array([6.0, 6.0])
+    _, out_cnt = _clip_tiles_vec(P, cnt, lo, np.array([0.0, 0.0]), hi, np.array([1.0, 1.0]))
+    assert (out_cnt == 0).all()
+
+
+def test_knn_tie_break_by_neighbor_id(ray_session):
+    """Equidistant sites rank by ascending neighbor id (deterministic,
+    matching the SQL oracle's ORDER BY dist, neighbor_id)."""
+    from simplepolygon_ray.stages.knn import CellPointIndex
+
+    # two sites mirror-imaged across the probe longitude: identical
+    # haversine distance, ids chosen so accumulation order != id order
+    sids = np.asarray(["z_far", "b_site", "a_site"])
+    slon = np.array([10.0, 1.0, -1.0])
+    slat = np.array([40.0, 0.0, 0.0])
+    index = CellPointIndex(sids, slon, slat, level=4)
+    idx, d = index.knn(0.0, 0.0, 2)
+    assert list(index.ids[idx]) == ["a_site", "b_site"]
+    assert d[0] == d[1]
+    pp, ss, rr, dd = index.knn_batch(np.array([0.0]), np.array([0.0]), 2)
+    assert list(index.ids[ss]) == ["a_site", "b_site"]
