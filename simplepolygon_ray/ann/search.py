@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["brute_topk", "ivf_topk", "query_vector"]
+__all__ = ["brute_topk", "ivf_compile", "ivf_assign", "ivf_topk", "query_vector"]
 
 
 def query_vector(dim: int, seed: int = 7) -> np.ndarray:
@@ -93,6 +93,56 @@ def _compile_centroids(n_clusters, nprobe, q, vec_col, *blocks):
     return cent, set(int(b) for b in probe_buckets)
 
 
+def ivf_compile(
+    emb,
+    query: np.ndarray,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Compile IVF centroids + probe-bucket set from a DETERMINISTIC
+    hash-mod sample (every m-th id, m sized from the corpus count) —
+    unbiased across the whole dataset, unlike a ``limit(n)`` that
+    trains on the first parquet file at scale. Returns the broadcast
+    ObjectRef; sample vectors never transit the driver."""
+    q = np.asarray(query, np.float32)
+    total = emb.count()  # parquet-metadata count: no data scan
+    m = max(1, total // sample_rows)
+
+    def keep_mod(t):
+        import pyarrow as pa
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % m == 0))
+
+    sample_refs = emb.map_batches(keep_mod, batch_format="pyarrow").to_arrow_refs()
+    return _compile_centroids.remote(n_clusters, nprobe, q, vec_col, *sample_refs)
+
+
+def ivf_assign(emb, compiled_ref, *, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Per-vector IVF assignment + probe membership as a Dataset
+    (vec_id, bucket, in_probe) — the persistable search manifest an
+    oracle can replay the bucket-restricted ranking from."""
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c, probes = ray.get(compiled_ref)
+        vecs = _batch_vecs(batch, vec_col)
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "bucket": a.astype(np.int64),
+                "in_probe": np.isin(a, list(probes)),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pandas")
+
+
 def ivf_topk(
     emb,
     query: np.ndarray,
@@ -103,13 +153,22 @@ def ivf_topk(
     sample_rows: int = 2048,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    compiled_ref=None,
 ):
-    """IVF-bucketed approximate top-k: centroids from a bounded sample
-    compiled in a Ray task (driver holds only refs), probe side
-    searches only the ``nprobe`` nearest buckets."""
+    """IVF-bucketed approximate top-k: centroids from a deterministic
+    hash-mod sample compiled in a Ray task (driver holds only refs),
+    probe side searches only the ``nprobe`` nearest buckets."""
     q = np.asarray(query, np.float32)
-    sample_refs = emb.limit(sample_rows).to_arrow_refs()
-    compiled_ref = _compile_centroids.remote(n_clusters, nprobe, q, vec_col, *sample_refs)
+    if compiled_ref is None:
+        compiled_ref = ivf_compile(
+            emb,
+            q,
+            n_clusters=n_clusters,
+            nprobe=nprobe,
+            sample_rows=sample_rows,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     qref = ray.put(q)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:

@@ -360,7 +360,8 @@ def q_embedding_near_dup(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     buckets = emb.map_batches(
-        lambda b: hyperplane_bucketize(b)[["vec_id", "bucket"]], batch_format="pandas"
+        lambda b: hyperplane_bucketize(b)[["vec_id", "bucket", "sub"]],
+        batch_format="pandas",
     )
     _persist(buckets, "emb_buckets")
     pairs = embedding_near_dup_pairs(emb, threshold=0.3)
@@ -397,10 +398,23 @@ def q_ann_brute(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
+    """IVF top-10, oracle-checked on (vec_id, rank): the per-vector
+    bucket assignment + probe membership persists, so the SQL replays
+    the bucket-restricted cosine ranking from the embeddings view
+    (the centroid iteration itself is recall-tested in pytest)."""
     import ray.data as rd
 
+    from ..ann.search import ivf_assign, ivf_compile
+
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(emb, query_vector(64), k=10, n_clusters=16, nprobe=8)
+    ref = ivf_compile(emb, query_vector(64), n_clusters=16, nprobe=8)
+    _persist(ivf_assign(emb, ref), "ivf_assign")
+    top = ivf_topk(
+        emb, query_vector(64), k=10, n_clusters=16, nprobe=8, compiled_ref=ref
+    ).to_pandas()
+    top = top.reset_index(drop=True)
+    top["rank"] = np.arange(len(top), dtype=np.int64)
+    return top[["vec_id", "rank"]]
 
 
 ANN_QUERIES = {
@@ -436,6 +450,26 @@ SELECT vec_id,
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qlit}) DESC,
                   vec_id) - 1 AS BIGINT) AS "rank"
 FROM embeddings
+ORDER BY "rank"
+LIMIT {k}
+"""
+
+
+def _ann_ivf_sql(k: int) -> str:
+    """Bucket-restricted ranking replay: only vectors whose persisted
+    IVF assignment is in the probe set compete for the top-k."""
+    from ..ann.search import query_vector
+
+    qlit = "[" + ", ".join(repr(float(v)) for v in query_vector(64)) + "]"
+    return f"""
+WITH a AS (SELECT vec_id FROM read_parquet('{_ORACLE_DIR}/ivf_assign/*.parquet')
+           WHERE in_probe),
+e AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN a USING (vec_id))
+SELECT vec_id,
+       CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qlit}) DESC,
+                  vec_id) - 1 AS BIGINT) AS "rank"
+FROM e
 ORDER BY "rank"
 LIMIT {k}
 """
@@ -510,12 +544,17 @@ FROM m
 """
 
 
-# n-gram Jaccard with SimHash-prefix blocking, replicated end-to-end:
-# the bit-exact SimHash CTE reproduces the exact candidate buckets
-# (top-8 bits), then trigram-set Jaccard verifies within buckets — so
-# unlike the all-pairs minhash oracle this one matches the blocking's
-# recall exactly, misses and all.
-_NGRAM_SQL = """
+def _ngram_sql(prefix_bits: int = 8, threshold: float = 0.3, cap: int = 256) -> str:
+    """n-gram Jaccard with SimHash-prefix blocking, replicated
+    end-to-end: the bit-exact SimHash CTE reproduces the exact
+    candidate buckets (top ``prefix_bits``), a bucket larger than
+    ``cap`` splits by the next-8-bit secondary band exactly as the Ray
+    side does, then trigram-set Jaccard verifies within blocks — so
+    unlike the all-pairs minhash oracle this one matches the blocking's
+    recall exactly, misses and all."""
+    bshift = 64 - prefix_bits
+    sshift = max(64 - prefix_bits - 8, 0)
+    return f"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents),
 hs AS (SELECT doc_id,
   [ list_reduce(
@@ -532,7 +571,12 @@ b AS (SELECT doc_id,
     for bb in generate_series(0, 63) ] AS bitvals
   FROM hs),
 v AS (SELECT doc_id, list_sum(bitvals) AS sh FROM b),
-bkt AS (SELECT doc_id, CAST(sh >> 56 AS BIGINT) AS bucket FROM v),
+bkt AS (SELECT doc_id, CAST(sh >> {bshift} AS BIGINT) AS bucket,
+               CAST((sh >> {sshift}) % 256 AS BIGINT) AS sub FROM v),
+sz AS (SELECT bucket, COUNT(*) AS c FROM bkt GROUP BY bucket),
+b2 AS (SELECT k.doc_id, k.bucket,
+              CASE WHEN s.c > {cap} THEN k.sub ELSE -1 END AS sub2
+       FROM bkt k JOIN sz s USING (bucket)),
 dd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents),
 shg AS (
   SELECT doc_id,
@@ -546,8 +590,9 @@ shg AS (
 ),
 u AS (SELECT DISTINCT doc_id, s FROM shg),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
-cand AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         FROM bkt a JOIN bkt b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+cand AS (SELECT a.doc_id AS doc_a, b2_.doc_id AS doc_b
+         FROM b2 a JOIN b2 b2_ ON a.bucket = b2_.bucket AND a.sub2 = b2_.sub2
+          AND a.doc_id < b2_.doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
           FROM cand c
           JOIN u ua ON ua.doc_id = c.doc_a
@@ -558,7 +603,7 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN cnt ca ON ca.doc_id = i.doc_a
 JOIN cnt cb ON cb.doc_id = i.doc_b
-WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.3
+WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= {threshold}
 """
 
 
@@ -785,19 +830,28 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "geo_knn": _knn_sql(f"{_ORACLE_DIR}/knn_probes", f"{_ORACLE_DIR}/knn_sites", k=5),
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
+    "ann_ivf_topk": _ann_ivf_sql(10),
     "text_quality": _QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_simhash": _SIMHASH_SQL,
     "geo_cover": _cover_sql(f"{_ORACLE_DIR}/cover_edges"),
-    "ngram_jaccard_pairs": _NGRAM_SQL,
+    "ngram_jaccard_pairs": _ngram_sql(prefix_bits=8, threshold=0.3, cap=256),
+    # the bucket-cap rule (split oversized buckets by the persisted
+    # secondary band) mirrors embedding_near_dup_pairs exactly
     "embedding_near_dup": f"""
-WITH b AS (SELECT vec_id, bucket FROM read_parquet('{_ORACLE_DIR}/emb_buckets/*.parquet')),
+WITH b AS (SELECT vec_id, bucket, sub
+           FROM read_parquet('{_ORACLE_DIR}/emb_buckets/*.parquet')),
+sz AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+b2 AS (SELECT b.vec_id, b.bucket,
+              CASE WHEN sz.c > 512 THEN b.sub ELSE -1 END AS sub2
+       FROM b JOIN sz USING (bucket)),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-j AS (SELECT b.vec_id, b.bucket, e.v FROM b JOIN e USING (vec_id))
-SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
-FROM j a JOIN j b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE list_cosine_similarity(a.v, b2.v) >= 0.3
+j AS (SELECT b2.vec_id, b2.bucket, b2.sub2, e.v FROM b2 JOIN e USING (vec_id))
+SELECT a.vec_id AS doc_a, b2_.vec_id AS doc_b
+FROM j a JOIN j b2_ ON a.bucket = b2_.bucket AND a.sub2 = b2_.sub2
+ AND a.vec_id < b2_.vec_id
+WHERE list_cosine_similarity(a.v, b2_.v) >= 0.3
 """,
 }
 

@@ -263,6 +263,24 @@ def knn_join(
     )
 
 
+def _segmented_topk(seg_codes, nid, dist, k: int):
+    """Vectorized per-segment top-k by (dist, neighbor_id): returns
+    (row_selector, rank) for the kept rows, ordered (segment, rank).
+    ``seg_codes``/``nid`` may be any comparable dtype (encoded to
+    codes so the lexsort never touches Python objects)."""
+    seg = np.unique(seg_codes, return_inverse=True)[1]
+    nidc = np.unique(nid, return_inverse=True)[1]
+    order = np.lexsort((nidc, dist, seg))
+    s = seg[order]
+    new = np.ones(len(s), bool)
+    new[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(s)))
+    rank = np.arange(len(s), dtype=np.int64) - np.repeat(starts, lens)
+    keep = rank < k
+    return order[keep], rank[keep]
+
+
 def knn_join_shuffle(
     probes,
     sites,
@@ -276,8 +294,12 @@ def knn_join_shuffle(
 ):
     """Shuffle kNN for HUGE site sets (no broadcast index): sites are
     keyed by cell, each probe fans out to its (2·radius+1)² neighbor
-    cells, a cell-keyed hash join co-locates candidates, and a
-    per-probe groupby takes the top-k.
+    cells, and a cell-keyed hash join co-locates candidates. The
+    top-k then runs in two vectorized phases: a per-block segmented
+    partial top-k (reduces to ≤ k rows per probe per block, plus the
+    block-local candidate count), and a final merge grouped by the
+    probe's OWN cell — thousands of cell groups instead of a Python/
+    pandas group per probe — again via segmented lexsort.
 
     Partitioning assumption: ``radius`` must be sized so a probe's
     neighborhood usually holds ≥ k sites AND the k-th distance fits
@@ -324,6 +346,7 @@ def knn_join_shuffle(
                 id_col: t[id_col].take(take),
                 "lon": pa.array(lon[rows]),
                 "lat": pa.array(lat[rows]),
+                "pcell": pa.array(cells[rows]),  # probe's own cell: final-merge key
                 "cell_id": pa.array(cell),
             }
         )
@@ -334,7 +357,10 @@ def knn_join_shuffle(
         keyed, join_type="inner", num_partitions=num_partitions, on=("cell_id",)
     )
 
-    def score(t: pa.Table) -> pa.Table:
+    def score_partial(t: pa.Table) -> pa.Table:
+        """Haversine + ring bound, then block-local segmented top-k:
+        only ≤ k rows per (probe, block) — plus the block's candidate
+        count on each probe's rank-0 row — enter the final shuffle."""
         plat = t["lat"].to_numpy(zero_copy_only=False)
         d = haversine_km(
             t["lon"].to_numpy(zero_copy_only=False),
@@ -346,41 +372,59 @@ def knn_join_shuffle(
         # cell outside the explored (2r+1)² neighborhood: the lat-band
         # argument caps cos(λ) over cells within ±(radius+1) rows
         cosf = np.cos(
-            np.radians(
-                np.minimum(np.abs(plat) + (radius + 1) * 180.0 / n, 90.0)
-            )
+            np.radians(np.minimum(np.abs(plat) + (radius + 1) * 180.0 / n, 90.0))
         )
         bound = radius * np.minimum(
             cell_km_lat, 360.0 / n * 111.19492664455873 * cosf
         )
+        pid = t[id_col].to_numpy(zero_copy_only=False)
+        nid = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        sel, rank = _segmented_topk(pid, nid, d, k)
+        # block-local candidate count per probe, attached to rank-0 rows
+        seg = np.unique(pid, return_inverse=True)[1]
+        counts = np.bincount(seg)
+        cnt = np.where(rank == 0, counts[seg[sel]], 0).astype(np.int64)
+        take = pa.array(sel)
         return pa.table(
             {
-                id_col: t[id_col],
-                "neighbor_id": t["neighbor_id"],
-                "dist_km": pa.array(d),
-                "bound_km": pa.array(bound),
+                id_col: t[id_col].take(take),
+                "pcell": t["pcell"].take(take),
+                "neighbor_id": t["neighbor_id"].take(take),
+                "dist_km": pa.array(d[sel]),
+                "bound_km": pa.array(bound[sel]),
+                "cnt": pa.array(cnt),
             }
         )
 
-    scored = matched.map_batches(score, batch_format="pyarrow")
+    partial = matched.map_batches(score_partial, batch_format="pyarrow")
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        bound_km = float(g["bound_km"].iloc[0])
-        g = g.sort_values(["dist_km", "neighbor_id"], kind="mergesort").head(k)
+    def final_merge(g: pd.DataFrame) -> pd.DataFrame:
+        """One cell's probes at once: global top-k per probe from the
+        ≤ k-per-block partials, candidate totals from the cnt column."""
+        pid = g[id_col].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        dist = g["dist_km"].to_numpy()
+        sel, rank = _segmented_topk(pid, nid, dist, k)
+        seg = np.unique(pid, return_inverse=True)[1]
+        total = np.bincount(seg, weights=g["cnt"].to_numpy()).astype(np.int64)
+        kept_seg = seg[sel]
+        # per-probe k-th distance among kept rows (rank order within segment)
+        is_last = np.ones(len(sel), bool)
+        is_last[:-1] = kept_seg[1:] != kept_seg[:-1]
+        dk = np.empty(len(total))
+        dk[kept_seg[is_last]] = dist[sel][is_last]
+        exact = (total >= k) & (dk <= g["bound_km"].to_numpy()[sel][is_last])
         return pd.DataFrame(
             {
-                id_col: g[id_col].to_numpy(),
-                "neighbor_id": g["neighbor_id"].to_numpy(),
-                "rank": np.arange(len(g), dtype=np.int32),
-                "dist_km": g["dist_km"].to_numpy(),
-                "exact": np.full(
-                    len(g),
-                    bool(len(g) >= k and g["dist_km"].iloc[-1] <= bound_km),
-                ),
+                id_col: pid[sel],
+                "neighbor_id": nid[sel],
+                "rank": rank.astype(np.int32),
+                "dist_km": dist[sel],
+                "exact": exact[kept_seg],
             }
         )
 
-    return scored.groupby(id_col).map_groups(topk, batch_format="pandas")
+    return partial.groupby("pcell").map_groups(final_merge, batch_format="pandas")
 
 
 @ray.remote

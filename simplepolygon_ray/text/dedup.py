@@ -151,6 +151,78 @@ def jaccard_ngrams(t1: str, t2: str, k: int = 3) -> float:
     return len(s1 & s2) / len(s1 | s2)
 
 
+def _unique_row_hashes(texts: list[str], k: int = 3):
+    """Per-document UNIQUE shingle hashes as flat (row, hash) arrays —
+    the vectorized equivalent of ``set(_hash_shingles(t))`` per doc
+    (one shared FNV pass + one lexsort, no per-doc Python)."""
+    h, offs = _hash_shingles_docs(texts, k)
+    rows = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(offs))
+    order = np.lexsort((h, rows))
+    r, hh = rows[order], h[order]
+    keep = np.ones(len(r), bool)
+    keep[1:] = (r[1:] != r[:-1]) | (hh[1:] != hh[:-1])
+    return r[keep], hh[keep]
+
+
+def _jaccard_rows_vec(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+    """jaccard_ngrams(texts_a[i], texts_b[i]) for every i, fully
+    vectorized: both sides' unique shingle hashes are concatenated and
+    sorted once; duplicate (row, hash) entries — possible only across
+    sides after the per-side dedupe — count the intersection."""
+    n = len(texts_a)
+    ra, ha = _unique_row_hashes(texts_a)
+    rb, hb = _unique_row_hashes(texts_b)
+    na = np.bincount(ra, minlength=n)
+    nb = np.bincount(rb, minlength=n)
+    rows = np.concatenate([ra, rb])
+    hs = np.concatenate([ha, hb])
+    order = np.lexsort((hs, rows))
+    rows, hs = rows[order], hs[order]
+    dup = (rows[1:] == rows[:-1]) & (hs[1:] == hs[:-1])
+    ni = np.bincount(rows[1:][dup], minlength=n)
+    union = na + nb - ni  # >= 1 always: empty docs carry the 0-sentinel
+    return ni / np.maximum(union, 1)
+
+
+def _pairs_within(ids: np.ndarray, texts: list[str], threshold: float):
+    """All (doc_a < doc_b, jaccard >= threshold) pairs among one block
+    of docs via a shingle inverted index (the structure the SQL oracle
+    itself uses): pairs are generated ONLY for docs sharing a shingle
+    hash, batched by group-size class — no nested Python pair loop.
+    Output-sensitive: cost ~ total shingles + co-occurring pairs.
+    Requires ``threshold > 0`` (zero-overlap pairs are never emitted)
+    and ``ids`` sorted ascending."""
+    n = len(texts)
+    if n < 2:
+        return np.empty(0, ids.dtype), np.empty(0, ids.dtype), np.empty(0)
+    rh, hh = _unique_row_hashes(texts)
+    counts = np.bincount(rh, minlength=n)
+    order = np.lexsort((rh, hh))  # group by hash; rows ascending within
+    hs, rs = hh[order], rh[order]
+    new = np.ones(len(hs), bool)
+    new[1:] = hs[1:] != hs[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(hs)))
+    pa_list: list[np.ndarray] = []
+    pb_list: list[np.ndarray] = []
+    for size in np.unique(lens[lens >= 2]):
+        sel = starts[lens == size]
+        members = rs[sel[:, None] + np.arange(size)[None, :]]
+        ai, bi = np.triu_indices(int(size), 1)
+        pa_list.append(members[:, ai].ravel())
+        pb_list.append(members[:, bi].ravel())
+    if not pa_list:
+        return np.empty(0, ids.dtype), np.empty(0, ids.dtype), np.empty(0)
+    A = np.concatenate(pa_list)
+    B = np.concatenate(pb_list)
+    key = A * np.int64(n) + B
+    uk, ni = np.unique(key, return_counts=True)
+    ua, ub = uk // n, uk % n
+    jac = ni / (counts[ua] + counts[ub] - ni)
+    keep = jac >= threshold
+    return ids[ua[keep]], ids[ub[keep]], jac[keep]
+
+
 def minhash_dedup_pairs(
     docs,
     *,
@@ -215,31 +287,44 @@ def minhash_dedup_pairs(
     docs_small = docs.map_batches(_filter, batch_format="pyarrow")
 
     @ray.remote
-    def _collect_texts(*blocks) -> dict:
-        out: dict = {}
-        for t in blocks:
-            if t.num_columns == 0 or t.num_rows == 0:
-                continue
-            for i, txt in zip(t["doc_id"].to_pylist(), t[text_col].to_pylist()):
-                out[int(i)] = txt
-        return out
+    def _collect_texts_table(*blocks) -> pa.Table:
+        ts = [
+            t.select(["doc_id", text_col])
+            for t in blocks
+            if t.num_columns > 0 and t.num_rows > 0
+        ]
+        if not ts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), text_col: pa.array([], pa.string())}
+            )
+        return pa.concat_tables(ts)
 
-    # candidate-id→text map, assembled in a task and broadcast: its
-    # size is bounded by the candidate-pair count (LSH output), NOT the
-    # corpus, so the broadcast stays small at any input scale. (A
-    # pathological corpus where candidates ~ corpus breaks any
-    # pair-verify design, joins included.)
-    texts_ref = _collect_texts.remote(*docs_small.to_arrow_refs())
+    # candidate-id→text table, assembled in a task and broadcast as one
+    # columnar Arrow block: its size is bounded by the candidate-pair
+    # count (LSH output), NOT the corpus, so the broadcast stays small
+    # at any input scale. (A pathological corpus where candidates ~
+    # corpus breaks any pair-verify design, joins included.)
+    texts_ref = _collect_texts_table.remote(*docs_small.to_arrow_refs())
 
     def verify(t: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(texts_ref)
-        jac = np.array(
-            [jaccard_ngrams(tx[int(a)], tx[int(b)]) for a, b in zip(t["doc_a"], t["doc_b"])]
+        # two vectorized hash joins of the pair batch against the
+        # broadcast (doc_id, text) table, then one vectorized
+        # shingle-set compare for the whole batch — no per-pair Python
+        tx = ray.get(texts_ref).to_pandas()
+        m = t[["doc_a", "doc_b"]].merge(
+            tx.rename(columns={"doc_id": "doc_a", text_col: "_ta"}), on="doc_a", how="left"
+        )
+        m = m.merge(
+            tx.rename(columns={"doc_id": "doc_b", text_col: "_tb"}), on="doc_b", how="left"
+        )
+        jac = _jaccard_rows_vec(
+            [x if isinstance(x, str) else "" for x in m["_ta"]],
+            [x if isinstance(x, str) else "" for x in m["_tb"]],
         )
         out = pd.DataFrame(
             {
-                "doc_a": t["doc_a"].to_numpy(np.int64),
-                "doc_b": t["doc_b"].to_numpy(np.int64),
+                "doc_a": m["doc_a"].to_numpy(np.int64),
+                "doc_b": m["doc_b"].to_numpy(np.int64),
                 "jaccard": jac,
             }
         )
@@ -300,26 +385,66 @@ def hyperplane_bucketize(
     batch: pd.DataFrame, *, n_planes: int = 12, vec_col: str = "embedding"
 ) -> pd.DataFrame:
     """Deterministic hyperplane-LSH bucket per vector (seeded planes,
-    pure function of the embedding dim)."""
+    pure function of the embedding dim). Also emits ``sub``: 8 extra
+    hyperplane bits used as a secondary band to split oversized
+    buckets (hot-bucket skew defusal; deterministic, SQL-replayable)."""
     vecs = np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
     r = np.random.RandomState(0x91A)
-    p = r.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
+    p = r.standard_normal((vecs.shape[1], n_planes + 8)).astype(np.float32)
     bits = (vecs @ p) > 0
-    bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+    bucket = (
+        bits[:, :n_planes].astype(np.uint64)
+        << np.arange(n_planes, dtype=np.uint64)
+    ).sum(axis=1)
+    sub = (
+        bits[:, n_planes:].astype(np.uint64) << np.arange(8, dtype=np.uint64)
+    ).sum(axis=1)
     return pd.DataFrame(
         {
             "vec_id": batch["vec_id"].to_numpy(np.int64),
             "bucket": bucket.astype(np.int64),
+            "sub": sub.astype(np.int64),
             "vec": [v.tobytes() for v in vecs],
         }
     )
 
 
+def _cosine_pairs_block(ids: np.ndarray, unit: np.ndarray, threshold: float, chunk: int = 1024):
+    """Upper-triangle cosine pairs >= threshold via row-chunked matmul:
+    peak memory is chunk × n, never n × n. ``ids`` sorted ascending."""
+    n = len(ids)
+    out_a, out_b, out_c = [], [], []
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        sim = unit[c0:c1] @ unit.T  # (c, n)
+        rows = np.arange(c0, c1)[:, None]
+        cols = np.arange(n)[None, :]
+        keep = (sim >= threshold) & (cols > rows)
+        r, c = np.nonzero(keep)
+        out_a.append(ids[r + c0])
+        out_b.append(ids[c])
+        out_c.append(sim[r, c].astype(np.float64))
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_c)
+
+
 def embedding_near_dup_pairs(
-    emb, *, threshold: float = 0.95, n_planes: int = 12, vec_col: str = "embedding"
+    emb,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    bucket_cap: int = 512,
 ):
     """Near-dup by embedding cosine: LSH hyperplane bucket groupby, then
-    within-bucket exact cosine (pairs emitted once, doc_a < doc_b)."""
+    within-bucket exact cosine (pairs emitted once, doc_a < doc_b).
+
+    Hot-bucket defusal: a bucket larger than ``bucket_cap`` is split by
+    the deterministic secondary hyperplane band (``sub``) before the
+    exact compare — bounded pair work per group at a small, replayable
+    recall cost (the SQL oracle applies the identical rule). The exact
+    compare itself runs as row-chunked matmuls (memory ~ chunk × n)."""
     import functools
 
     bucketize = functools.partial(
@@ -327,26 +452,31 @@ def embedding_near_dup_pairs(
     )
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
-        vecs = np.stack([np.frombuffer(b, np.float32) for b in g["vec"]])
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        sim = unit @ unit.T
-        ids = g["vec_id"].to_numpy(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids, sim = ids[order], sim[np.ix_(order, order)]
-        a, b = np.triu_indices(n, k=1)
-        keep = sim[a, b] >= threshold
-        return pd.DataFrame(
-            {
-                "doc_a": ids[a[keep]],
-                "doc_b": ids[b[keep]],
-                "cosine": sim[a, b][keep].astype(np.float64),
-            }
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "cosine": np.float64}
         )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id", kind="mergesort")
+        parts = (
+            [sg for _, sg in g.groupby("sub", sort=True)]
+            if len(g) > bucket_cap
+            else [g]
+        )
+        frames = []
+        for sg in parts:
+            if len(sg) < 2:
+                continue
+            vecs = np.stack([np.frombuffer(b, np.float32) for b in sg["vec"]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            a, b, c = _cosine_pairs_block(
+                sg["vec_id"].to_numpy(np.int64), vecs / norms, threshold
+            )
+            frames.append(pd.DataFrame({"doc_a": a, "doc_b": b, "cosine": c}))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
 
     return (
         emb.map_batches(bucketize, batch_format="pandas")
@@ -361,12 +491,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     prefix_bits: int = 12,
     text_col: str = "text",
+    bucket_cap: int = 256,
 ):
     """n-gram Jaccard near-dup with SimHash-prefix blocking: docs that
     share the top ``prefix_bits`` of their SimHash become candidate
     pairs (groupby the prefix — the only shuffle), then exact word
-    3-gram Jaccard verifies each pair. Pairs are emitted once
-    (doc_a < doc_b) with their exact similarity."""
+    3-gram Jaccard verifies within buckets. Pairs are emitted once
+    (doc_a < doc_b) with their exact similarity.
+
+    Hot-bucket defusal: a bucket larger than ``bucket_cap`` splits by
+    the NEXT 8 SimHash bits (secondary band) before the verify —
+    deterministic and replayed identically by the SQL oracle. The
+    verify itself is a shingle inverted index (no nested pair loop);
+    ``threshold`` must be > 0 (zero-overlap pairs are never emitted)."""
+    sub_shift = np.uint64(max(64 - prefix_bits - 8, 0))
 
     def sig(batch: pd.DataFrame) -> pd.DataFrame:
         sh = simhash64_many([t or "" for t in batch[text_col]])
@@ -374,32 +512,34 @@ def ngram_jaccard_pairs(
             {
                 "doc_id": batch["doc_id"].to_numpy(np.int64),
                 "bucket": (sh >> np.uint64(64 - prefix_bits)).astype(np.int64),
+                "sub": ((sh >> sub_shift) & np.uint64(255)).astype(np.int64),
                 "text": batch[text_col],
             }
         )
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
-                {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
-            )
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g["doc_id"].to_numpy(np.int64)
-        texts = list(g["text"])
-        shingles = [set(_hash_shingles(t, 3).tolist()) for t in texts]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                si, sj = shingles[i], shingles[j]
-                if not si and not sj:
-                    jac = 1.0
-                else:
-                    jac = len(si & sj) / len(si | sj)
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], jac))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
             {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
         )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("doc_id", kind="mergesort")
+        parts = (
+            [sg for _, sg in g.groupby("sub", sort=True)]
+            if len(g) > bucket_cap
+            else [g]
+        )
+        frames = []
+        for sg in parts:
+            if len(sg) < 2:
+                continue
+            a, b, jac = _pairs_within(
+                sg["doc_id"].to_numpy(np.int64), list(sg["text"]), threshold
+            )
+            frames.append(pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": jac}))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
 
     return (
         docs.map_batches(sig, batch_format="pandas")

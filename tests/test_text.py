@@ -227,3 +227,84 @@ def test_embedding_near_dup(ray_session):
     got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
     assert (0, 1) in got and (0, 3) in got
     assert not any(2 in p for p in got)
+
+
+def test_jaccard_rows_vec_matches_scalar():
+    from simplepolygon_ray.text.dedup import _jaccard_rows_vec, jaccard_ngrams
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(30)]
+    texts_a = [" ".join(rng.choice(words, rng.integers(0, 12))) for _ in range(40)]
+    texts_b = [" ".join(rng.choice(words, rng.integers(0, 12))) for _ in range(40)]
+    texts_a[5] = ""  # empty-doc sentinel path
+    texts_b[5] = ""
+    got = _jaccard_rows_vec(texts_a, texts_b)
+    want = [jaccard_ngrams(a, b) for a, b in zip(texts_a, texts_b)]
+    assert got.tolist() == want  # bit-exact (integer ratios in float64)
+
+
+def test_pairs_within_matches_nested_loop():
+    from simplepolygon_ray.text.dedup import _pairs_within, jaccard_ngrams
+
+    rng = np.random.default_rng(7)
+    words = [f"tok{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 15))) for _ in range(60)]
+    ids = np.arange(100, 160, dtype=np.int64)
+    a, b, jac = _pairs_within(ids, texts, 0.2)
+    got = {(int(x), int(y)): j for x, y, j in zip(a, b, jac)}
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            v = jaccard_ngrams(texts[i], texts[j])
+            if v >= 0.2:
+                want[(int(ids[i]), int(ids[j]))] = v
+    assert got == want  # same pairs, bit-exact values
+
+
+def test_ngram_hot_bucket_bounded(ray_session):
+    """5k docs forced into ONE SimHash-prefix bucket (prefix_bits=0)
+    must finish fast: the secondary band splits the bucket and the
+    inverted index avoids the 12.5M-pair nested loop."""
+    import time
+
+    import ray.data as rd
+
+    from simplepolygon_ray.text.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    words = [f"word{i}" for i in range(5000)]
+    texts = [" ".join(rng.choice(words, 20)) for _ in range(5000)]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64), "text": texts})
+    )
+    t0 = time.monotonic()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, prefix_bits=0).to_pandas()
+    dt = time.monotonic() - t0
+    assert dt < 60, f"hot bucket took {dt:.1f}s"
+    assert len(pairs) == 0  # random 20-word docs share almost nothing
+
+
+def test_embedding_near_dup_hot_bucket_bounded(ray_session):
+    """A skewed bucket (all vectors in one LSH bucket) splits by the
+    secondary band and runs chunked matmuls — bounded memory, and the
+    found pairs are all true near-dups."""
+    import ray.data as rd
+
+    from simplepolygon_ray.text.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32).astype(np.float32)
+    base /= np.linalg.norm(base)
+    vecs = base[None, :] + 0.02 * rng.standard_normal((2000, 32)).astype(np.float32)
+    vecs[1000:1010] = vecs[0:10]  # ten exact duplicates (cosine 1.0)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(2000, dtype=np.int64),
+            "embedding": [v for v in vecs],
+        }
+    )
+    pairs = embedding_near_dup_pairs(
+        rd.from_pandas(df), threshold=0.9999, bucket_cap=256
+    ).to_pandas()
+    got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    assert got == {(i, 1000 + i) for i in range(10)}
