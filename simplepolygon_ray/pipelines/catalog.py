@@ -93,6 +93,45 @@ def _edges_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def _verts_batch(t: pa.Table) -> pa.Table:
+    """simple-ring rows → one row per OPEN vertex (closing vertex
+    stripped, exactly as tile_clip_batch's ``open_len``), with the
+    in-ring position ``vidx`` so SQL can rebuild the ordered list."""
+    from ..cells.grid import _rl_arange
+
+    if t.num_columns == 0 or t.num_rows == 0:
+        return pa.table(
+            {
+                "geom_id": pa.array([], type=pa.string()),
+                "ring_seq": pa.array([], type=pa.int32()),
+                "vidx": pa.array([], type=pa.int32()),
+                "x": pa.array([], type=pa.float64()),
+                "y": pa.array([], type=pa.float64()),
+            }
+        )
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    vidx = np.arange(len(oc), dtype=np.int64) - np.repeat(ostart, olen)
+    take = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), olen))
+    return pa.table(
+        {
+            "geom_id": t["geom_id"].take(take),
+            "ring_seq": t["ring_seq"].take(take),
+            "vidx": pa.array(vidx.astype(np.int32)),
+            "x": pa.array(oc[:, 0]),
+            "y": pa.array(oc[:, 1]),
+        }
+    )
+
+
 def _pip_sql(points_dir: str, edges_dir: str) -> str:
     """Crossing-number PIP in SQL, arithmetically identical (same ops,
     same order) to geom.kernels.points_in_ring / CompiledRingIndex.
@@ -123,6 +162,16 @@ SELECT image_id, geom_id, ring_seq FROM t WHERE crossings % 2 = 1 AND on_edges =
 
 
 def q_geo_decompose(sf_dir: str):
+    """Decompose projection with a structural SQL oracle: the persisted
+    rows carry (parent, winding) and the oracle RE-DERIVES net_winding
+    by walking the parent chain with a recursive CTE (reference
+    src/index.ts:696-720 semantics: net = parent net + winding, roots
+    at parent = -1) — a wrong parent link, a cycle, or a wrong net
+    value all break the hash/row compare. ring_index is fast-path-null
+    in the engine; it persists as -1 so the compare is null-free."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
     n_polys, _ = scale_counts(sf_dir)
     polygons = fixture_polygons().union(polygons_source(n_polys))
     simple = decompose_dataset(polygons)
@@ -134,7 +183,7 @@ def q_geo_decompose(sf_dir: str):
             {
                 "geom_id": t["geom_id"],
                 "ring_seq": t["ring_seq"],
-                "ring_index": t["ring_index"],
+                "ring_index": pc.fill_null(t["ring_index"], -1),
                 "parent": t["parent"],
                 "winding": t["winding"],
                 "net_winding": t["net_winding"],
@@ -142,7 +191,10 @@ def q_geo_decompose(sf_dir: str):
             }
         )
 
-    return simple.map_batches(project, batch_format="pyarrow")
+    proj_dir = _persist(
+        simple.map_batches(project, batch_format="pyarrow"), "decompose_proj"
+    )
+    return rd.read_parquet(proj_dir)
 
 
 def q_geo_cover(sf_dir: str):
@@ -207,9 +259,14 @@ def q_geo_knn(sf_dir: str):
 
 
 def q_geo_tile_assign(sf_dir: str):
+    """Tile assignment + clip, oracle-checked end-to-end: the ordered
+    open ring vertices persist and the SQL replays covering, boundary/
+    interior split AND the 4-pass Sutherland–Hodgman clip op-for-op,
+    comparing (geom, ring, tile, n_clip_vertices)."""
     n_polys, _ = scale_counts(sf_dir)
     polygons = fixture_polygons().union(polygons_source(n_polys))
     simple = decompose_dataset(polygons)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "tile_verts")
     tiles = tile_assign_dataset(simple, zoom=8)
 
     def project(t: pa.Table) -> pa.Table:
@@ -269,17 +326,38 @@ def q_image_decode_check(sf_dir: str):
 
 def q_geo_knn_shuffle(sf_dir: str):
     """Cell-keyed shuffle kNN (huge-sites path): probes fan out to
-    neighbor cells, hash join on cell, per-probe top-k groupby. Level 6
-    + radius 2 certifies most probes exact on this corpus; rows carry
-    the ``exact`` flag (pytest oracle: exact rows == broadcast kNN)."""
+    neighbor cells, hash join on cell, segmented vectorized top-k.
+    Level 6 + radius 2 certifies most probes exact on this corpus.
+
+    SQL oracle: probes/sites persist, the full result (with the
+    ``exact`` certification flag) persists, and the query returns the
+    exact-certified rows — which the oracle recomputes as the TRUE
+    global kNN ranking over the persisted inputs restricted to those
+    probes. A wrong join, top-k, or a falsely-set exact flag all
+    mismatch."""
+    import ray.data as rd
+
     from ..stages.knn import knn_join_shuffle
 
     _, n_images = scale_counts(sf_dir)
-    sites = gen_points(max(n_images // 10, 100))
-    probes = gen_points(min(n_images, 2_000))
-    return knn_join_shuffle(
-        probes, sites, k=5, level=6, radius=2, num_partitions=8
-    ).select_columns(["image_id", "neighbor_id", "rank", "exact"])
+    sites_dir = _persist(gen_points(max(n_images // 10, 100)), "knn_shuffle_sites")
+    probes_dir = _persist(gen_points(min(n_images, 2_000)), "knn_shuffle_probes")
+    res = knn_join_shuffle(
+        rd.read_parquet(probes_dir),
+        rd.read_parquet(sites_dir),
+        k=5,
+        level=6,
+        radius=2,
+        num_partitions=8,
+    ).materialize()
+    _persist(res, "knn_shuffle_out")
+
+    def exact_only(t: pa.Table) -> pa.Table:
+        return t.filter(t["exact"].combine_chunks()).select(
+            ["image_id", "neighbor_id", "rank"]
+        )
+
+    return res.map_batches(exact_only, batch_format="pyarrow")
 
 
 GEO_QUERIES = {
@@ -437,6 +515,180 @@ r AS (SELECT image_id, neighbor_id,
         row_number() OVER (PARTITION BY image_id ORDER BY dist, neighbor_id) AS rn
       FROM d)
 SELECT image_id, neighbor_id, CAST(rn - 1 AS INTEGER) AS "rank" FROM r WHERE rn <= {k}
+"""
+
+
+def _knn_shuffle_sql(probes_dir: str, sites_dir: str, out_dir: str, k: int) -> str:
+    """True global kNN ranking restricted to the probes the shuffle
+    path certified exact — identical to :func:`_knn_sql` plus the
+    exact-probe filter read from the persisted shuffle output."""
+    return f"""
+WITH ex AS (SELECT DISTINCT image_id FROM read_parquet('{out_dir}/*.parquet')
+            WHERE exact),
+p AS (SELECT p0.image_id, p0.lon, p0.lat
+      FROM read_parquet('{probes_dir}/*.parquet') p0 JOIN ex USING (image_id)),
+s AS (SELECT image_id AS neighbor_id, lon AS slon, lat AS slat
+      FROM read_parquet('{sites_dir}/*.parquet')),
+d AS (SELECT p.image_id, s.neighbor_id,
+        2 * 6371.0088 * asin(sqrt(
+          pow(sin((radians(s.slat) - radians(p.lat)) / 2), 2)
+          + cos(radians(p.lat)) * cos(radians(s.slat))
+            * pow(sin((radians(s.slon) - radians(p.lon)) / 2), 2))) AS dist
+      FROM p CROSS JOIN s),
+r AS (SELECT image_id, neighbor_id,
+        row_number() OVER (PARTITION BY image_id ORDER BY dist, neighbor_id) AS rn
+      FROM d)
+SELECT image_id, neighbor_id, CAST(rn - 1 AS INTEGER) AS "rank" FROM r WHERE rn <= {k}
+"""
+
+
+def _decompose_sql(proj_dir: str) -> str:
+    """Structural replay of the decompose projection: net_winding is
+    re-derived from (parent, winding) by the recursive parent walk
+    (net = parent net + winding, roots at parent = -1); every other
+    column passes through, so row count, schema and values must all
+    reconcile with the engine's own emission."""
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT geom_id, ring_seq, ring_index, parent, winding, n_vertices
+  FROM read_parquet('{proj_dir}/*.parquet')),
+rec AS (
+  SELECT geom_id, ring_seq, ring_index, parent, winding, n_vertices,
+         CAST(winding AS INTEGER) AS net_winding
+  FROM p WHERE parent = -1
+  UNION ALL
+  SELECT c.geom_id, c.ring_seq, c.ring_index, c.parent, c.winding, c.n_vertices,
+         CAST(r.net_winding + c.winding AS INTEGER) AS net_winding
+  FROM p c JOIN rec r ON r.geom_id = c.geom_id AND r.ring_seq = c.parent)
+SELECT geom_id, ring_seq, ring_index, parent, winding, net_winding, n_vertices
+FROM rec
+"""
+
+
+def _sh_pass_expr(pts: str, axis: int, ge: bool, bound: str) -> str:
+    """One Sutherland–Hodgman half-plane pass as a DuckDB list
+    comprehension over ``pts`` (list of [x, y] DOUBLE lists). Emission
+    order and arithmetic mirror stages/tiles._clip_pass op-for-op:
+    crossing edges emit the intersection point first, inside current
+    vertices follow; t = (bound - prev) / (cur - prev), other =
+    prev_other + t * (cur_other - prev_other)."""
+    other = 2 if axis == 1 else 1
+    cur = f"{pts}[i]"
+    prv = f"{pts}[CASE WHEN i = 1 THEN len({pts}) ELSE i - 1 END]"
+    op = ">=" if ge else "<="
+    ic = f"({cur}[{axis}] {op} {bound})"
+    ip = f"({prv}[{axis}] {op} {bound})"
+    t = f"(({bound} - {prv}[{axis}]) / ({cur}[{axis}] - {prv}[{axis}]))"
+    oth = f"({prv}[{other}] + {t} * ({cur}[{other}] - {prv}[{other}]))"
+    ix = f"[{bound}, {oth}]" if axis == 1 else f"[{oth}, {bound}]"
+    return (
+        f"flatten([CASE "
+        f"WHEN {ic} AND NOT {ip} THEN [{ix}, {cur}] "
+        f"WHEN {ic} THEN [{cur}] "
+        f"WHEN {ip} THEN [{ix}] "
+        f"ELSE CAST([] AS DOUBLE[][]) END "
+        f"for i in generate_series(1, len({pts}))])"
+    )
+
+
+def _tile_sql(verts_dir: str, level: int = 8) -> str:
+    """Tile-assignment oracle: replays the whole tile_clip_batch stage
+    in SQL from the persisted ordered ring vertices — the covering with
+    its boundary/interior split (same rasterization + center-PIP
+    arithmetic as :func:`_cover_sql`), interior tiles emitting their
+    5-vertex bbox, boundary tiles running the exact 4-pass
+    Sutherland–Hodgman clip (left/right/bottom/top, same order as
+    stages/tiles._clip_tiles_vec) — and compares
+    (geom_id, ring_seq, tile_z, tile_x, tile_y, n_clip_vertices)."""
+    n = 1 << level
+    p1 = _sh_pass_expr("pts", 1, True, "lon0")
+    p2 = _sh_pass_expr("pts", 1, False, "lon1")
+    p3 = _sh_pass_expr("pts", 2, True, "lat0")
+    p4 = _sh_pass_expr("pts", 2, False, "lat1")
+    return f"""
+WITH verts AS (SELECT geom_id, ring_seq, vidx, x, y
+               FROM read_parquet('{verts_dir}/*.parquet')),
+nv AS (SELECT geom_id, ring_seq, COUNT(*) AS n FROM verts GROUP BY geom_id, ring_seq),
+raw AS (
+  SELECT a.geom_id, a.ring_seq, a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+  FROM verts a
+  JOIN nv USING (geom_id, ring_seq)
+  JOIN verts b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+   AND b.vidx = CASE WHEN a.vidx = 0 THEN nv.n - 1 ELSE a.vidx - 1 END),
+e AS (SELECT geom_id, ring_seq, xi, yi, xj, yj,
+        (xj + 180.0) / 360.0 * {n} AS x0, (yj + 90.0) / 180.0 * {n} AS y0,
+        (xi + 180.0) / 360.0 * {n} AS x1, (yi + 90.0) / 180.0 * {n} AS y1
+      FROM raw),
+ec AS (SELECT *,
+        CAST(least(greatest(floor(least(x0, x1)), 0), {n - 1}) AS BIGINT) AS i0,
+        CAST(least(greatest(floor(greatest(x0, x1)), 0), {n - 1}) AS BIGINT) AS i1,
+        x0 = x1 AS vert,
+        (y1 - y0) / (CASE WHEN x1 - x0 <> 0.0 THEN x1 - x0 ELSE 1.0 END) AS slope
+      FROM e),
+cols AS (SELECT geom_id, ring_seq, x0, y0, x1, y1, vert, slope,
+          unnest(generate_series(i0, i1)) AS col FROM ec),
+yy AS (SELECT geom_id, ring_seq, col,
+        CASE WHEN vert THEN least(y0, y1)
+             ELSE y0 + slope * (greatest(CAST(col AS DOUBLE), least(x0, x1)) - x0) END AS ya,
+        CASE WHEN vert THEN greatest(y0, y1)
+             ELSE y0 + slope * (least(CAST(col AS DOUBLE) + 1.0, greatest(x0, x1)) - x0) END AS yb
+      FROM cols),
+jr AS (SELECT geom_id, ring_seq, col,
+        CAST(floor(least(greatest(least(ya, yb), 0), {n - 1})) AS BIGINT) AS jlo,
+        CAST(floor(least(greatest(greatest(ya, yb), 0), {n - 1})) AS BIGINT) AS jhi
+      FROM yy),
+bnd AS (SELECT geom_id, ring_seq, col, unnest(generate_series(jlo, jhi)) AS row_ FROM jr),
+bcells AS MATERIALIZED (SELECT DISTINCT geom_id, ring_seq, col AS ci, row_ AS cj FROM bnd),
+bb AS (SELECT geom_id, ring_seq,
+        min(xi) AS blon0, max(xi) AS blon1, min(yi) AS blat0, max(yi) AS blat1
+       FROM raw GROUP BY geom_id, ring_seq),
+bbi AS (SELECT geom_id, ring_seq,
+        CAST(least(greatest(floor((blon0 + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT) AS i0r,
+        CAST(least(greatest(floor((blon1 + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT) AS i1r,
+        CAST(least(greatest(floor((blat0 + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT) AS j0r,
+        CAST(least(greatest(floor((blat1 + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT) AS j1r
+       FROM bb),
+gi_ AS (SELECT geom_id, ring_seq, j0r, j1r, unnest(generate_series(i0r, i1r)) AS gi FROM bbi),
+grid AS (SELECT geom_id, ring_seq, gi, unnest(generate_series(j0r, j1r)) AS gj FROM gi_),
+cent AS (SELECT geom_id, ring_seq, gi, gj,
+          (gi + 0.5) / {n} * 360.0 - 180.0 AS cx,
+          (gj + 0.5) / {n} * 180.0 - 90.0 AS cy FROM grid),
+pipc AS (SELECT c.geom_id, c.ring_seq, c.gi, c.gj,
+           SUM(CASE WHEN ((e2.yi > c.cy) <> (e2.yj > c.cy))
+                    AND c.cx < (e2.xj - e2.xi) * (c.cy - e2.yi) / (e2.yj - e2.yi) + e2.xi
+               THEN 1 ELSE 0 END) AS crossings
+         FROM cent c JOIN raw e2
+           ON e2.geom_id = c.geom_id AND e2.ring_seq = c.ring_seq
+         GROUP BY c.geom_id, c.ring_seq, c.gi, c.gj),
+icells AS (SELECT geom_id, ring_seq, gi, gj FROM pipc WHERE crossings % 2 = 1),
+int_only AS (
+  SELECT i.geom_id, i.ring_seq, i.gi AS ci, i.gj AS cj
+  FROM icells i LEFT JOIN bcells b
+    ON b.geom_id = i.geom_id AND b.ring_seq = i.ring_seq
+   AND b.ci = i.gi AND b.cj = i.gj
+  WHERE b.ci IS NULL),
+pts0 AS MATERIALIZED (SELECT geom_id, ring_seq, list([x, y] ORDER BY vidx) AS pts
+         FROM verts GROUP BY geom_id, ring_seq),
+b0 AS MATERIALIZED (SELECT f.geom_id, f.ring_seq, f.ci, f.cj,
+        CAST(f.ci AS DOUBLE) / {float(n)} * 360.0 - 180.0 AS lon0,
+        CAST(f.cj AS DOUBLE) / {float(n)} * 180.0 - 90.0 AS lat0,
+        (CAST(f.ci AS DOUBLE) + 1.0) / {float(n)} * 360.0 - 180.0 AS lon1,
+        (CAST(f.cj AS DOUBLE) + 1.0) / {float(n)} * 180.0 - 90.0 AS lat1,
+        p.pts
+       FROM bcells f JOIN pts0 p USING (geom_id, ring_seq)),
+b1 AS MATERIALIZED (SELECT geom_id, ring_seq, ci, cj, lon0, lat0, lon1, lat1, {p1} AS pts FROM b0),
+b2 AS MATERIALIZED (SELECT geom_id, ring_seq, ci, cj, lon0, lat0, lon1, lat1, {p2} AS pts FROM b1),
+b3 AS MATERIALIZED (SELECT geom_id, ring_seq, ci, cj, lon0, lat0, lon1, lat1, {p3} AS pts FROM b2),
+b4 AS MATERIALIZED (SELECT geom_id, ring_seq, ci, cj, lon0, lat0, lon1, lat1, {p4} AS pts FROM b3),
+bnd_out AS (SELECT geom_id, ring_seq, ci, cj, len(pts) + 1 AS ncv
+            FROM b4 WHERE len(pts) >= 3),
+int_out AS (SELECT geom_id, ring_seq, ci, cj, 5 AS ncv FROM int_only)
+SELECT geom_id, ring_seq,
+       CAST({level} AS SMALLINT) AS tile_z,
+       CAST(ci AS INTEGER) AS tile_x,
+       CAST({n - 1} - cj AS INTEGER) AS tile_y,
+       CAST(ncv AS INTEGER) AS n_clip_vertices
+FROM (SELECT * FROM bnd_out UNION ALL SELECT * FROM int_out)
 """
 
 
@@ -828,6 +1080,14 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
         f"SELECT DISTINCT cell_id FROM read_parquet('{_ORACLE_DIR}/cover_distinct/*.parquet')"
     ),
     "geo_knn": _knn_sql(f"{_ORACLE_DIR}/knn_probes", f"{_ORACLE_DIR}/knn_sites", k=5),
+    "geo_knn_shuffle": _knn_shuffle_sql(
+        f"{_ORACLE_DIR}/knn_shuffle_probes",
+        f"{_ORACLE_DIR}/knn_shuffle_sites",
+        f"{_ORACLE_DIR}/knn_shuffle_out",
+        k=5,
+    ),
+    "geo_decompose": _decompose_sql(f"{_ORACLE_DIR}/decompose_proj"),
+    "geo_tile_assign": _tile_sql(f"{_ORACLE_DIR}/tile_verts", level=8),
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "ann_ivf_topk": _ann_ivf_sql(10),

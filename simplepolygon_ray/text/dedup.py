@@ -390,15 +390,14 @@ def hyperplane_bucketize(
     buckets (hot-bucket skew defusal; deterministic, SQL-replayable)."""
     vecs = np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
     r = np.random.RandomState(0x91A)
-    p = r.standard_normal((vecs.shape[1], n_planes + 8)).astype(np.float32)
+    # primary planes drawn exactly as always (bit-compatible buckets);
+    # the secondary band continues the same seeded stream
+    p = r.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
+    p2 = r.standard_normal((vecs.shape[1], 8)).astype(np.float32)
     bits = (vecs @ p) > 0
-    bucket = (
-        bits[:, :n_planes].astype(np.uint64)
-        << np.arange(n_planes, dtype=np.uint64)
-    ).sum(axis=1)
-    sub = (
-        bits[:, n_planes:].astype(np.uint64) << np.arange(8, dtype=np.uint64)
-    ).sum(axis=1)
+    bits2 = (vecs @ p2) > 0
+    bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+    sub = (bits2.astype(np.uint64) << np.arange(8, dtype=np.uint64)).sum(axis=1)
     return pd.DataFrame(
         {
             "vec_id": batch["vec_id"].to_numpy(np.int64),
