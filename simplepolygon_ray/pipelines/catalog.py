@@ -692,6 +692,56 @@ FROM (SELECT * FROM bnd_out UNION ALL SELECT * FROM int_out)
 """
 
 
+def _hll_sql(p: int = 12) -> str:
+    """Full HyperLogLog replay in SQL: splitmix64 over user_id (64×64
+    multiply done in 32-bit limbs mod 2^64 — the raw product overflows
+    signed INT128), the 6-step leading-zero cascade exactly as
+    sketches._hash64/add_hashed, register MAX group-by, and the
+    bias-corrected estimate with the small-range branch. Matches the
+    Ray-side estimate to the rounded 0.1."""
+    T = 1 << 64
+    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << p
+    sent = 1 << (p - 1)
+
+    def mulmod(a: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (
+            f"((({a}) * {bl}) % {T} + (((({a}) % {1 << 32}) * {bh}) % {1 << 32})"
+            f" * {1 << 32}) % {T}"
+        )
+
+    sql = f"""
+WITH h0 AS (SELECT (CAST(user_id AS HUGEINT) + {C0}) % {T} AS x FROM events),
+h1 AS (SELECT {mulmod('xor(x, x >> 30)', C1)} AS x FROM h0),
+h2 AS (SELECT {mulmod('xor(x, x >> 27)', C2)} AS x FROM h1),
+h3 AS (SELECT xor(x, x >> 31) AS h FROM h2),
+s AS MATERIALIZED (SELECT CAST(h >> {64 - p} AS BIGINT) AS idx,
+                ((h * {1 << p}) % {T}) + {sent} AS c, CAST(0 AS HUGEINT) AS l FROM h3)"""
+    prev = "s"
+    for i, sh in enumerate((32, 16, 8, 4, 2, 1)):
+        lim = 1 << (64 - sh)
+        sql += f""",
+s{i} AS MATERIALIZED (SELECT idx,
+   CASE WHEN c < CAST({lim} AS HUGEINT) THEN l + {sh} ELSE l END AS l,
+   CASE WHEN c < CAST({lim} AS HUGEINT) THEN (c * {1 << sh}) % {T} ELSE c END AS c
+ FROM {prev})"""
+        prev = f"s{i}"
+    sql += f""",
+regs AS (SELECT idx, MAX(CAST(l AS BIGINT) + 1) AS r FROM {prev} GROUP BY idx),
+agg AS (SELECT SUM(pow(2.0, -CAST(r AS DOUBLE))) AS present_sum, COUNT(*) AS npresent
+        FROM regs),
+est AS (SELECT (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)}
+               / (present_sum + ({m} - npresent) * 1.0) AS e,
+               {m} - npresent AS zeros FROM agg)
+SELECT round(CASE WHEN e <= 2.5 * {float(m)} AND zeros > 0
+             THEN {float(m)} * ln({float(m)} / zeros) ELSE e END, 1)
+       AS approx_distinct_users
+FROM est
+"""
+    return sql
+
+
 def _ann_sql(k: int) -> str:
     from ..ann.search import query_vector
 
@@ -1091,6 +1141,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "ann_ivf_topk": _ann_ivf_sql(10),
+    "approx_distinct_users": _hll_sql(p=12),
     "text_quality": _QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FINGERPRINT_SQL,
@@ -1184,8 +1235,11 @@ def q_media_resize(sf_dir: str):
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HLL approximate COUNT(DISTINCT user_id) over events (rows-only:
-    approximate by design; error bound tested in pytest)."""
+    """HLL approximate COUNT(DISTINCT user_id) over events. Oracle:
+    the SQL replays the WHOLE sketch — splitmix64, register max,
+    bias-corrected estimate — in HUGEINT/DOUBLE arithmetic and must
+    reproduce the identical rounded estimate (the approximation is
+    deterministic; its error bound is separately tested in pytest)."""
     import ray.data as rd
 
     from ..relational.sketches import approx_distinct

@@ -452,3 +452,24 @@ def test_knn_tie_break_by_neighbor_id(ray_session):
     assert d[0] == d[1]
     pp, ss, rr, dd = index.knn_batch(np.array([0.0]), np.array([0.0]), 2)
     assert list(index.ids[ss]) == ["a_site", "b_site"]
+
+
+def test_segmented_topk_matches_naive():
+    from simplepolygon_ray.stages.knn import _segmented_topk
+
+    rng = np.random.default_rng(13)
+    n = 500
+    probes = rng.choice([f"p{i}" for i in range(40)], n)
+    nids = rng.choice([f"s{i}" for i in range(25)], n)
+    dist = rng.choice(np.linspace(0, 10, 20), n)  # force distance ties
+    k = 3
+    sel, rank = _segmented_topk(probes, nids, dist, k)
+    got = {}
+    for s, r in zip(sel, rank):
+        got.setdefault(probes[s], []).append((dist[s], nids[s], r))
+    for p in np.unique(probes):
+        rows = sorted(
+            [(dist[i], nids[i]) for i in range(n) if probes[i] == p]
+        )[:k]
+        want = [(d, s, i) for i, (d, s) in enumerate(rows)]
+        assert got[p] == want, p
