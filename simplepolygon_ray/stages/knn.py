@@ -291,10 +291,15 @@ def knn_join_shuffle(
     id_col: str = "image_id",
     site_id_col: str = "image_id",
     num_partitions: int = 16,
+    salt_factor: int = 1,
 ):
     """Shuffle kNN for HUGE site sets (no broadcast index): sites are
     keyed by cell, each probe fans out to its (2·radius+1)² neighbor
-    cells, and a cell-keyed hash join co-locates candidates. The
+    cells, and a cell-keyed hash join co-locates candidates. A hot
+    cell (dense site cluster) can be split across ``salt_factor``
+    shards — sites take one shard each, probes replicate to all — at
+    the cost of ×salt_factor probe fan-out; the partial top-k absorbs
+    the shards and the final merge is unchanged. The
     top-k then runs in two vectorized phases: a per-block segmented
     partial top-k (reduces to ≤ k rows per probe per block, plus the
     block-local candidate count), and a final merge grouped by the
@@ -316,12 +321,16 @@ def knn_join_shuffle(
         lon = t["lon"].to_numpy(zero_copy_only=False)
         lat = t["lat"].to_numpy(zero_copy_only=False)
         cells = point_to_cell(lon, lat, level).astype(np.int64)
+        # shard assignment only spreads load; ANY per-site choice is
+        # correct because probes visit every shard of a cell
+        salt = np.arange(len(t), dtype=np.int64) % salt_factor
         return pa.table(
             {
                 "neighbor_id": t[site_id_col],
                 "slon": pa.array(lon),
                 "slat": pa.array(lat),
                 "cell_id": pa.array(cells),
+                "salt": pa.array(salt),
             }
         )
 
@@ -340,6 +349,10 @@ def knn_join_shuffle(
         ncell = ok.sum(axis=1)
         rows = np.repeat(np.arange(len(t), dtype=np.int64), ncell)
         cell = (np.int64(level) << np.int64(58)) | (ii[ok] << np.int64(29)) | jj[ok]
+        # probes visit every salt shard of each neighbor cell
+        rows = np.repeat(rows, salt_factor)
+        cell = np.repeat(cell, salt_factor)
+        salt = np.tile(np.arange(salt_factor, dtype=np.int64), len(rows) // salt_factor)
         take = pa.array(rows)
         return pa.table(
             {
@@ -348,13 +361,17 @@ def knn_join_shuffle(
                 "lat": pa.array(lat[rows]),
                 "pcell": pa.array(cells[rows]),  # probe's own cell: final-merge key
                 "cell_id": pa.array(cell),
+                "salt": pa.array(salt),
             }
         )
 
     exp = probes.map_batches(expand_probes, batch_format="pyarrow")
     keyed = sites.map_batches(key_sites, batch_format="pyarrow")
     matched = exp.join(
-        keyed, join_type="inner", num_partitions=num_partitions, on=("cell_id",)
+        keyed,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cell_id", "salt"),
     )
 
     def score_partial(t: pa.Table) -> pa.Table:

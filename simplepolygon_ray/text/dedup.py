@@ -371,14 +371,19 @@ def simhash_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 
 def exact_dedup(ds, key_cols, *, id_col: str = "doc_id"):
-    """Exact dedup: keep the minimum-id row per key group."""
+    """Exact dedup: keep the minimum-id row per key group. Runs as a
+    block-local pre-combine (pandas groupby-min per block) followed by
+    one Min aggregate — the shuffle carries at most one row per
+    (key, block) and no per-key Python group ever materializes."""
+    from ray.data.aggregate import Min
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    keys = key_cols if isinstance(key_cols, list) else [key_cols]
 
-    return ds.groupby(key_cols if isinstance(key_cols, list) else [key_cols]).map_groups(
-        first, batch_format="pandas"
-    )
+    def local_min(t: pd.DataFrame) -> pd.DataFrame:
+        return t.groupby(keys, as_index=False, sort=False)[id_col].min()
+
+    partial = ds.map_batches(local_min, batch_format="pandas")
+    return partial.groupby(keys).aggregate(Min(id_col, alias_name=id_col))
 
 
 def hyperplane_bucketize(

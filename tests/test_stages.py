@@ -473,3 +473,30 @@ def test_segmented_topk_matches_naive():
         )[:k]
         want = [(d, s, i) for i, (d, s) in enumerate(rows)]
         assert got[p] == want, p
+
+
+def test_knn_shuffle_salted_matches_unsalted(ray_session):
+    """salt_factor shards a hot cell's sites; the result is identical
+    to the unsalted join (probes visit every shard)."""
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.knn import knn_join_shuffle
+
+    sites = rd.from_arrow(
+        gen_batch({"id": np.arange(900, dtype=np.int64)}).select(
+            ["image_id", "lon", "lat"]
+        )
+    )
+    probes = rd.from_arrow(
+        gen_batch({"id": np.arange(50_000, 50_120, dtype=np.int64)}).select(
+            ["image_id", "lon", "lat"]
+        )
+    )
+    a = knn_join_shuffle(probes, sites, k=3, radius=2, num_partitions=4).to_pandas()
+    b = knn_join_shuffle(
+        probes, sites, k=3, radius=2, num_partitions=4, salt_factor=3
+    ).to_pandas()
+    key = lambda df: sorted(
+        zip(df["image_id"], df["neighbor_id"], df["rank"], df["exact"])
+    )
+    assert key(a) == key(b)
