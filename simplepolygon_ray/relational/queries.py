@@ -39,6 +39,30 @@ def _t(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _bucket_groupby(ds, key_col, fn, *, n_buckets: int = 512):
+    """groupby a hash BUCKET of ``key_col`` instead of the key itself:
+    the shuffle still co-locates every whole key group (same
+    correctness guarantee), but downstream ``fn`` receives ONE pandas
+    frame per bucket — hundreds of calls total — and vectorizes across
+    all keys in it (segmented pandas/numpy), instead of the engine
+    materializing a Python/pandas group per key (millions of tiny
+    groups at 100 TB). ``fn`` must group-aware-process a multi-key
+    frame; the synthetic ``_bucket`` column is stripped before fn."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_bucket", pa.array(np.mod(k, n_buckets)))
+
+    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(wrapped, batch_format="pandas")
+    )
+
+
 def _partial_groupby(keys, aggs):
     """Return a map_batches fn computing per-batch partial aggregates.
 
@@ -609,21 +633,25 @@ def q_late_data_drop(sf_dir: str):
     ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
 
     def drop_late(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id", kind="mergesort")
+        # whole user-bucket at once: the per-user running max is a
+        # segmented cummax (C-implemented pandas groupby), not a
+        # Python group per user
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
         eid = g["event_id"].to_numpy(np.int64)
         ts_us = g["ts"].astype("int64").to_numpy() - (eid % 7) * _DELAY_STEP_US
-        wm = np.maximum.accumulate(ts_us)
+        wm = pd.Series(ts_us).groupby(uid, sort=False).cummax().to_numpy()
         keep = ts_us >= wm - _LATENESS_US
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].to_numpy(np.int64)[keep],
+                "user_id": uid[keep],
                 "event_id": eid[keep],
                 "ts_us": ts_us[keep],
                 "event_type": g["event_type"].to_numpy()[keep],
             }
         )
 
-    return ev.groupby("user_id").map_groups(drop_late, batch_format="pandas")
+    return _bucket_groupby(ev, "user_id", drop_late)
 
 
 _SQL_LATE_DROP = """
@@ -647,14 +675,25 @@ def q_sessionize(sf_dir: str):
     ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
+        # whole user-bucket at once: session boundaries from one
+        # segmented diff, per-user session ids by subtracting the
+        # running counter at each user start — no per-user group
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].astype("int64").to_numpy()
-        new = np.ones(len(g), dtype=np.int64)
-        if len(ts) > 1:
-            new[1:] = (np.diff(ts) > _SESSION_GAP_US).astype(np.int64)
-        sid = np.cumsum(new)
+        n = len(g)
+        new = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            new[1:] = np.where(same & (np.diff(ts) <= _SESSION_GAP_US), 0, 1)
+        csum = np.cumsum(new)
+        start = np.ones(n, bool)
+        if n > 1:
+            start[1:] = uid[1:] != uid[:-1]
+        base = np.maximum.accumulate(np.where(start, csum - 1, 0))
+        sid = csum - base
         out = pd.DataFrame(
-            {"user_id": g["user_id"].to_numpy(), "session_id": sid,
+            {"user_id": uid, "session_id": sid,
              "value_e4": np.rint(g["value"].to_numpy() * 10000.0).astype(np.int64)}
         )
         agg = out.groupby(["user_id", "session_id"], as_index=False).agg(
@@ -663,7 +702,7 @@ def q_sessionize(sf_dir: str):
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _bucket_groupby(ev, "user_id", sessions)
 
 
 _SQL_SESSIONIZE = """
@@ -729,8 +768,15 @@ def q_asof_purchase_click(sf_dir: str):
     both = ev.map_batches(tag, batch_format="pyarrow")
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
-        right = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        # whole user-bucket at once: merge_asof(by="user_id") runs the
+        # per-user backward scan in C across every user in the bucket.
+        # Secondary event_id sort makes exact-ts ties deterministic.
+        left = g[g["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        right = g[g["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         if left.empty or right.empty:
             return pd.DataFrame(
                 {
@@ -743,10 +789,11 @@ def q_asof_purchase_click(sf_dir: str):
             )
         m = pd.merge_asof(
             left[["event_id", "user_id", "ts"]],
-            right[["event_id", "ts", "value"]].rename(
+            right[["event_id", "user_id", "ts", "value"]].rename(
                 columns={"event_id": "click_event_id", "value": "click_value"}
             ),
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         ).dropna(subset=["click_event_id"])
@@ -762,7 +809,7 @@ def q_asof_purchase_click(sf_dir: str):
             }
         )
 
-    return both.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _bucket_groupby(both, "user_id", asof)
 
 
 _SQL_ASOF = """
