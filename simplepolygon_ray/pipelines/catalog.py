@@ -1268,10 +1268,28 @@ def q_geo_compact_cover(sf_dir: str):
     cover = rd.read_parquet(cover_dir)
     # compaction needs every cell of a ring in ONE task: a block-local
     # pass silently under-merges whenever the read splits a ring
-    # across blocks (happens at high cpu counts). groupby co-locates.
-    return cover.groupby(["geom_id", "ring_seq"]).map_groups(
-        compact_cover_table, batch_format="pyarrow"
+    # across blocks (happens at high cpu counts). A hash BUCKET of the
+    # ring identity co-locates whole rings while handing
+    # compact_cover_table (which sort-splits multi-ring input) hundreds
+    # of rings per group — not a pandas group per ring.
+    from ..text._hash import fnv64_batch
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        gid_h = fnv64_batch([s.encode() for s in t["geom_id"].to_pylist()])
+        seq = t["ring_seq"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((gid_h ^ (seq * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(512)).astype(
+            np.int64
+        )
+        return t.append_column("_rb", pa.array(b))
+
+    compacted = (
+        cover.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(compact_cover_table, batch_format="pyarrow")
     )
+    return compacted
 
 
 def compact_cover_table(t: pa.Table) -> pa.Table:

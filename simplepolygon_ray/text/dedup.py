@@ -184,6 +184,26 @@ def _jaccard_rows_vec(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
     return ni / np.maximum(union, 1)
 
 
+def _pairs_in_runs(new: np.ndarray, vals: np.ndarray):
+    """All within-run (a, b) pairs (a before b in run order) for runs
+    delimited by ``new`` (True at each run start), batched by run-size
+    class — no per-run Python loop beyond one iteration per DISTINCT
+    size."""
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(new)))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for size in np.unique(lens[lens >= 2]):
+        sel = starts[lens == size]
+        members = vals[sel[:, None] + np.arange(size)[None, :]]
+        ai, bi = np.triu_indices(int(size), 1)
+        out_a.append(members[:, ai].ravel())
+        out_b.append(members[:, bi].ravel())
+    if not out_a:
+        return np.empty(0, vals.dtype), np.empty(0, vals.dtype)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def _pairs_within(ids: np.ndarray, texts: list[str], threshold: float):
     """All (doc_a < doc_b, jaccard >= threshold) pairs among one block
     of docs via a shingle inverted index (the structure the SQL oracle
@@ -201,20 +221,9 @@ def _pairs_within(ids: np.ndarray, texts: list[str], threshold: float):
     hs, rs = hh[order], rh[order]
     new = np.ones(len(hs), bool)
     new[1:] = hs[1:] != hs[:-1]
-    starts = np.flatnonzero(new)
-    lens = np.diff(np.append(starts, len(hs)))
-    pa_list: list[np.ndarray] = []
-    pb_list: list[np.ndarray] = []
-    for size in np.unique(lens[lens >= 2]):
-        sel = starts[lens == size]
-        members = rs[sel[:, None] + np.arange(size)[None, :]]
-        ai, bi = np.triu_indices(int(size), 1)
-        pa_list.append(members[:, ai].ravel())
-        pb_list.append(members[:, bi].ravel())
-    if not pa_list:
+    A, B = _pairs_in_runs(new, rs)
+    if len(A) == 0:
         return np.empty(0, ids.dtype), np.empty(0, ids.dtype), np.empty(0)
-    A = np.concatenate(pa_list)
-    B = np.concatenate(pb_list)
     key = A * np.int64(n) + B
     uk, ni = np.unique(key, return_counts=True)
     ua, ub = uk // n, uk % n
@@ -240,17 +249,61 @@ def minhash_dedup_pairs(
     itself only ever streams."""
     sigs = docs.map_batches(shingle_minhash_batch, batch_format="pandas")
     bands = sigs.map_batches(explode_bands, batch_format="pandas")
-    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
-        candidate_pairs_from_bucket, batch_format="pandas"
+
+    # candidate pairs: shuffle on a HASH BUCKET of the band hash (every
+    # (band_id, band_hash) bucket lands whole in one group) and emit
+    # pairs for ALL buckets of the group in one segmented vectorized
+    # pass — no pandas group per LSH bucket (millions at corpus scale)
+    n_band_buckets = 1024
+
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["_bb"] = t["band_hash"].to_numpy(np.int64) % n_band_buckets
+        return t
+
+    def pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                g["doc_id"].to_numpy(np.int64),
+                g["band_hash"].to_numpy(np.int64),
+                g["band_id"].to_numpy(np.int64),
+            )
+        )
+        bid = g["band_id"].to_numpy(np.int64)[order]
+        bh = g["band_hash"].to_numpy(np.int64)[order]
+        ids = g["doc_id"].to_numpy(np.int64)[order]
+        new = np.ones(len(order), bool)
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        a, b = _pairs_in_runs(new, ids)
+        return pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates(
+            ["doc_a", "doc_b"]
+        )
+
+    cands = (
+        bands.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bb")
+        .map_groups(pairs_from_group, batch_format="pandas")
     )
 
-    # dedup candidate pairs (same pair fires in multiple bands): slim shuffle
-    def dedup_local(t: pd.DataFrame) -> pd.DataFrame:
-        return t.drop_duplicates(["doc_a", "doc_b"])
+    # dedup candidate pairs across band buckets (same pair fires in
+    # multiple bands): block-local dedupe, then one pair-hash-bucketed
+    # dedupe — never a group per pair
+    def dedup_bucket_local(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.drop_duplicates(["doc_a", "doc_b"]).copy()
+        with np.errstate(over="ignore"):
+            t["_pb"] = (
+                t["doc_a"].to_numpy(np.int64) * np.int64(0x9E3779B1)
+                + t["doc_b"].to_numpy(np.int64)
+            ) % n_band_buckets
+        return t
 
-    cands = cands.map_batches(dedup_local, batch_format="pandas")
-    cands = cands.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    cands = (
+        cands.map_batches(dedup_bucket_local, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            batch_format="pandas",
+        )
     )
 
     # slim the text side BEFORE the joins: only docs that appear in a
