@@ -213,3 +213,69 @@ def test_hash_kernels_property(texts):
         return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
     assert [int(v) for v in simhash64_many(texts)] == [scalar_simhash(t) for t in texts]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 8), st.integers(0, 6)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_segmented_topk_property(rows):
+    """Vectorized segmented top-k == per-segment sorted head(k), for
+    arbitrary (segment, neighbor, dist) multisets with heavy ties."""
+    from simplepolygon_ray.stages.knn import _segmented_topk
+
+    seg = np.array([r[0] for r in rows])
+    nid = np.array([f"n{r[1]}" for r in rows])
+    dist = np.array([float(r[2]) for r in rows])
+    k = 3
+    sel, rank = _segmented_topk(seg, nid, dist, k)
+    got: dict = {}
+    for s, r in zip(sel, rank):
+        got.setdefault(int(seg[s]), []).append((dist[s], nid[s], int(r)))
+    for s in np.unique(seg):
+        want = sorted(
+            [(dist[i], nid[i]) for i in range(len(seg)) if seg[i] == s]
+        )[:k]
+        assert got[int(s)] == [(d, x, i) for i, (d, x) in enumerate(want)]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=2, max_size=40
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pairs_within_property(texts):
+    """Inverted-index pair finder == nested-loop jaccard for arbitrary
+    short texts (incl. empty docs and exact duplicates)."""
+    from simplepolygon_ray.text.dedup import _pairs_within, jaccard_ngrams
+
+    ids = np.arange(len(texts), dtype=np.int64)
+    a, b, jac = _pairs_within(ids, texts, 0.4)
+    got = {(int(x), int(y)): j for x, y, j in zip(a, b, jac)}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            v = jaccard_ngrams(texts[i], texts[j])
+            if v >= 0.4:
+                want[(i, j)] = v
+    assert got == want
+
+
+@given(
+    st.lists(st.text(alphabet="xy z", min_size=0, max_size=25), min_size=1, max_size=30),
+    st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_jaccard_rows_vec_property(texts, seed):
+    from simplepolygon_ray.text.dedup import _jaccard_rows_vec, jaccard_ngrams
+
+    rng = np.random.default_rng(seed)
+    other = [texts[int(rng.integers(0, len(texts)))] for _ in texts]
+    got = _jaccard_rows_vec(texts, other)
+    want = [jaccard_ngrams(a, b) for a, b in zip(texts, other)]
+    assert got.tolist() == want
