@@ -359,11 +359,17 @@ def minhash_dedup_pairs(
     # corpus breaks any pair-verify design, joins included.)
     texts_ref = _collect_texts_table.remote(*docs_small.to_arrow_refs())
 
+    _tx_cache: dict = {}
+
     def verify(t: pd.DataFrame) -> pd.DataFrame:
         # two vectorized hash joins of the pair batch against the
         # broadcast (doc_id, text) table, then one vectorized
-        # shingle-set compare for the whole batch — no per-pair Python
-        tx = ray.get(texts_ref).to_pandas()
+        # shingle-set compare for the whole batch — no per-pair Python.
+        # The pandas view of the broadcast converts once per worker
+        # process, not once per batch.
+        if "tx" not in _tx_cache:
+            _tx_cache["tx"] = ray.get(texts_ref).to_pandas()
+        tx = _tx_cache["tx"]
         m = t[["doc_a", "doc_b"]].merge(
             tx.rename(columns={"doc_id": "doc_a", text_col: "_ta"}), on="doc_a", how="left"
         )
@@ -439,6 +445,23 @@ def exact_dedup(ds, key_cols, *, id_col: str = "doc_id"):
     return partial.groupby(keys).aggregate(Min(id_col, alias_name=id_col))
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _planes_cached(dim: int, n_planes: int):
+    """Seeded hyperplane matrices, drawn once per worker process.
+    Primary planes come from the unchanged stream prefix (buckets stay
+    bit-compatible across versions); the secondary band continues the
+    same seeded stream."""
+    key = (dim, n_planes)
+    if key not in _PLANES_CACHE:
+        r = np.random.RandomState(0x91A)
+        p = r.standard_normal((dim, n_planes)).astype(np.float32)
+        p2 = r.standard_normal((dim, 8)).astype(np.float32)
+        _PLANES_CACHE[key] = (p, p2)
+    return _PLANES_CACHE[key]
+
+
 def hyperplane_bucketize(
     batch: pd.DataFrame, *, n_planes: int = 12, vec_col: str = "embedding"
 ) -> pd.DataFrame:
@@ -447,11 +470,7 @@ def hyperplane_bucketize(
     hyperplane bits used as a secondary band to split oversized
     buckets (hot-bucket skew defusal; deterministic, SQL-replayable)."""
     vecs = np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
-    r = np.random.RandomState(0x91A)
-    # primary planes drawn exactly as always (bit-compatible buckets);
-    # the secondary band continues the same seeded stream
-    p = r.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
-    p2 = r.standard_normal((vecs.shape[1], 8)).astype(np.float32)
+    p, p2 = _planes_cached(vecs.shape[1], n_planes)
     bits = (vecs @ p) > 0
     bits2 = (vecs @ p2) > 0
     bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
