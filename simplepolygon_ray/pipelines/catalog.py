@@ -421,6 +421,19 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
 
 
+
+def q_near_dup_groups(sf_dir: str):
+    """Near-dup GROUP ASSIGNMENT: MinHash-LSH verified pairs →
+    hash-to-min connected components → (doc_id, group_id, group_size,
+    keep). The oracle recomputes the pair set independently (all-pairs
+    trigram Jaccard, the `minhash_dedup_pairs` SQL) and the components
+    via a recursive min-label CTE — fully independent of the Ray
+    LSH + propagation path."""
+    from ..text.dedup import near_dup_groups
+
+    return near_dup_groups(_docs(sf_dir), threshold=0.5)
+
+
 def q_ngram_jaccard(sf_dir: str):
     from ..text.dedup import ngram_jaccard_pairs
 
@@ -454,6 +467,7 @@ TEXT_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_simhash": q_text_simhash,
     "minhash_dedup_pairs": q_minhash_dedup,
+    "near_dup_groups": q_near_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
 }
@@ -1109,8 +1123,33 @@ WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.5
 """
 
 
+
+# Connected components over the independently recomputed all-pairs
+# Jaccard pair set: recursive min-label propagation (UNION dedupes, so
+# the fixpoint is the component min for every node).
+_NEAR_DUP_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+),
+lab AS (SELECT v AS doc_id, MIN(l) AS group_id FROM reach GROUP BY v)
+SELECT l.doc_id, l.group_id, g.group_size,
+       CAST(l.doc_id = l.group_id AS BIGINT) AS keep
+FROM lab l
+JOIN (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id) g
+  USING (group_id)
+"""
+
+
 EXTRA_ORACLE_SQL: dict[str, str] = {
     "minhash_dedup_pairs": _MINHASH_SQL,
+    "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
     "geo_pip_join": _pip_sql(f"{_ORACLE_DIR}/pip_points", f"{_ORACLE_DIR}/pip_edges"),
     "geo_pip_join_shuffle": _pip_sql(
         f"{_ORACLE_DIR}/pip_points_shuffle", f"{_ORACLE_DIR}/pip_edges_shuffle"

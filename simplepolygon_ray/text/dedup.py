@@ -34,6 +34,8 @@ __all__ = [
     "simhash64",
     "ngram_jaccard_pairs",
     "exact_dedup",
+    "connected_components",
+    "near_dup_groups",
     "embedding_near_dup_pairs",
 ]
 
@@ -621,4 +623,139 @@ def ngram_jaccard_pairs(
         docs.map_batches(sig, batch_format="pandas")
         .groupby("bucket")
         .map_groups(within, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------------
+# connected components over near-dup pairs → dedup group assignment
+# ------------------------------------------------------------------
+
+
+def _cc_step(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash-to-min round over one node bucket: every node computes
+    the min of its (deduped) neighborhood m(v) and emits (u, m) for
+    every neighbor u plus (m, u) — fully segmented numpy, no per-node
+    Python."""
+    node = g["node"].to_numpy(np.int64)
+    nbr = g["nbr"].to_numpy(np.int64)
+    order = np.lexsort((nbr, node))
+    node, nbr = node[order], nbr[order]
+    keep = np.ones(len(node), bool)
+    keep[1:] = (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])
+    node, nbr = node[keep], nbr[keep]
+    new = np.ones(len(node), bool)
+    new[1:] = node[1:] != node[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(node)))
+    m = np.repeat(nbr[starts], lens)  # min nbr per node (sorted run head)
+    out_node = np.concatenate([nbr, m])
+    out_nbr = np.concatenate([m, nbr])
+    out = pd.DataFrame({"node": out_node, "nbr": out_nbr})
+    return out.drop_duplicates()
+
+
+def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
+    """Undirected pair Dataset (doc_a, doc_b) → (doc_id, group_id)
+    where ``group_id`` is the smallest doc id in the node's connected
+    component.
+
+    Hash-to-min label propagation (Rastogi et al. 2013, "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds"): each
+    round every node v sends min(N(v) ∪ {v}) to all its neighbors and
+    its neighborhood to that min — O(log d) rounds, each round ONE
+    bucket-grouped shuffle of the (bounded) edge list, no joins. The
+    edge set is materialized per round (it is bounded by the pair
+    output, not the corpus) so lineage does not replay earlier rounds;
+    convergence is detected by a rows+checksum signature aggregate."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    def seed(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["doc_a"].to_numpy(np.int64)
+        b = t["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([a, b, a, b]),
+                "nbr": np.concatenate([b, a, a, b]),
+            }
+        ).drop_duplicates()
+
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["_nb"] = t["node"].to_numpy(np.int64) % n_buckets
+        return t
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        return _cc_step(g.drop(columns=["_nb"]))
+
+    def _signature(ds) -> tuple[int, int]:
+        def sig(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({"n": pa.array([0], pa.int64()), "s": pa.array([0], pa.int64())})
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = (node * np.int64(0x9E3779B1) + nbr * np.int64(0x85EBCA77)).sum()
+            return pa.table({"n": pa.array([t.num_rows], pa.int64()), "s": pa.array([int(h)], pa.int64())})
+
+        parts = ds.map_batches(sig, batch_format="pyarrow").to_pandas()
+        return int(parts["n"].sum()), int(np.int64(parts["s"].to_numpy(np.int64)).sum())
+
+    edges = pairs.map_batches(seed, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
+        )
+    prev_sig = _signature(edges)
+    for _ in range(max_rounds):
+        edges = (
+            edges.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_nb")
+            .map_groups(step, batch_format="pandas")
+            .materialize()
+        )
+        cur_sig = _signature(edges)
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+
+    def labels(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_nb"])
+        lab = g.groupby("node", as_index=False)["nbr"].min()
+        return lab.rename(columns={"node": "doc_id", "nbr": "group_id"})
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(labels, batch_format="pandas")
+    )
+
+
+def near_dup_groups(docs, *, threshold: float = 0.5, text_col: str = "text"):
+    """Full near-dedup group assignment: MinHash-LSH verified pairs →
+    connected components → (doc_id, group_id, group_size, keep) with
+    ``keep = 1`` on the canonical (min-id) doc of each group. Docs in
+    no pair are untouched (implicitly kept) — the output is bounded by
+    the near-dup graph, not the corpus."""
+    pairs = minhash_dedup_pairs(docs, threshold=threshold, text_col=text_col)
+    labs = connected_components(pairs)
+
+    def attach_size(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_gb"]).copy()
+        g["group_size"] = g.groupby("group_id")["doc_id"].transform("size").astype(np.int64)
+        g["keep"] = (g["doc_id"].to_numpy(np.int64) == g["group_id"].to_numpy(np.int64)).astype(
+            np.int64
+        )
+        return g
+
+    def add_gbucket(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["_gb"] = t["group_id"].to_numpy(np.int64) % 256
+        return t
+
+    return (
+        labs.map_batches(add_gbucket, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(attach_size, batch_format="pandas")
     )

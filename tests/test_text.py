@@ -308,3 +308,93 @@ def test_embedding_near_dup_hot_bucket_bounded(ray_session):
     ).to_pandas()
     got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
     assert got == {(i, 1000 + i) for i in range(10)}
+
+
+def test_connected_components_hash_to_min(ray_session):
+    """Chains, a star, and singleton pairs all collapse to the min-id
+    label; compared against a brute-force union-find."""
+    import ray.data as rd
+
+    from simplepolygon_ray.text.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    # random forest of edges over 200 nodes
+    a = rng.randint(0, 200, size=150).astype(np.int64)
+    b = rng.randint(0, 200, size=150).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # plus a long chain (worst case for propagation depth)
+    chain = np.arange(300, 340, dtype=np.int64)
+    a = np.concatenate([a, chain[:-1]])
+    b = np.concatenate([b, chain[1:]])
+    pairs = rd.from_pandas(pd.DataFrame({"doc_a": a, "doc_b": b})).repartition(4)
+    got = connected_components(pairs, n_buckets=8).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    # brute union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        parent[find(x)] = find(y)
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    want = {}
+    for mem in roots.values():
+        m = min(mem)
+        for n in mem:
+            want[n] = m
+    assert list(got["doc_id"]) == nodes
+    assert [want[n] for n in nodes] == list(got["group_id"])
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+
+    from simplepolygon_ray.text.dedup import connected_components
+
+    pairs = rd.from_pandas(
+        pd.DataFrame({"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)})
+    )
+    ds = connected_components(pairs)
+    assert ds.count() == 0
+    # empty Ray results drop schema through to_pandas; the dataset
+    # itself stays typed
+    assert sorted(ds.schema().names) == ["doc_id", "group_id"]
+
+
+def test_near_dup_groups_keep_semantics(ray_session):
+    import ray.data as rd
+
+    from simplepolygon_ray.text.dedup import near_dup_groups
+
+    base = "large scale web corpus dedup connected components label " * 4
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                base,
+                base + "tail one",
+                base + "tail two",
+                "completely different text about something else entirely ok",
+                "completely different text about something else entirely ok!",
+                "unrelated singleton document with no duplicate partner here",
+            ],
+        }
+    )
+    out = near_dup_groups(rd.from_pandas(docs).repartition(3), threshold=0.5).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # docs 0-2 form one group; 3-4 another; 5 absent (no pair)
+    assert set(out["doc_id"]) == {0, 1, 2, 3, 4}
+    g1 = out[out["doc_id"].isin([0, 1, 2])]
+    assert (g1["group_id"] == 0).all() and (g1["group_size"] == 3).all()
+    g2 = out[out["doc_id"].isin([3, 4])]
+    assert (g2["group_id"] == 3).all() and (g2["group_size"] == 2).all()
+    assert list(out.loc[out["keep"] == 1, "doc_id"]) == [0, 3]
