@@ -908,3 +908,344 @@ GROUP BY user_id, win
 
 QUERIES["sliding_window"] = q_sliding_window
 ORACLE_SQL["sliding_window"] = _SQL_SLIDING
+
+
+# --------------------------------------------------------------------------
+# per-group top-k, interval self-join, exact quantiles, rollup, variance
+# --------------------------------------------------------------------------
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 orders per o_orderpriority by (totalprice desc, orderkey):
+    block-local per-group top-3 (bounds the shuffle to 3 × groups ×
+    blocks rows), then a tiny per-group final merge with an explicit
+    rank column — the distributed ROW_NUMBER() PARTITION BY pattern."""
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "price_e2": np.rint(price * 100.0).astype(np.int64),
+            }
+        )
+        df = df.sort_values(
+            ["o_orderpriority", "price_e2", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("o_orderpriority", sort=False).head(3)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["price_e2", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        od.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+_SQL_TOPK_GROUP = """
+SELECT o_orderpriority, o_orderkey, price_e2, rnk FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_e2,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100.0) AS BIGINT) DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+_RANGE_WIN_US = 60 * 60 * 1_000_000  # 60-minute trailing window
+
+
+def q_range_join_user_window(sf_dir: str):
+    """Interval self-join: for every event, the same-user events in its
+    trailing 60-minute window (excluding itself), aggregated to
+    (user_id, n_pairs). ONE user-hash-bucketed shuffle co-locates each
+    user's events; within a bucket the count is two vectorized
+    searchsorteds on a (user-rank, relative-ts) composite int64 key —
+    no per-user group, no pairwise explode (cost O(n log n) per bucket
+    vs O(pairs) for the join+filter plan).
+
+    Partitioning assumption (documented for 100 TB): per bucket,
+    n_users × time-span-in-us must fit int64 — holds for bounded
+    retention windows with >= 512 buckets; quantize to ms/s or raise
+    n_buckets when retention × users per bucket approaches 2^63."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(ts),
+                "_ub": pa.array(uid % 512),
+            }
+        )
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        _, urank = np.unique(uid, return_inverse=True)
+        rel = ts - ts.min()
+        span = np.int64(rel.max()) + np.int64(_RANGE_WIN_US) + 2
+        key = urank.astype(np.int64) * span + rel
+        order = np.argsort(key, kind="mergesort")
+        skey = key[order]
+        # window (ts - W, ts] within the same user: the left edge is
+        # strict (b.ts > a.ts - W), so side='right' at key - W skips
+        # events exactly W before
+        lo = np.searchsorted(skey, key - np.int64(_RANGE_WIN_US), side="right")
+        hi = np.searchsorted(skey, key, side="right")
+        cnt = hi - lo - 1  # minus self
+        out = pd.DataFrame({"user_id": uid, "c": cnt})
+        agg = out.groupby("user_id", as_index=False)["c"].sum()
+        agg = agg[agg["c"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy(np.int64),
+                "n_pairs": agg["c"].to_numpy(np.int64),
+            }
+        )
+
+    def strip(g: pd.DataFrame) -> pd.DataFrame:
+        return count_group(g.drop(columns=["_ub"]))
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(strip, batch_format="pandas")
+    )
+
+
+_SQL_RANGE_JOIN = """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+ AND b.ts > a.ts - INTERVAL 60 MINUTE
+ AND b.ts <= a.ts
+ AND b.event_id <> a.event_id
+GROUP BY a.user_id
+"""
+
+
+_QUANTILES_E2 = [25, 50, 75, 90, 99]
+_QBUCKET_SHIFT = 12  # 4096-cent histogram buckets
+
+
+def q_exact_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of o_totalprice (rank ceil(q*n),
+    1-indexed) without a global sort: phase 1 builds a coarse
+    distributed histogram (cents >> 12; the shuffle moves only
+    (bucket, count) partials), the driver locates each target rank's
+    bucket from the tiny cumulative table, phase 2 re-scans only rows
+    inside the few needed buckets and selects the exact rank among
+    them. Collected data is bounded by histogram width + bucket
+    occupancy, never the table."""
+    od = _t(sf_dir, "orders", columns=["o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table({"v": pa.array(v), "bucket": pa.array(v >> _QBUCKET_SHIFT)})
+
+    cents = od.map_batches(to_cents, batch_format="pyarrow")
+    hist = (
+        cents.map_batches(
+            _partial_groupby(["bucket"], [("bucket", "count", "cnt")]),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy(np.int64)
+    buckets = hist["bucket"].to_numpy(np.int64)
+    targets = {}  # bucket -> [(q_e2, rank_within_bucket)]
+    for q_e2 in _QUANTILES_E2:
+        r = (q_e2 * n + 99) // 100  # ceil(q*n) in exact integers
+        bi = int(np.searchsorted(cum, r))
+        before = int(cum[bi - 1]) if bi > 0 else 0
+        targets.setdefault(int(buckets[bi]), []).append((q_e2, r - before))
+
+    need = set(targets)
+
+    def in_need(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        mask = np.isin(b, np.fromiter(need, np.int64, len(need)))
+        return pa.table(
+            {"v": pa.array(batch["v"].to_numpy(zero_copy_only=False)[mask]),
+             "bucket": pa.array(b[mask])}
+        )
+
+    picked = cents.map_batches(in_need, batch_format="pyarrow").to_pandas()
+    rows = []
+    for b, wants in targets.items():
+        vals = np.sort(picked.loc[picked["bucket"] == b, "v"].to_numpy(np.int64))
+        for q_e2, within in wants:
+            rows.append((q_e2, int(vals[within - 1])))
+    out = pd.DataFrame(rows, columns=["q_e2", "value_e2"]).sort_values("q_e2")
+    return out.reset_index(drop=True).astype({"q_e2": np.int64, "value_e2": np.int64})
+
+
+_SQL_QUANTILES = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v FROM orders),
+n AS (SELECT COUNT(*) AS cnt FROM c),
+qs(q_e2) AS (VALUES (25), (50), (75), (90), (99)),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c)
+SELECT CAST(qs.q_e2 AS BIGINT) AS q_e2, r.v AS value_e2
+FROM qs, n
+JOIN ranked r ON r.rn = (qs.q_e2 * n.cnt + 99) // 100
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """Revenue by ROLLUP(l_returnflag, l_linestatus): the single heavy
+    pass is the leaf aggregate (partial pre-combine then a tiny
+    groupby); super-aggregate levels derive from the few leaf rows.
+    Rollup slots use the 'ALL' sentinel (NULL-free hash compare)."""
+    li = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "rev_e4": pa.array(np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)),
+            }
+        )
+
+    leaf = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            _partial_groupby(["l_returnflag", "l_linestatus"], [("rev_e4", "sum", "revenue_e4")]),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .to_pandas()
+    )
+    lvl1 = (
+        leaf.groupby("l_returnflag", as_index=False)["revenue_e4"].sum().assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"], "revenue_e4": [leaf["revenue_e4"].sum()]}
+    )
+    out = pd.concat(
+        [leaf, lvl1[["l_returnflag", "l_linestatus", "revenue_e4"]], total], ignore_index=True
+    )
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+_SQL_ROLLUP = """
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_var_discount(sf_dir: str):
+    """Numerically-exact distributed variance (population) of the
+    discount per returnflag: per-block partials (n, Σx, Σx²) over the
+    EXACT integer cents, one tiny groupby-sum, numerator n·Σx² − (Σx)²
+    emitted as the exact integer both engines agree on bit-for-bit
+    (float variance is order-dependent across engines)."""
+    li = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "x": pa.array(x),
+                "xx": pa.array(x * x),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_returnflag"]).aggregate(
+            [("x", "sum"), ("xx", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": res["l_returnflag"],
+                "sx": res["x_sum"],
+                "sxx": res["xx_sum"],
+                "n_rows": res["count_all"],
+            }
+        )
+
+    agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_rows": pa.array(n),
+                "var_num_e4": pa.array(n * sxx - sx * sx),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_VAR = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_num_e4
+FROM (SELECT l_returnflag, CAST(round(l_discount * 100.0) AS BIGINT) AS x FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "topk_per_group": q_topk_per_group,
+        "range_join_user_window": q_range_join_user_window,
+        "exact_quantiles": q_exact_quantiles,
+        "rollup_revenue": q_rollup_revenue,
+        "var_discount": q_var_discount,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "topk_per_group": _SQL_TOPK_GROUP,
+        "range_join_user_window": _SQL_RANGE_JOIN,
+        "exact_quantiles": _SQL_QUANTILES,
+        "rollup_revenue": _SQL_ROLLUP,
+        "var_discount": _SQL_VAR,
+    }
+)

@@ -38,3 +38,56 @@ def test_query_matches_oracle(ray_session, con, name):
     for c in a.columns:
         assert str(a[c].dtype) == str(b[c].dtype), f"dtype mismatch on {c}"
         assert a[c].equals(b[c]), f"values differ on {c}"
+
+
+def test_range_join_window_edges(ray_session):
+    """Boundary semantics vs brute force: b.ts > a.ts - W (strict) and
+    b.ts <= a.ts (inclusive), self excluded, equal timestamps count."""
+    import numpy as np
+    import ray.data as rd
+
+    from simplepolygon_ray.relational.queries import _RANGE_WIN_US, q_range_join_user_window
+
+    rng = np.random.RandomState(3)
+    n = 400
+    uid = rng.randint(0, 7, n).astype(np.int64)
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.randint(0, 6 * _RANGE_WIN_US, n).astype(np.int64)
+    # force exact-boundary and duplicate timestamps
+    ts[1] = ts[0]
+    uid[1] = uid[0]
+    ts[3] = ts[2] - _RANGE_WIN_US  # exactly W before: excluded (strict >)
+    uid[3] = uid[2]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = (
+            q_range_join_user_window(d)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    want = {}
+    for i in range(n):
+        c = 0
+        for j in range(n):
+            if i == j or uid[j] != uid[i]:
+                continue
+            if ts[j] > ts[i] - _RANGE_WIN_US and ts[j] <= ts[i]:
+                c += 1
+        if c:
+            want[uid[i]] = want.get(uid[i], 0) + c
+    assert dict(zip(got["user_id"], got["n_pairs"])) == want
