@@ -287,9 +287,37 @@ def q_geo_tile_assign(sf_dir: str):
 
 
 def q_image_decode_check(sf_dir: str):
-    """Per-row input_hint invariant: decoded pixels vs reference pattern
-    (bit-exact for raw, PSNR>=40dB for q6) + caption equality."""
+    """Per-row input_hint invariant, fully SQL-oracled: decode payload,
+    regenerate the deterministic reference pattern, compare as the
+    EXACT integer sum of squared errors (raw ⇒ sse == 0; q6 ⇒
+    sse·10⁴ ≤ 255²·10⁴/10⁴·n_px, i.e. PSNR ≥ 40 dB rewritten as an
+    integer inequality — no cross-engine float log10), plus caption
+    equality. The (image_id, payload-as-int-list, w, h, fmt, caption)
+    projection persists so DuckDB replays decode + pattern + SSE
+    op-for-op from the raw payload. Capped at 4000 rows (invariant
+    check, not a throughput path; the cap is logged in the docstring,
+    not silent)."""
     _, n_images = scale_counts(sf_dir)
+    n = min(n_images, 4000)
+    imgs = gen_images(n)
+
+    def proj(t: pa.Table) -> pa.Table:
+        payloads = t["bytes"].to_pylist()
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "b": pa.array(
+                    [np.frombuffer(p, np.uint8).astype(np.int32) for p in payloads],
+                    type=pa.list_(pa.int32()),
+                ),
+                "w": t["w"].cast(pa.int64()),
+                "h": t["h"].cast(pa.int64()),
+                "fmt": t["fmt"],
+                "caption": t["caption"],
+            }
+        )
+
+    _persist(imgs.map_batches(proj, batch_format="pyarrow"), "img_check")
 
     def check(t: pa.Table) -> pa.Table:
         ids = [int(s[3:]) for s in t["image_id"].to_pylist()]
@@ -298,16 +326,15 @@ def q_image_decode_check(sf_dir: str):
         fmts = t["fmt"].to_pylist()
         payloads = t["bytes"].to_pylist()
         caps = t["caption"].to_pylist()
-        phashes = t["phash"].to_pylist()
-        ok_pix, ok_cap, psnrs = [], [], []
-        for rid, w, h, fmt, payload, cap, ph in zip(
-            ids, ws, hs, fmts, payloads, caps, phashes
-        ):
-            dec = decode(payload, w, h, fmt)
-            ref = make_pixels(rid, w, h)
-            p = psnr(ref, dec)
-            psnrs.append(min(p, 99.0))
-            ok_pix.append(bool(p == float("inf")) if fmt == "raw" else bool(p >= 40.0))
+        sses, n_pxs, ok_pix, ok_cap = [], [], [], []
+        for rid, w, h, fmt, payload, cap in zip(ids, ws, hs, fmts, payloads, caps):
+            dec = decode(payload, w, h, fmt).astype(np.int64)
+            ref = make_pixels(rid, w, h).astype(np.int64)
+            sse = int(((dec - ref) ** 2).sum())
+            n_px = w * h * 3
+            sses.append(sse)
+            n_pxs.append(n_px)
+            ok_pix.append(sse == 0 if fmt == "raw" else sse * 10000 <= 65025 * n_px)
             ok_cap.append(
                 cap == f"synthetic image {rid:012d} stripe {rid % 7} gradient {rid % 11}"
             )
@@ -315,13 +342,14 @@ def q_image_decode_check(sf_dir: str):
             {
                 "image_id": t["image_id"],
                 "fmt": t["fmt"],
-                "pixels_ok": pa.array(ok_pix, type=pa.bool_()),
-                "caption_ok": pa.array(ok_cap, type=pa.bool_()),
-                "psnr_db": pa.array(psnrs, type=pa.float64()),
+                "sse": pa.array(sses, type=pa.int64()),
+                "n_px": pa.array(n_pxs, type=pa.int64()),
+                "pixels_ok": pa.array(np.asarray(ok_pix, np.int64)),
+                "caption_ok": pa.array(np.asarray(ok_cap, np.int64)),
             }
         )
 
-    return gen_images(min(n_images, 20_000)).map_batches(check, batch_format="pyarrow")
+    return imgs.map_batches(check, batch_format="pyarrow")
 
 
 def q_geo_knn_shuffle(sf_dir: str):
@@ -1147,9 +1175,41 @@ JOIN (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id) g
 """
 
 
+
+# Decode + reference-pattern + SSE replayed from the persisted raw
+# payload (int-list serialization of the bytes column): q6 decode is
+# b*4+2 (bin midpoint), the pattern is the synth gradient/stripe/xor
+# formula, and PSNR >= 40 dB is the exact integer inequality
+# sse*10^4 <= 255^2 * n_px (mse <= 255^2/10^4).
+_IMG_CHECK_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, caption, b, w, h,
+         CAST(substr(image_id, 4) AS BIGINT) AS rid,
+         CAST(w AS BIGINT) * h * 3 AS n_px
+  FROM read_parquet('{_ORACLE_DIR}/img_check/*.parquet')),
+px AS MATERIALIZED (
+  SELECT image_id, fmt, caption, rid, n_px,
+    CAST(list_sum([d*d for d in [
+      (CASE WHEN fmt = 'raw' THEN b[p+1] ELSE b[p+1]*4 + 2 END)
+      - (CASE p % 3
+         WHEN 0 THEN (((p//3) % w)*3 + rid) % 256
+         WHEN 1 THEN ((p//(w*3))*5 + (rid//256)) % 256
+         ELSE (xor((p//3) % w, p//(w*3))*7 + (rid//65536)) % 256 END)
+      for p in generate_series(0, n_px - 1)]]) AS BIGINT) AS sse
+  FROM base)
+SELECT image_id, fmt, sse, n_px,
+  CASE WHEN fmt = 'raw' THEN CAST(sse = 0 AS BIGINT)
+       ELSE CAST(sse*10000 <= 65025*n_px AS BIGINT) END AS pixels_ok,
+  CAST(caption = printf('synthetic image %012d stripe %d gradient %d',
+                        rid, rid % 7, rid % 11) AS BIGINT) AS caption_ok
+FROM px
+"""
+
+
 EXTRA_ORACLE_SQL: dict[str, str] = {
     "minhash_dedup_pairs": _MINHASH_SQL,
     "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
+    "image_decode_check": _IMG_CHECK_SQL,
     "geo_pip_join": _pip_sql(f"{_ORACLE_DIR}/pip_points", f"{_ORACLE_DIR}/pip_edges"),
     "geo_pip_join_shuffle": _pip_sql(
         f"{_ORACLE_DIR}/pip_points_shuffle", f"{_ORACLE_DIR}/pip_edges_shuffle"
