@@ -1206,10 +1206,43 @@ FROM px
 """
 
 
+
+# Media oracles: decode replayed from the persisted int-list payload.
+# featurize: exact integer luma sum + the phash certificate (must be 1
+# — synth stores the decoded-pixel phash, so recomputed == stored is
+# an exact invariant and a 0 fails the hash compare).
+_MEDIA_FEAT_SQL = f"""
+SELECT image_id,
+  CAST(list_sum([CASE WHEN fmt = 'raw' THEN v ELSE v*4 + 2 END for v in b])
+       AS BIGINT) AS sum_luma,
+  CAST(w AS BIGINT) * h * 3 AS n_px,
+  CAST(1 AS BIGINT) AS phash_ok
+FROM read_parquet('{_ORACLE_DIR}/img_feat_in/*.parquet')
+"""
+
+# resize: decode → nearest-neighbor gather (src pixel for thumbnail
+# byte j: y=j//48, x=(j%48)//3, c=j%3; src_y=(y*h)//16, src_x=(x*w)//16)
+# → position-weighted checksum of the re-encoded 16×16×3 output.
+_MEDIA_RESIZE_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, b, w, h, fmt
+  FROM read_parquet('{_ORACLE_DIR}/img_resize_in/*.parquet'))
+SELECT image_id,
+  CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h, 'raw' AS fmt,
+  CAST(list_sum([(j+1) * (CASE WHEN fmt = 'raw'
+      THEN b[(((j//48)*h//16)*w + (((j%48)//3)*w//16))*3 + j%3 + 1]
+      ELSE b[(((j//48)*h//16)*w + (((j%48)//3)*w//16))*3 + j%3 + 1]*4 + 2 END)
+    for j in generate_series(0, 767)]) AS BIGINT) AS cksum
+FROM base
+"""
+
+
 EXTRA_ORACLE_SQL: dict[str, str] = {
     "minhash_dedup_pairs": _MINHASH_SQL,
     "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
     "image_decode_check": _IMG_CHECK_SQL,
+    "media_decode_featurize": _MEDIA_FEAT_SQL,
+    "media_resize": _MEDIA_RESIZE_SQL,
     "geo_pip_join": _pip_sql(f"{_ORACLE_DIR}/pip_points", f"{_ORACLE_DIR}/pip_edges"),
     "geo_pip_join_shuffle": _pip_sql(
         f"{_ORACLE_DIR}/pip_points_shuffle", f"{_ORACLE_DIR}/pip_edges_shuffle"
@@ -1313,24 +1346,89 @@ GEO_QUERIES.update(
 # ------------------------------------------------------- media + sketches
 
 
+def _media_input_proj(t: pa.Table) -> pa.Table:
+    """(image_id, payload-as-int-list, w, h, fmt) — the persisted raw
+    input the media oracles replay decode from (same serialization as
+    the decode-check oracle)."""
+    payloads = t["bytes"].to_pylist()
+    return pa.table(
+        {
+            "image_id": t["image_id"],
+            "b": pa.array(
+                [np.frombuffer(p, np.uint8).astype(np.int32) for p in payloads],
+                type=pa.list_(pa.int32()),
+            ),
+            "w": t["w"].cast(pa.int64()),
+            "h": t["h"].cast(pa.int64()),
+            "fmt": t["fmt"],
+        }
+    )
+
+
 def q_media_decode_featurize(sf_dir: str):
-    """Actor-pool image decode + phash/luma feature extraction."""
+    """Actor-pool image decode + phash/luma featurize, SQL-oracled:
+    the raw input payload persists as an int-list projection; DuckDB
+    replays decode and the EXACT integer luma sum, while the phash
+    certificate (recomputed-on-decoded == stored, an exact invariant
+    because synth stores the decoded-pixel phash) rides as a flag the
+    oracle asserts — a wrong phash kernel flips it to 0 and fails the
+    hash. mean_luma→sum reconstruction is exact: integer sums < 2^53
+    round-trip float64 division within ½ulp."""
     from ..stages.media import decode_and_featurize
 
     _, n_images = scale_counts(sf_dir)
-    return decode_and_featurize(gen_images(min(n_images, 5_000)), concurrency=(1, 4))
+    imgs = gen_images(min(n_images, 4000))
+    _persist(imgs.map_batches(_media_input_proj, batch_format="pyarrow"), "img_feat_in")
+    feats = decode_and_featurize(imgs, concurrency=(1, 4))
+
+    def proj(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_px = w * h * 3
+        mean = t["mean_luma"].to_numpy(zero_copy_only=False)
+        stored = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        recomp = t["phash_recomputed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "sum_luma": pa.array(np.rint(mean * n_px).astype(np.int64)),
+                "n_px": pa.array(n_px),
+                "phash_ok": pa.array((stored == recomp).astype(np.int64)),
+            }
+        )
+
+    return feats.map_batches(proj, batch_format="pyarrow")
 
 
 def q_media_resize(sf_dir: str):
-    """Actor-pool thumbnailing; output projected to metadata columns."""
+    """Actor-pool thumbnailing, SQL-oracled end-to-end: DuckDB replays
+    decode → nearest-neighbor gather → re-encode from the persisted
+    input payload and compares a position-weighted checksum of the
+    actual output bytes (Σ (j+1)·byte_j over the 16×16×3 thumbnail) —
+    any wrong pixel, position, or decode path shifts the sum."""
     from ..stages.media import resize_images
 
     _, n_images = scale_counts(sf_dir)
-    out = resize_images(gen_images(min(n_images, 5_000)), out_w=16, out_h=16,
-                        concurrency=(1, 4))
-    return out.map_batches(
-        lambda t: t.select(["image_id", "w", "h", "fmt"]), batch_format="pyarrow"
-    )
+    imgs = gen_images(min(n_images, 4000))
+    _persist(imgs.map_batches(_media_input_proj, batch_format="pyarrow"), "img_resize_in")
+    out = resize_images(imgs, out_w=16, out_h=16, concurrency=(1, 4))
+
+    def proj(t: pa.Table) -> pa.Table:
+        payloads = t["bytes"].to_pylist()
+        mat = np.frombuffer(b"".join(payloads), np.uint8).reshape(len(payloads), 768)
+        weights = np.arange(1, 769, dtype=np.int64)
+        cksum = (mat.astype(np.int64) * weights[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "w": t["w"].cast(pa.int64()),
+                "h": t["h"].cast(pa.int64()),
+                "fmt": t["fmt"],
+                "cksum": pa.array(cksum),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
 
 
 def q_approx_distinct_users(sf_dir: str):

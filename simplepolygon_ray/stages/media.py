@@ -69,13 +69,18 @@ class ImageDecodeActor:
             px = self._decode(payload, w, h, fmt)
             phashes.append(int(np.uint64(phash64(px)).astype(np.int64)))
             means.append(float(px.mean()))
-        return pa.table(
-            {
-                "image_id": batch["image_id"],
-                "phash_recomputed": pa.array(phashes, type=pa.int64()),
-                "mean_luma": pa.array(means, type=pa.float64()),
-            }
-        )
+        cols = {
+            "image_id": batch["image_id"],
+            "phash_recomputed": pa.array(phashes, type=pa.int64()),
+            "mean_luma": pa.array(means, type=pa.float64()),
+        }
+        # metadata passthrough: downstream invariant checks (stored
+        # phash equality, mean→sum reconstruction) need these without
+        # a join back to the table
+        for name in ("phash", "w", "h", "fmt"):
+            if name in batch.column_names:
+                cols[name] = batch[name]
+        return pa.table(cols)
 
 
 class ImageResizeActor:

@@ -18,9 +18,9 @@ from simplepolygon_ray.stages.media import (
 def test_decode_actor_matches_stored_phash(ray_session):
     imgs = gen_images(50)
     out = decode_and_featurize(imgs, concurrency=(1, 2)).to_pandas()
-    stored = gen_images(50).to_pandas()
-    merged = out.merge(stored[["image_id", "phash"]], on="image_id")
-    assert (merged["phash_recomputed"] == merged["phash"]).all()
+    # the actor passes the stored phash through for invariant checks
+    assert "phash" in out.columns
+    assert (out["phash_recomputed"] == out["phash"]).all()
 
 
 def test_decode_actor_strict_raises_on_unknown_fmt():
