@@ -300,30 +300,30 @@ GROUP BY r_name, n_name
 def q_order_revenue_topk(sf_dir: str):
     li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
+    # fused prep + block-local combine: one partial row per key per block
     def prep(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "l_orderkey": batch["l_orderkey"],
-                "rev_e4": pa.array(np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)),
-            }
-        )
+        rev = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(uk), "revenue_e4": pa.array(sums)})
 
-    partial = li.map_batches(prep, batch_format="pyarrow").map_batches(
-        _partial_groupby(["l_orderkey"], [("rev_e4", "sum", "revenue_e4")]),
-        batch_format="pyarrow",
-    )
-    per_order = partial.groupby("l_orderkey").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    partial = li.map_batches(prep, batch_format="pyarrow")
 
-    # scale-correct top-k: per-block partial top-10, tiny final merge on
-    # the driver (a full distributed sort for k=10 is pure overhead)
-    def local_topk(t: pd.DataFrame) -> pd.DataFrame:
-        return t.sort_values(
+    # scale-correct top-k without a per-key shuffle: co-locate keys by a
+    # 64-way hash bucket (the exchange moves partial rows once), finish
+    # each bucket's sums + local top-10 vectorized, then merge 64×10
+    # rows on the driver. A full sort-based groupby over |orders| keys
+    # costs 3-5 s here for identical output.
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("l_orderkey", sort=False)["revenue_e4"].sum().reset_index()
+        return agg.sort_values(
             ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
         ).head(10)
 
-    partials = per_order.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = _bucket_groupby(partial, "l_orderkey", bucket_topk, n_buckets=64).to_pandas()
     return (
         partials.sort_values(
             ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
