@@ -141,6 +141,61 @@ def gen_points_batch(batch) -> pa.Table:
     )
 
 
+def gen_dup_batch(n_base: int):
+    """Returns a map_batches kernel over global row ids [0, n_base + m):
+    ids < n_base are exactly ``gen_batch``'s images; ids >= n_base are
+    NEAR-DUPLICATES of base ``(id - n_base) % n_base`` — same
+    dimensions/fmt/payload-pattern with a single pixel channel nudged
+    by +1 (mod 256). Under q6 the nudge usually quantizes away
+    entirely; under raw it moves one 8×8 block mean by 1/area — so dup
+    pairs sit at phash Hamming distance 0 (occasionally 1-2), which
+    the banded near-dup stage must recover."""
+
+    def _fn(batch) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        base = np.where(ids < n_base, ids, (ids - n_base) % n_base)
+        hsh = _splitmix64(base.view(np.uint64))
+        w = (16 + (hsh % np.uint64(49))).astype(np.int64)
+        h = (16 + ((hsh >> np.uint64(8)) % np.uint64(49))).astype(np.int64)
+        is_raw = ((hsh >> np.uint64(16)) & np.uint64(1)).astype(bool)
+
+        payloads, fmts, phashes = [], [], []
+        for k, rid in enumerate(ids):
+            fmt = "raw" if is_raw[k] else "q6"
+            px = make_pixels(int(base[k]), int(w[k]), int(h[k]))
+            if rid >= n_base:
+                px = px.copy()
+                px[0, 0, 0] = (int(px[0, 0, 0]) + 1) % 256
+            payload = encode(px, fmt)
+            decoded = decode(payload, int(w[k]), int(h[k]), fmt)
+            payloads.append(payload)
+            fmts.append(fmt)
+            phashes.append(int(np.uint64(phash64(decoded)).astype(np.int64)))
+
+        return pa.table(
+            {
+                "image_id": _image_ids(ids),
+                "bytes": pa.array(payloads, type=pa.binary()),
+                "w": pa.array(w.astype(np.int32)),
+                "h": pa.array(h.astype(np.int32)),
+                "fmt": pa.array(fmts),
+                "phash": pa.array(phashes, type=pa.int64()),
+            }
+        )
+
+    return _fn
+
+
+def gen_images_with_dups(n_base: int, n_dups: int, *, parallelism: int = -1):
+    """Image corpus with planted near-duplicates (see gen_dup_batch)."""
+    import ray.data as rd
+
+    n = n_base + n_dups
+    blocks = parallelism if parallelism > 0 else 200
+    ds = rd.range(n, override_num_blocks=max(1, min(n, blocks)))
+    return ds.map_batches(gen_dup_batch(n_base), batch_format="numpy", batch_size=2048)
+
+
 def gen_points(n: int, *, parallelism: int = -1):
     """Synthesize only the geo projection of the image table.
 

@@ -1431,6 +1431,61 @@ def q_media_resize(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def q_image_phash_near_dup(sf_dir: str):
+    """Near-duplicate image detection end-to-end: synthesize a corpus
+    with planted near-dups → actor-pool decode + phash featurize →
+    banded phash LSH (4 × 16-bit bands, hot-band split at 256) →
+    vectorized Hamming verify ≤ 3. Recall is EXACT for Hamming ≤ 3
+    (pigeonhole over 4 bands), so the oracle replays the banding +
+    popcount verbatim from the persisted (img_key, phash) table —
+    a wrong band split, cap rule, or popcount all mismatch."""
+    import ray.data as rd
+
+    from ..images.neardup import phash_near_dup_pairs
+    from ..images.synth import gen_images_with_dups
+    from ..stages.media import decode_and_featurize
+
+    _, n_images = scale_counts(sf_dir)
+    n_base = min(n_images, 3000)
+    n_dups = max(n_base // 4, 8)
+    imgs = gen_images_with_dups(n_base, n_dups)
+    feats = decode_and_featurize(imgs, concurrency=(1, 4))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = np.array([int(s[3:]) for s in t["image_id"].to_pylist()], np.int64)
+        return pa.table({"img_key": pa.array(keys), "phash": t["phash_recomputed"]})
+
+    tbl_dir = _persist(feats.map_batches(keyed, batch_format="pyarrow"), "phash_tbl")
+    return phash_near_dup_pairs(
+        rd.read_parquet(tbl_dir), max_hamming=3, run_cap=256
+    )
+
+
+_PHASH_NEARDUP_SQL = f"""
+WITH p AS (SELECT img_key, phash
+           FROM read_parquet('{_ORACLE_DIR}/phash_tbl/*.parquet')),
+bands AS (SELECT img_key, phash, bnd AS band_id,
+                 (phash >> (bnd * 16)) & 65535 AS band_val,
+                 (phash >> (((bnd + 1) % 4) * 16)) & 65535 AS sub
+          FROM p CROSS JOIN generate_series(0, 3) t(bnd)),
+sz AS (SELECT band_id, band_val, COUNT(*) AS c FROM bands
+       GROUP BY band_id, band_val),
+b2 AS (SELECT k.img_key, k.phash, k.band_id, k.band_val,
+              CASE WHEN s.c > 256 THEN k.sub ELSE -1 END AS sub2
+       FROM bands k JOIN sz s USING (band_id, band_val)),
+cand AS (SELECT DISTINCT lhs.img_key AS id_a, rhs.img_key AS id_b,
+                lhs.phash AS pa, rhs.phash AS pb
+         FROM b2 lhs JOIN b2 rhs
+           ON lhs.band_id = rhs.band_id AND lhs.band_val = rhs.band_val
+          AND lhs.sub2 = rhs.sub2 AND lhs.img_key < rhs.img_key)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 3
+"""
+
+EXTRA_ORACLE_SQL["image_phash_near_dup"] = _PHASH_NEARDUP_SQL
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT user_id) over events. Oracle:
     the SQL replays the WHOLE sketch — splitmix64, register max,
@@ -1450,6 +1505,7 @@ GEO_QUERIES.update(
     {
         "media_decode_featurize": q_media_decode_featurize,
         "media_resize": q_media_resize,
+        "image_phash_near_dup": q_image_phash_near_dup,
         "approx_distinct_users": q_approx_distinct_users,
     }
 )

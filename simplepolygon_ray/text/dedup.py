@@ -234,6 +234,33 @@ def _pairs_within(ids: np.ndarray, texts: list[str], threshold: float):
     return ids[ua[keep]], ids[ub[keep]], jac[keep]
 
 
+def dedupe_pairs_global(pairs, cols, *, n_buckets: int = 512):
+    """Global (a, b)-pair dedupe for pairs emitted from several LSH
+    bands: block-local ``drop_duplicates``, then ONE pair-hash-bucketed
+    groupby dedupe — never an engine group per pair. Extra columns
+    (e.g. a verified distance) ride along; duplicate pair rows carry
+    identical values, so keeping the first is deterministic."""
+    a_col, b_col = cols
+
+    def local(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.drop_duplicates([a_col, b_col]).copy()
+        with np.errstate(over="ignore"):
+            t["_pb"] = (
+                t[a_col].to_numpy(np.int64) * np.int64(0x9E3779B1)
+                + t[b_col].to_numpy(np.int64)
+            ) % n_buckets
+        return t
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([a_col, b_col]).drop(columns=["_pb"])
+
+    return (
+        pairs.map_batches(local, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(grp, batch_format="pandas")
+    )
+
+
 def minhash_dedup_pairs(
     docs,
     *,
@@ -290,23 +317,7 @@ def minhash_dedup_pairs(
     # dedup candidate pairs across band buckets (same pair fires in
     # multiple bands): block-local dedupe, then one pair-hash-bucketed
     # dedupe — never a group per pair
-    def dedup_bucket_local(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.drop_duplicates(["doc_a", "doc_b"]).copy()
-        with np.errstate(over="ignore"):
-            t["_pb"] = (
-                t["doc_a"].to_numpy(np.int64) * np.int64(0x9E3779B1)
-                + t["doc_b"].to_numpy(np.int64)
-            ) % n_band_buckets
-        return t
-
-    cands = (
-        cands.map_batches(dedup_bucket_local, batch_format="pandas")
-        .groupby("_pb")
-        .map_groups(
-            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
-            batch_format="pandas",
-        )
-    )
+    cands = dedupe_pairs_global(cands, ["doc_a", "doc_b"], n_buckets=n_band_buckets)
 
     # slim the text side BEFORE the joins: only docs that appear in a
     # candidate pair carry their text through the shuffle. The id set
