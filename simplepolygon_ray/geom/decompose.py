@@ -29,6 +29,7 @@ from dataclasses import dataclass
 import numpy as np
 
 import logging
+import operator
 import os
 
 from .gpsi import self_intersections
@@ -40,11 +41,16 @@ from .kernels import is_convex, point_in_ring, winding_of_ring
 _log = logging.getLogger("simplepolygon_ray.decompose")
 
 
+_DEBUG = os.environ.get("DEBUG") == "true"
+
+
 def _debug(msg: str) -> None:
-    if os.environ.get("DEBUG") == "true":
+    if _DEBUG:
         _log.warning(msg)
 
 __all__ = ["decompose", "DecomposedRing", "DuplicateVertexError"]
+
+_PARAM_KEY = operator.attrgetter("param")
 
 
 class DuplicateVertexError(ValueError):
@@ -87,7 +93,7 @@ def _close_rings(coordinates) -> list[np.ndarray]:
     rings = []
     for ring in coordinates:
         r = np.asarray(ring, dtype=np.float64)
-        if r.ndim != 2 or r.shape[1] < 2:
+        if r.ndim != 2 or r.shape[1] < 2 or r.shape[0] == 0:
             raise ValueError("ring must be a sequence of [x, y] positions")
         r = r[:, :2]
         if not (r[0][0] == r[-1][0] and r[0][1] == r[-1][1]):
@@ -314,7 +320,9 @@ def decompose(
     # duplicate-vertex guard (closing vertices excluded)
     verts = np.concatenate([r[:-1] for r in rings])
     numvertices = len(verts)
-    seen = {(float(x), float(y)) for x, y in verts}
+    # set-of-tuples semantics (−0.0 == 0.0, NaN distinct) as before,
+    # via C-level tolist instead of per-row numpy scalar boxing
+    seen = set(map(tuple, verts.tolist()))
     if len(seen) != numvertices:
         raise DuplicateVertexError(
             "polygon may not have duplicate vertices "
@@ -340,24 +348,21 @@ def decompose(
     pseudo: list[list[list[_PseudoVtx]]] = []  # [ring][edge] -> pvtx list
     isects: list[_Isect] = []
     for i in range(num_rings):
-        m = len(rings[i]) - 1
-        pseudo.append([])
+        ring_i = rings[i]
+        m = len(ring_i) - 1
+        # one C-level boxing pass for the whole ring's coords
+        pts = [tuple(p) for p in ring_i[:m].tolist()]
+        edges = []
+        pseudo.append(edges)
+        ap = isects.append
         for j in range(m):
-            nxt_v = rings[i][(j + 1) % m]
-            pseudo[i].append(
-                [
-                    _PseudoVtx(
-                        coord=(float(nxt_v[0]), float(nxt_v[1])),
-                        param=1.0,
-                        re_in=(i, j),
-                        re_out=(i, (j + 1) % m),
-                    )
-                ]
+            jn = (j + 1) % m
+            edges.append(
+                [_PseudoVtx(coord=pts[jn], param=1.0, re_in=(i, j), re_out=(i, jn))]
             )
-            v = rings[i][j]
-            isects.append(
+            ap(
                 _Isect(
-                    coord=(float(v[0]), float(v[1])),
+                    coord=pts[j],
                     re1=(i, (j - 1) % m),
                     re2=(i, j),
                     w1=False,
@@ -395,9 +400,11 @@ def decompose(
             )
 
     # per-edge sort by param (ties impossible given the dup-vertex guard)
-    for i in range(num_rings):
-        for j in range(len(pseudo[i])):
-            pseudo[i][j].sort(key=lambda p: p.param)
+    _param = _PARAM_KEY
+    for ring_lists in pseudo:
+        for lst in ring_lists:
+            if len(lst) > 1:
+                lst.sort(key=_param)
 
     # exact-coordinate index: the reference's rbush point query is a
     # pure float-equality lookup (src/index.ts:203-215) -> dict

@@ -110,13 +110,47 @@ def fixture_polygons(fixture_dir: str | None = None):
     )
 
 
+def _rings_from_arrow(col) -> list[list[np.ndarray]]:
+    """Per-polygon list of per-ring (n, 2) float64 arrays read straight
+    off the Arrow offset/value buffers — no per-coordinate Python
+    boxing (``to_pylist`` boxes every float and costs ~20% of the
+    decompose stage). Falls back to ``to_pylist`` for irregular inputs
+    (nulls, non-2-coordinate points) — same downstream semantics, the
+    per-ring arrays feed ``_close_rings`` either way."""
+    import pyarrow.compute as pc
+
+    if col.null_count:
+        return col.to_pylist()
+    polys = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ring_counts = pc.list_value_length(polys).to_numpy()
+    rings_arr = pc.list_flatten(polys)
+    if rings_arr.null_count:
+        return col.to_pylist()
+    pt_counts = pc.list_value_length(rings_arr).to_numpy()
+    pts_arr = pc.list_flatten(rings_arr)
+    if pts_arr.null_count:
+        return col.to_pylist()
+    coord_counts = pc.list_value_length(pts_arr).to_numpy()
+    if len(coord_counts) and not (coord_counts == 2).all():
+        return col.to_pylist()  # 3D / ragged points: rare path
+    flat = pc.list_flatten(pts_arr).to_numpy().reshape(-1, 2)
+    ring_ends = np.cumsum(pt_counts)
+    ring_starts = ring_ends - pt_counts
+    poly_ends = np.cumsum(ring_counts)
+    poly_starts = poly_ends - ring_counts
+    return [
+        [flat[ring_starts[r] : ring_ends[r]] for r in range(poly_starts[p], poly_ends[p])]
+        for p in range(len(ring_counts))
+    ]
+
+
 def decompose_batch(batch: pa.Table) -> pa.Table:
     """One polygon row in → one row per simple output ring. The ring
     column is assembled straight from the kernels' float64 coordinate
     arrays (offsets + flat buffer — values pass through bit-unchanged,
     no tolist round-trip)."""
     geom_ids = batch["geom_id"].to_pylist()
-    ringsets = batch["rings"].to_pylist()
+    ringsets = _rings_from_arrow(batch["rings"])
     # one vectorized self-intersection pass for the whole block
     closed = [_close_rings(r) for r in ringsets]
     isect_rows = self_intersections_batch(closed)
@@ -173,7 +207,7 @@ def decompose_batch_quarantine(batch: pa.Table) -> pa.Table:
     channel of SURVEY.md §2.1 R1. At 100 TB one corrupt record must
     not poison a block."""
     geom_ids = batch["geom_id"].to_pylist()
-    ringsets = batch["rings"].to_pylist()
+    ringsets = _rings_from_arrow(batch["rings"])
     cols: dict[str, list] = {k: [] for k in (
         "geom_id", "ok", "error", "ring_seq", "ring_index",
         "parent", "winding", "net_winding", "ring",
