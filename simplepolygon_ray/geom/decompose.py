@@ -29,7 +29,6 @@ from dataclasses import dataclass
 import numpy as np
 
 import logging
-import operator
 import os
 
 from .gpsi import self_intersections
@@ -50,9 +49,6 @@ def _debug(msg: str) -> None:
 
 __all__ = ["decompose", "DecomposedRing", "DuplicateVertexError"]
 
-_PARAM_KEY = operator.attrgetter("param")
-
-
 class DuplicateVertexError(ValueError):
     """Input polygon has duplicate vertices (reference src/index.ts:60-63)."""
 
@@ -67,26 +63,6 @@ class DecomposedRing:
     parent: int
     winding: int
     net_winding: int | None = None
-
-
-@dataclass(slots=True)
-class _Isect:
-    coord: tuple
-    re1: tuple  # ringAndEdge1
-    re2: tuple
-    w1: bool  # ringAndEdge1Walkable
-    w2: bool
-    nxt1: int | None = None
-    nxt2: int | None = None
-
-
-@dataclass(slots=True)
-class _PseudoVtx:
-    coord: tuple
-    param: float
-    re_in: tuple
-    re_out: tuple
-    nxt: int | None = None
 
 
 def _close_rings(coordinates) -> list[np.ndarray]:
@@ -111,17 +87,19 @@ class _WalkQueue:
     ascending positions) makes removal/membership O(1) amortized while
     preserving exact list order — the reference's linear scans are
     O(K²) on large polygons (SURVEY.md §4.1 "quadratic warts").
+
+    Items are ``(isect, parent, winding)`` tuples.
     """
 
-    def __init__(self, items: list[dict]):
-        self.slots: list[dict | None] = list(items)
+    def __init__(self, items: list[tuple]):
+        self.slots: list[tuple | None] = list(items)
         self.pos: dict[int, list[int]] = {}
         for p, it in enumerate(items):
-            self.pos.setdefault(it["isect"], []).append(p)
+            self.pos.setdefault(it[0], []).append(p)
         self.live = len(items)
 
-    def push(self, item: dict) -> None:
-        self.pos.setdefault(item["isect"], []).append(len(self.slots))
+    def push(self, item: tuple) -> None:
+        self.pos.setdefault(item[0], []).append(len(self.slots))
         self.slots.append(item)
         self.live += 1
 
@@ -132,11 +110,11 @@ class _WalkQueue:
             self.slots[p] = None
             self.live -= 1
 
-    def pop(self) -> dict:
+    def pop(self) -> tuple:
         while True:
             it = self.slots.pop()
             if it is not None:
-                self.pos[it["isect"]].pop()  # its position is the max
+                self.pos[it[0]].pop()  # its position is the max
                 self.live -= 1
                 return it
 
@@ -344,195 +322,197 @@ def decompose(
             _set_net_winding(out)
         return out
 
-    # ---- build pseudo-vertex lists and intersection list ----
-    pseudo: list[list[list[_PseudoVtx]]] = []  # [ring][edge] -> pvtx list
-    isects: list[_Isect] = []
+    # ---- build the intersection table ----
+    # SoA layout of the reference's PseudoVtx / Isect objects
+    # (src/index.ts:542,580): the same fields in parallel arrays, built
+    # in the same order with C-level bulk ops. A ringAndEdge pair is
+    # encoded as the single int ring * 2**32 + edge (only ever compared
+    # for equality, exactly like the reference's [ring, edge] arrays).
+    SHIFT = 1 << 32
+    m_list = [len(r) - 1 for r in rings]
+
+    ico: list = []  # coord tuples; [0:numvertices] are the ring vertices
+    ire1: list = []  # encoded ringAndEdge1
+    ire2: list = []  # encoded ringAndEdge2
+    pts_list: list[list] = []
     for i in range(num_rings):
-        ring_i = rings[i]
-        m = len(ring_i) - 1
+        m = m_list[i]
         # one C-level boxing pass for the whole ring's coords
-        pts = [tuple(p) for p in ring_i[:m].tolist()]
-        edges = []
-        pseudo.append(edges)
-        ap = isects.append
-        for j in range(m):
-            jn = (j + 1) % m
-            edges.append(
-                [_PseudoVtx(coord=pts[jn], param=1.0, re_in=(i, j), re_out=(i, jn))]
-            )
-            ap(
-                _Isect(
-                    coord=pts[j],
-                    re1=(i, (j - 1) % m),
-                    re2=(i, j),
-                    w1=False,
-                    w2=True,
-                )
-            )
+        pts = [tuple(p) for p in rings[i][:m].tolist()]
+        pts_list.append(pts)
+        base = i * SHIFT
+        ico += pts
+        ire1.append(base + m - 1)
+        ire1.extend(range(base, base + m - 1))
+        ire2.extend(range(base, base + m))
 
-    r0 = isect_rows["ring0"]
-    e0 = isect_rows["edge0"]
-    f0 = isect_rows["frac0"]
-    r1 = isect_rows["ring1"]
-    e1 = isect_rows["edge1"]
-    uq = isect_rows["unique"]
-    xs = isect_rows["ix"]
-    ys = isect_rows["iy"]
-    for k in range(n_self):
-        c = (float(xs[k]), float(ys[k]))
-        pseudo[int(r0[k])][int(e0[k])].append(
-            _PseudoVtx(
-                coord=c,
-                param=float(f0[k]),
-                re_in=(int(r0[k]), int(e0[k])),
-                re_out=(int(r1[k]), int(e1[k])),
-            )
-        )
-        if uq[k]:
-            isects.append(
-                _Isect(
-                    coord=c,
-                    re1=(int(r0[k]), int(e0[k])),
-                    re2=(int(r1[k]), int(e1[k])),
-                    w1=True,
-                    w2=True,
-                )
-            )
+    r0 = np.asarray(isect_rows["ring0"], dtype=np.int64)
+    e0 = np.asarray(isect_rows["edge0"], dtype=np.int64)
+    f0 = np.asarray(isect_rows["frac0"], dtype=np.float64)
+    r1 = np.asarray(isect_rows["ring1"], dtype=np.int64)
+    e1 = np.asarray(isect_rows["edge1"], dtype=np.int64)
+    uq = np.asarray(isect_rows["unique"], dtype=bool)
+    xs = np.asarray(isect_rows["ix"], dtype=np.float64)
+    ys = np.asarray(isect_rows["iy"], dtype=np.float64)
 
-    # per-edge sort by param (ties impossible given the dup-vertex guard)
-    _param = _PARAM_KEY
-    for ring_lists in pseudo:
-        for lst in ring_lists:
-            if len(lst) > 1:
-                lst.sort(key=_param)
+    enc0 = r0 * SHIFT + e0
+    enc1 = r1 * SHIFT + e1
+    uqi = np.flatnonzero(uq)
+    ico += list(zip(xs[uqi].tolist(), ys[uqi].tolist()))
+    ire1 += enc0[uqi].tolist()
+    ire2 += enc1[uqi].tolist()
+    niso = len(ico)
+    iw1 = [False] * numvertices + [True] * (niso - numvertices)
+    iw2 = [True] * niso
+    inx1: list = [None] * niso
+    inx2: list = [None] * niso
 
     # exact-coordinate index: the reference's rbush point query is a
-    # pure float-equality lookup (src/index.ts:203-215) -> dict
-    coord_to_isect = {it.coord: idx for idx, it in enumerate(isects)}
+    # pure float-equality lookup (src/index.ts:203-215) -> dict;
+    # duplicate coords resolve to the LAST entry, as before
+    d = dict(zip(ico, range(niso)))
 
-    # linking pass 1: next isect along each pseudo-vertex's incoming edge
-    for i in range(num_rings):
-        m = len(rings[i]) - 1
-        for j in range(m):
-            lst = pseudo[i][j]
-            for k, pv in enumerate(lst):
-                if k == len(lst) - 1:
-                    coord_to_find = pseudo[i][(j + 1) % m][0].coord
-                else:
-                    coord_to_find = lst[k + 1].coord
-                pv.nxt = coord_to_isect[coord_to_find]
+    # ---- linking: one pass over the per-ring pseudo-vertex chains.
+    # A ring's chain is its edges in order, each edge's pseudo-vertices
+    # sorted by param with the edge-end vertex LAST -- and FIRST among
+    # exact param-1.0 ties (kind 0 sorts before kind 1 under the stable
+    # lexsort), reproducing the reference's insert-then-stable-sort
+    # order -- wrapping circularly at the ring end. The chain successor
+    # IS the original pass 1's "next isect along the edge", and
+    # assigning in chain order replays pass 2's write order exactly.
+    t_ring = np.repeat(np.arange(num_rings, dtype=np.int64), m_list)
+    t_edge = np.concatenate([np.arange(m, dtype=np.int64) for m in m_list])
 
-    # linking pass 2: port onto isects
-    for i in range(num_rings):
-        for j in range(len(pseudo[i])):
-            for pv in pseudo[i][j]:
-                l = coord_to_isect[pv.coord]
-                if l < numvertices:
-                    isects[l].nxt2 = pv.nxt
-                elif isects[l].re1 == pv.re_in:
-                    isects[l].nxt1 = pv.nxt
-                else:
-                    isects[l].nxt2 = pv.nxt
+    c_ring = np.concatenate([r0, t_ring])
+    c_edge = np.concatenate([e0, t_edge])
+    c_param = np.concatenate([f0, np.ones(numvertices)])
+    c_kind = np.concatenate(
+        [np.ones(n_self, dtype=np.int8), np.zeros(numvertices, dtype=np.int8)]
+    )
+    order = np.lexsort((c_kind, c_param, c_edge, c_ring)).tolist()
+
+    # chain coords + incoming ringAndEdge, aligned with the combined
+    # rows: intersections (all gpsi rows, row order) then terminals in
+    # (ring, edge) order -- the terminal of edge j is vertex (j+1) % m
+    c_coord = list(zip(xs.tolist(), ys.tolist()))
+    for pts in pts_list:
+        c_coord += pts[1:]
+        c_coord.append(pts[0])
+    c_rein = enc0.tolist() + ire2[:numvertices]
+
+    seg_counts = (
+        np.bincount(r0, minlength=num_rings) + np.asarray(m_list, dtype=np.int64)
+    ).tolist()
+    pos = 0
+    for cnt in seg_counts:
+        seg = order[pos : pos + cnt]
+        pos += cnt
+        cs = [c_coord[t] for t in seg]
+        res = [c_rein[t] for t in seg]
+        nxt_cs = cs[1:]
+        nxt_cs.append(cs[0])
+        for cc, ri, nc in zip(cs, res, nxt_cs):
+            l = d[cc]
+            nv = d[nc]
+            if l < numvertices:
+                inx2[l] = nv
+            elif ire1[l] == ri:
+                inx1[l] = nv
+            else:
+                inx2[l] = nv
 
     # ---- queue seeding (reference src/index.ts:283-330) ----
-    queue: list[dict] = []
-    i = 0
-    for j in range(num_rings):
-        m = len(rings[j]) - 1
-        left = i
-        for _ in range(m):
-            if isects[i].coord[0] < isects[left].coord[0]:
-                left = i
-            i += 1
-        after = isects[left].nxt2
-        before = 0
-        for k in range(len(isects)):
-            if isects[k].nxt1 == left or isects[k].nxt2 == left:
-                before = k
-                break
-        winding = (
-            1
-            if is_convex(isects[before].coord, isects[left].coord, isects[after].coord, True)
-            else -1
-        )
-        queue.append({"isect": left, "parent": -1, "winding": winding})
+    # "first isect whose nxt1/nxt2 points here", via one reverse sweep
+    # (equivalent to the reference's first-match forward scan)
+    rev: dict = {}
+    for k in range(niso - 1, -1, -1):
+        n1 = inx1[k]
+        if n1 is not None:
+            rev[n1] = k
+        n2 = inx2[k]
+        if n2 is not None:
+            rev[n2] = k
+
+    queue: list[tuple] = []
+    vbase = 0
+    for i in range(num_rings):
+        pts = pts_list[i]
+        m = m_list[i]
+        left = 0
+        lx = pts[0][0]
+        for j in range(1, m):
+            xj = pts[j][0]
+            if xj < lx:  # strict: first minimum wins, like the scan
+                lx = xj
+                left = j
+        left += vbase
+        vbase += m
+        after = inx2[left]
+        before = rev.get(left, 0)
+        winding = 1 if is_convex(ico[before], ico[left], ico[after], True) else -1
+        queue.append((left, -1, winding))
 
     # descending JS-string order so the left-most pops first
-    queue.sort(key=lambda q: js_coord_str(isects[q["isect"]].coord), reverse=True)
+    queue.sort(key=lambda q: js_coord_str(ico[q[0]]), reverse=True)
     queue = _WalkQueue(queue)
 
     # ---- walk (reference src/index.ts:332-519) ----
     out: list[DecomposedRing] = []
     while queue:
-        popped = queue.pop()
-        start = popped["isect"]
-        cur_parent = popped["parent"]
-        cur_winding = popped["winding"]
+        start, cur_parent, cur_winding = queue.pop()
         cur_ring_idx = len(out)
-        coords = [isects[start].coord]
+        start_coord = ico[start]
+        coords = [start_coord]
 
         cur = start
-        if isects[start].w1:
-            walking = isects[start].re1
-            nxt = isects[start].nxt1
+        if iw1[start]:
+            walking = ire1[start]
+            nxt = inx1[start]
         else:
-            walking = isects[start].re2
-            nxt = isects[start].nxt2
+            walking = ire2[start]
+            nxt = inx2[start]
         if nxt is None:
             raise RuntimeError("next intersection not defined")
 
-        while isects[start].coord != isects[nxt].coord:
-            coords.append(isects[nxt].coord)
-            queue.remove_first(nxt)
-            it = isects[nxt]
-            if walking == it.re1:
-                walking = it.re2
-                it.w2 = False
-                if it.w1:
-                    nxt_along = it.nxt2
+        qpush = queue.push
+        qremove = queue.remove_first
+        while ico[nxt] != start_coord:
+            coords.append(ico[nxt])
+            qremove(nxt)
+            if walking == ire1[nxt]:
+                walking = ire2[nxt]
+                iw2[nxt] = False
+                if iw1[nxt]:
+                    nxt_along = inx2[nxt]
                     if nxt_along is None:
                         raise RuntimeError("next intersection not defined")
                     if is_convex(
-                        isects[cur].coord,
-                        it.coord,
-                        isects[nxt_along].coord,
-                        cur_winding == 1,
+                        ico[cur], ico[nxt], ico[nxt_along], cur_winding == 1
                     ):
-                        queue.push(
-                            {"isect": nxt, "parent": cur_parent, "winding": -cur_winding}
-                        )
+                        qpush((nxt, cur_parent, -cur_winding))
                     else:
-                        queue.push(
-                            {"isect": nxt, "parent": cur_ring_idx, "winding": cur_winding}
-                        )
+                        qpush((nxt, cur_ring_idx, cur_winding))
                 cur = nxt
-                nxt = it.nxt2
+                nxt = inx2[nxt]
             else:
-                walking = it.re1
-                it.w1 = False
-                if it.w2:
-                    nxt_along = it.nxt1
+                walking = ire1[nxt]
+                iw1[nxt] = False
+                if iw2[nxt]:
+                    nxt_along = inx1[nxt]
                     if nxt_along is None:
                         raise RuntimeError("next intersection not defined")
                     if is_convex(
-                        isects[cur].coord,
-                        it.coord,
-                        isects[nxt_along].coord,
-                        cur_winding == 1,
+                        ico[cur], ico[nxt], ico[nxt_along], cur_winding == 1
                     ):
-                        queue.push(
-                            {"isect": nxt, "parent": cur_parent, "winding": -cur_winding}
-                        )
+                        qpush((nxt, cur_parent, -cur_winding))
                     else:
-                        queue.push(
-                            {"isect": nxt, "parent": cur_ring_idx, "winding": cur_winding}
-                        )
+                        qpush((nxt, cur_ring_idx, cur_winding))
                 cur = nxt
-                nxt = it.nxt1
+                nxt = inx1[nxt]
             if nxt is None:
                 raise RuntimeError("next intersection not defined")
 
-        coords.append(isects[nxt].coord)
+        coords.append(ico[nxt])
         out.append(
             DecomposedRing(
                 ring=np.asarray(coords, dtype=np.float64),
