@@ -16,7 +16,15 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["brute_topk", "ivf_compile", "ivf_assign", "ivf_topk", "query_vector"]
+__all__ = [
+    "brute_topk",
+    "ivf_compile",
+    "ivf_assign",
+    "ivf_topk",
+    "lsh_assign",
+    "lsh_topk",
+    "query_vector",
+]
 
 
 def query_vector(dim: int, seed: int = 7) -> np.ndarray:
@@ -184,6 +192,113 @@ def ivf_topk(
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         sims = (vecs @ qq) / (norms * float(np.linalg.norm(qq)))
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64)[mask],
+                "cosine": sims.astype(np.float64),
+            }
+        )
+        return out.nlargest(k, "cosine")
+
+    partial = emb.map_batches(score, batch_format="pandas")
+    return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------------------- LSH ANN
+
+_LSH_PLANES_CACHE: dict = {}
+
+
+def lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Seeded hyperplane matrix, drawn once per worker process —
+    a pure function of (dim, n_planes), so every task and the driver
+    agree on bucket assignments without any broadcast."""
+    key = (dim, n_planes)
+    if key not in _LSH_PLANES_CACHE:
+        r = np.random.RandomState(0xA55)
+        _LSH_PLANES_CACHE[key] = r.standard_normal((dim, n_planes)).astype(np.float32)
+    return _LSH_PLANES_CACHE[key]
+
+
+def lsh_bucket_of(vecs: np.ndarray, n_planes: int) -> np.ndarray:
+    """Sign-bit hyperplane bucket per row of ``vecs``."""
+    p = lsh_planes(vecs.shape[1], n_planes)
+    bits = (vecs @ p) > 0
+    return (
+        (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64))
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def lsh_probe_set(query: np.ndarray, n_planes: int) -> set[int]:
+    """Multi-probe bucket set for one query: its own bucket plus every
+    single-bit flip (vectors within one hyperplane of the query)."""
+    qb = int(lsh_bucket_of(np.asarray(query, np.float32)[None, :], n_planes)[0])
+    return {qb} | {qb ^ (1 << b) for b in range(n_planes)}
+
+
+def lsh_assign(
+    emb,
+    query: np.ndarray,
+    *,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Per-vector LSH bucket + probe membership as a Dataset
+    (vec_id, bucket, in_probe) — the persistable search manifest an
+    oracle replays the bucket-restricted ranking from. Stateless,
+    shuffle-free: the planes are a seeded pure function."""
+    q = np.asarray(query, np.float32)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _batch_vecs(batch, vec_col)
+        b = lsh_bucket_of(vecs, n_planes)
+        probes = np.fromiter(lsh_probe_set(q, n_planes), np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "bucket": b,
+                "in_probe": np.isin(b, probes),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pandas")
+
+
+def lsh_topk(
+    emb,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """LSH-bucketed approximate cosine top-k: candidates are vectors
+    in the query's multi-probe buckets (own + 1-bit flips ≈
+    (n_planes+1)/2^n_planes of the corpus), exact cosine rank within.
+
+    The 100 TB scale path: NO shuffle, no training pass, no broadcast
+    state — bucketize is a pure seeded function computed inside each
+    map task, candidates reduce via per-block partial top-k and a
+    k-row-per-block sort merge, so the only data movement is the
+    filtered candidates' (id, cosine) pairs."""
+    q = np.asarray(query, np.float32)
+    qn = float(np.linalg.norm(q))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _batch_vecs(batch, vec_col)
+        b = lsh_bucket_of(vecs, n_planes)
+        probes = np.fromiter(lsh_probe_set(q, n_planes), np.int64)
+        mask = np.isin(b, probes)
+        if not mask.any():
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"), "cosine": []})
+        vecs = vecs[mask]
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vecs @ q) / (norms * qn)
         out = pd.DataFrame(
             {
                 id_col: batch[id_col].to_numpy(np.int64)[mask],

@@ -537,9 +537,29 @@ def q_ann_ivf(sf_dir: str):
     return top[["vec_id", "rank"]]
 
 
+def q_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH top-10 (multi-probe: query bucket + 1-bit
+    flips), oracle-checked on (vec_id, rank): the per-vector bucket +
+    probe membership persists, so the SQL replays the
+    bucket-restricted cosine ranking from the embeddings view. The
+    planes are a seeded pure function — no training pass, no
+    broadcast, no shuffle (the scale path next to IVF)."""
+    import ray.data as rd
+
+    from ..ann.search import lsh_assign, lsh_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    _persist(lsh_assign(emb, query_vector(64), n_planes=6), "lsh_assign")
+    top = lsh_topk(emb, query_vector(64), k=10, n_planes=6).to_pandas()
+    top = top.reset_index(drop=True)
+    top["rank"] = np.arange(len(top), dtype=np.int64)
+    return top[["vec_id", "rank"]]
+
+
 ANN_QUERIES = {
     "ann_brute_topk": q_ann_brute,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_lsh_topk": q_ann_lsh,
 }
 
 def _knn_sql(probes_dir: str, sites_dir: str, k: int) -> str:
@@ -807,6 +827,28 @@ def _ann_ivf_sql(k: int) -> str:
     qlit = "[" + ", ".join(repr(float(v)) for v in query_vector(64)) + "]"
     return f"""
 WITH a AS (SELECT vec_id FROM read_parquet('{_ORACLE_DIR}/ivf_assign/*.parquet')
+           WHERE in_probe),
+e AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN a USING (vec_id))
+SELECT vec_id,
+       CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qlit}) DESC,
+                  vec_id) - 1 AS BIGINT) AS "rank"
+FROM e
+ORDER BY "rank"
+LIMIT {k}
+"""
+
+
+def _ann_lsh_sql(k: int) -> str:
+    """Bucket-restricted ranking replay over the persisted LSH
+    assignment — same shape as the IVF oracle: a wrong plane sign,
+    probe set, or bucket encoding all change ``in_probe`` and
+    mismatch."""
+    from ..ann.search import query_vector
+
+    qlit = "[" + ", ".join(repr(float(v)) for v in query_vector(64)) + "]"
+    return f"""
+WITH a AS (SELECT vec_id FROM read_parquet('{_ORACLE_DIR}/lsh_assign/*.parquet')
            WHERE in_probe),
 e AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN a USING (vec_id))
 SELECT vec_id,
@@ -1273,6 +1315,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "ann_ivf_topk": _ann_ivf_sql(10),
+    "ann_lsh_topk": _ann_lsh_sql(10),
     "approx_distinct_users": _hll_sql(p=12),
     "text_quality": _QUALITY_SQL,
     "text_langid": _langid_sql(),

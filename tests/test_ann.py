@@ -49,3 +49,35 @@ def test_ivf_topk_recall(ray_session, emb_df):
     approx = ivf_topk(rd.from_pandas(emb_df), q, k=10, n_clusters=8, nprobe=4).to_pandas()
     recall = len(set(approx["vec_id"]) & set(ids)) / 10
     assert recall >= 0.5
+
+
+def test_lsh_topk_recall_and_probe_semantics(ray_session, emb_df):
+    import ray.data as rd
+
+    from simplepolygon_ray.ann.search import (
+        lsh_assign,
+        lsh_bucket_of,
+        lsh_probe_set,
+        lsh_topk,
+    )
+
+    q = query_vector(64)
+    got = lsh_topk(rd.from_pandas(emb_df), q, k=10, n_planes=6).to_pandas()
+    assert len(got) == 10
+    # exact within candidate set: recompute candidates + ranking in numpy
+    vecs = np.stack([np.asarray(v, np.float32) for v in emb_df["embedding"]])
+    buckets = lsh_bucket_of(vecs, 6)
+    probes = np.fromiter(lsh_probe_set(q, 6), np.int64)
+    mask = np.isin(buckets, probes)
+    cand = emb_df[mask]
+    ids, _ = _exhaustive(cand.reset_index(drop=True), q, 10)
+    assert got["vec_id"].tolist() == ids.tolist()
+    # multi-probe keeps recall vs the full corpus reasonable
+    true_ids, _ = _exhaustive(emb_df, q, 10)
+    recall = len(set(got["vec_id"]) & set(true_ids)) / 10
+    assert recall >= 0.5
+    # assignment manifest agrees with the kernel
+    asg = lsh_assign(rd.from_pandas(emb_df), q, n_planes=6).to_pandas()
+    asg = asg.sort_values("vec_id").reset_index(drop=True)
+    assert (asg["bucket"].to_numpy() == buckets).all()
+    assert (asg["in_probe"].to_numpy() == mask).all()
