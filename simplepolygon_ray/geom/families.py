@@ -23,7 +23,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["star", "zigzag", "crossed_rings", "nested", "polygon_for_id", "N_FAMILIES"]
+__all__ = [
+    "star",
+    "zigzag",
+    "crossed_rings",
+    "nested",
+    "polygon_for_id",
+    "placed_rings_for_ids",
+    "N_FAMILIES",
+]
 
 N_FAMILIES = 4
 
@@ -103,3 +111,99 @@ def polygon_for_id(
     cy = lat_range[0] + ((h >> 32) % 10_000) / 10_000.0 * (lat_range[1] - lat_range[0])
     r = 0.2 + ((h >> 48) % 1_000) / 1_000.0 * (max_radius - 0.2)
     return _place(rings, cx, cy, r)
+
+
+def _splitmix64_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``_splitmix64`` over a uint64 array (same bits)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+_SHAPE_BANK = None
+
+
+def _shape_bank():
+    """Flattened bank of the 24 distinct unit shapes (4 families × 6
+    size params). The placed corpus is a gather from this bank — the
+    per-id Python construction only runs once per (fam, p)."""
+    global _SHAPE_BANK
+    if _SHAPE_BANK is None:
+        coords, ring_lens = [], []
+        tpl_v = np.zeros(N_FAMILIES * 6, np.int64)  # vertices per shape
+        tpl_r = np.zeros(N_FAMILIES * 6, np.int64)  # rings per shape
+        for fam in range(N_FAMILIES):
+            for p in range(5, 11):
+                if fam == 0:
+                    rings = star(p)
+                elif fam == 1:
+                    rings = zigzag(p)
+                elif fam == 2:
+                    rings = crossed_rings()
+                else:
+                    rings = nested(p % 5 + 1)
+                arrs = [np.asarray(r, dtype=np.float64) for r in rings]
+                key = fam * 6 + (p - 5)
+                tpl_v[key] = sum(len(a) for a in arrs)
+                tpl_r[key] = len(arrs)
+                coords.append(np.concatenate(arrs))
+                ring_lens.append(np.fromiter((len(a) for a in arrs), np.int64))
+        _SHAPE_BANK = {
+            "coords": np.concatenate(coords),  # (sum V, 2) unit coords
+            "v_start": np.concatenate([[0], np.cumsum(tpl_v)])[:-1],
+            "tpl_v": tpl_v,
+            "ring_lens": np.concatenate(ring_lens),
+            "r_start": np.concatenate([[0], np.cumsum(tpl_r)])[:-1],
+            "tpl_r": tpl_r,
+        }
+    return _SHAPE_BANK
+
+
+def _within_segments(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated."""
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def placed_rings_for_ids(
+    ids: np.ndarray,
+    lon_range=(114.0, 141.0),
+    lat_range=(-36.0, -14.0),
+    max_radius: float = 1.5,
+):
+    """Vectorized ``polygon_for_id`` over an int64 id array.
+
+    Returns ``(flat_coords (V, 2) float64, ring_lens int64, nrings
+    int64)`` — the per-polygon ring structure flattened in id order.
+    Bit-exact vs the scalar path: the placement arithmetic applies the
+    identical multiply-then-add rounding per coordinate
+    (equivalence-tested in test_decompose_pin.py)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    bank = _shape_bank()
+    h = _splitmix64_vec(ids.view(np.uint64))
+    p = ((h >> np.uint64(8)) % np.uint64(6)).astype(np.int64)  # p-5
+    key = (ids % N_FAMILIES) * 6 + p
+    cx = lon_range[0] + ((h >> np.uint64(16)) % np.uint64(10_000)).astype(
+        np.float64
+    ) / 10_000.0 * (lon_range[1] - lon_range[0])
+    cy = lat_range[0] + ((h >> np.uint64(32)) % np.uint64(10_000)).astype(
+        np.float64
+    ) / 10_000.0 * (lat_range[1] - lat_range[0])
+    r = 0.2 + ((h >> np.uint64(48)) % np.uint64(1_000)).astype(
+        np.float64
+    ) / 1_000.0 * (max_radius - 0.2)
+
+    nv = bank["tpl_v"][key]
+    gidx = np.repeat(bank["v_start"][key], nv) + _within_segments(nv)
+    flat = bank["coords"][gidx]  # (V, 2) unit coords in id order
+    # same rounding as _place's `cx + x * r`: multiply, then add
+    flat = flat * np.repeat(r, nv)[:, None]
+    flat[:, 0] += np.repeat(cx, nv)
+    flat[:, 1] += np.repeat(cy, nv)
+
+    nr = bank["tpl_r"][key]
+    ridx = np.repeat(bank["r_start"][key], nr) + _within_segments(nr)
+    ring_lens = bank["ring_lens"][ridx]
+    return flat, ring_lens, nr

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from ..geom.decompose import _close_rings, decompose, determine_parents_batch
 from ..geom.gpsi import self_intersections_batch
-from ..geom.families import polygon_for_id
+from ..geom.families import placed_rings_for_ids
 
 __all__ = [
     "decompose_batch",
@@ -54,17 +54,35 @@ RING_SCHEMA = pa.schema(
 
 
 def gen_polygon_batch(batch, *, max_radius: float = 1.5) -> pa.Table:
-    """{"id": int64 array} → polygon rows (geom_id, rings)."""
+    """{"id": int64 array} → polygon rows (geom_id, rings).
+
+    Fully vectorized: coordinates come from one gather over the
+    24-shape unit bank (``placed_rings_for_ids``, bit-exact vs the
+    scalar ``polygon_for_id`` — equivalence-pinned in
+    test_decompose_pin.py) and the nested Arrow list column is built
+    straight from offsets + the flat float64 buffer."""
     ids = np.asarray(batch["id"], dtype=np.int64)
-    return pa.table(
-        {
-            "geom_id": pa.array([f"poly{int(i):010d}" for i in ids]),
-            "rings": pa.array(
-                [polygon_for_id(int(i), max_radius=max_radius) for i in ids],
-                type=_RINGS_T,
-            ),
-        }
+    flat, ring_lens, nrings = placed_rings_for_ids(ids, max_radius=max_radius)
+    geom_ids = np.char.mod("poly%010d", ids)
+    coords = pa.ListArray.from_arrays(
+        pa.array(np.arange(len(flat) + 1, dtype=np.int64) * 2, type=pa.int32()),
+        pa.array(flat.ravel()),
     )
+    rings = pa.ListArray.from_arrays(
+        pa.array(
+            np.concatenate([[0], np.cumsum(ring_lens)]).astype(np.int64),
+            type=pa.int32(),
+        ),
+        coords,
+    )
+    polys = pa.ListArray.from_arrays(
+        pa.array(
+            np.concatenate([[0], np.cumsum(nrings)]).astype(np.int64),
+            type=pa.int32(),
+        ),
+        rings,
+    ).cast(_RINGS_T)
+    return pa.table({"geom_id": pa.array(geom_ids), "rings": polys})
 
 
 def polygons_source(n: int, *, parallelism: int = -1, max_radius: float = 1.5):

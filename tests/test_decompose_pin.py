@@ -38,3 +38,28 @@ def corpus_digest(n: int = 1500) -> str:
 
 def test_decompose_corpus_pin():
     assert corpus_digest() == PIN
+
+
+def test_vectorized_generator_bit_exact():
+    """gen_polygon_batch (bank-gather path) must reproduce the scalar
+    polygon_for_id corpus bit-for-bit — coordinates AND geom_id
+    strings — including >10-digit ids and a non-default max_radius."""
+    import pyarrow as pa
+
+    from simplepolygon_ray.stages.decompose_stage import _RINGS_T, gen_polygon_batch
+
+    ids = np.concatenate(
+        [np.arange(2000, dtype=np.int64), np.array([10**10 + 7, 2**40], dtype=np.int64)]
+    )
+    for mr in (1.5, 0.4):
+        got = gen_polygon_batch({"id": ids}, max_radius=mr)
+        ref = pa.table(
+            {
+                "geom_id": pa.array([f"poly{int(i):010d}" for i in ids]),
+                "rings": pa.array(
+                    [polygon_for_id(int(i), max_radius=mr) for i in ids], type=_RINGS_T
+                ),
+            }
+        )
+        assert got["geom_id"].to_pylist() == ref["geom_id"].to_pylist()
+        assert got["rings"].to_pylist() == ref["rings"].to_pylist()
