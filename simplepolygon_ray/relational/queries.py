@@ -1249,3 +1249,279 @@ ORACLE_SQL.update(
         "var_discount": _SQL_VAR,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# bloom-filter semi join — the scale pattern for large⋈large semi joins:
+# a 16 KB bloom bitmap broadcast prunes the probe side BEFORE the exact
+# membership test (at 100 TB: before the shuffle), so the expensive
+# structure only sees candidate rows. Output stays EXACT (bloom has no
+# false negatives; survivors are verified against the true key set).
+# --------------------------------------------------------------------------
+
+from .sketches import _hash64  # noqa: E402  (splitmix64, shared with HLL)
+
+_BLOOM_M = 1 << 17  # bits (16 KB bitmap)
+_BLOOM_K = 4
+_BLOOM_CUTOFF = 450_000.0
+
+
+def _bloom_words(keys: np.ndarray):
+    """(word_index, bit) pairs for the K Kirsch–Mitzenmacher probes."""
+    h = _hash64(keys.astype(np.int64))
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = h >> np.uint64(32)
+    pos = [
+        (h1 + np.uint64(j) * h2) % np.uint64(_BLOOM_M) for j in range(_BLOOM_K)
+    ]
+    return [(p >> np.uint64(6), p & np.uint64(63)) for p in pos]
+
+
+def _bloom_semi_index_ref(sf_dir: str, cutoff: float):
+    """Build (exact key array, bloom bitmap) in a Ray task from the
+    small side's blocks — the ring-index pattern: the driver only ever
+    holds one ObjectRef, never the keys."""
+    import ray
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.greater(t["o_totalprice"], cutoff))
+        return pa.table({"k": pc.unique(hit["o_orderkey"].combine_chunks())})
+
+    refs = orders.map_batches(keys_of, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def assemble(*tbls):
+        tbls = [t for t in tbls if t.num_rows and t.num_columns]
+        if not tbls:
+            keys = pa.array([], pa.int64())
+        else:
+            keys = pc.unique(pa.concat_tables(tbls)["k"].combine_chunks())
+        arr = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.zeros(_BLOOM_M // 64, np.uint64)
+        for w, b in _bloom_words(arr):
+            np.bitwise_or.at(bits, w.astype(np.int64), np.uint64(1) << b)
+        return keys, bits
+
+    return assemble.remote(*refs)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Revenue of lineitems belonging to high-value orders: bloom
+    prefilter (vectorized bit probes) → exact ``pc.is_in`` verify →
+    block-local partial aggregate → tiny 3-key groupby."""
+    import ray
+
+    ref = _bloom_semi_index_ref(sf_dir, _BLOOM_CUTOFF)
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys, bits = ray.get(ref)
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = np.ones(len(k), bool)
+        for w, b in _bloom_words(k):
+            cand &= ((bits[w.astype(np.int64)] >> b) & np.uint64(1)).astype(bool)
+        if not cand.all():
+            batch = batch.filter(pa.array(cand))
+        hit = batch.filter(pc.is_in(batch["l_orderkey"], value_set=keys))
+        ext = hit["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = hit["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.rint(ext * (1.0 - disc) * 10000.0).astype(np.int64)
+        part = pa.table(
+            {"l_returnflag": hit["l_returnflag"], "revenue_e4": pa.array(rev)}
+        ).group_by(["l_returnflag"]).aggregate([("revenue_e4", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "l_returnflag": part["l_returnflag"],
+                "revenue_e4": part["revenue_e4_sum"],
+                "n_items": part["count_all"],
+            }
+        )
+
+    partial = li.map_batches(f, batch_format="pyarrow")
+    return partial.groupby("l_returnflag").aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4"), Sum("n_items", alias_name="n_items")
+    )
+
+
+_SQL_BLOOM_SEMI = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# stratified sampling — per-stratum rates from one deterministic hash;
+# the same splitmix64 is replayed limb-exactly in the oracle SQL
+# --------------------------------------------------------------------------
+
+_STRATA_OF_8 = {"BUILDING": 4, "AUTOMOBILE": 2}  # default 1 (i.e. 1/8)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Customers sampled at segment-dependent rates (BUILDING 1/2,
+    AUTOMOBILE 1/4, rest 1/8) — one vectorized hash per row, no
+    shuffle, deterministic at any scale."""
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hm = _hash64(k) % np.uint64(8)
+        th = np.ones(len(k), np.uint64)
+        for seg, t8 in _STRATA_OF_8.items():
+            m = pc.equal(batch["c_mktsegment"], seg).to_numpy(zero_copy_only=False)
+            th[m] = t8
+        return batch.filter(pa.array(hm < th))
+
+    return cust.map_batches(f, batch_format="pyarrow")
+
+
+_T64 = 1 << 64
+
+
+def _mulmod_sql(a: str, b: int) -> str:
+    """HUGEINT (a*b) mod 2^64 in 32-bit limbs (the raw product
+    overflows signed INT128) — same construction as the HLL oracle."""
+    bh, bl = b >> 32, b & 0xFFFFFFFF
+    return (
+        f"((({a}) * {bl}) % {_T64} + (((({a}) % {1 << 32}) * {bh}) % {1 << 32})"
+        f" * {1 << 32}) % {_T64}"
+    )
+
+
+_SQL_STRATIFIED = f"""
+WITH h0 AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                   (CAST(c_custkey AS HUGEINT) + {0x9E3779B97F4A7C15}) % {_T64} AS x
+            FROM customer),
+h1 AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+              {_mulmod_sql("xor(x, x >> 30)", 0xBF58476D1CE4E5B9)} AS x FROM h0),
+h2 AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+              {_mulmod_sql("xor(x, x >> 27)", 0x94D049BB133111EB)} AS x FROM h1),
+h3 AS (SELECT c_custkey, c_mktsegment, c_acctbal, xor(x, x >> 31) % 8 AS hm FROM h2)
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM h3
+WHERE hm < CASE c_mktsegment WHEN 'BUILDING' THEN 4 WHEN 'AUTOMOBILE' THEN 2 ELSE 1 END
+"""
+
+
+# --------------------------------------------------------------------------
+# consecutive-duplicate event drop — per-user LAG dedup (log compaction
+# shape), bucket-grouped and fully segmented
+# --------------------------------------------------------------------------
+
+
+def q_dedup_consecutive(sf_dir: str):
+    """Drop events repeating the previous event's type within the same
+    user stream (ordered by ts, event_id). One 512-way bucket shuffle;
+    the lag compare is one vectorized pass per bucket."""
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        keep = np.ones(len(g), bool)
+        if len(g) > 1:
+            keep[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        return pd.DataFrame(
+            {
+                "user_id": uid[keep],
+                "event_id": g["event_id"].to_numpy(np.int64)[keep],
+                "event_type": et[keep],
+            }
+        )
+
+    return _bucket_groupby(ev, "user_id", f)
+
+
+_SQL_DEDUP_CONSEC = """
+SELECT user_id, event_id, event_type
+FROM (SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NULL OR event_type <> prev
+"""
+
+
+# --------------------------------------------------------------------------
+# pivot — hour-of-day × event-type count matrix via block-local
+# bincount partials (the exchange carries 24 rows per block)
+# --------------------------------------------------------------------------
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+    ne = len(_ETYPES)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // 3_600_000_000) % 24
+        code = np.full(len(hour), ne, np.int64)
+        for i, et in enumerate(_ETYPES):
+            code[pc.equal(batch["event_type"], et).to_numpy(zero_copy_only=False)] = i
+        known = code < ne
+        mat = np.bincount(
+            hour[known] * ne + code[known], minlength=24 * ne
+        ).reshape(24, ne)
+        cols: dict[str, pa.Array] = {
+            "hour_of_day": pa.array(np.arange(24, dtype=np.int64))
+        }
+        for i, et in enumerate(_ETYPES):
+            cols[f"n_{et}"] = pa.array(mat[:, i].astype(np.int64))
+        return pa.table(cols)
+
+    partial = ev.map_batches(prep, batch_format="pyarrow")
+    agg = partial.groupby("hour_of_day").aggregate(
+        *[Sum(f"n_{et}", alias_name=f"n_{et}") for et in _ETYPES]
+    )
+
+    def drop_empty(t: pa.Table) -> pa.Table:
+        # hours with zero events everywhere don't exist on the SQL side
+        tot = np.zeros(t.num_rows, np.int64)
+        for et in _ETYPES:
+            tot += t[f"n_{et}"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(tot > 0))
+
+    return agg.map_batches(drop_empty, batch_format="pyarrow")
+
+
+_SQL_PIVOT = """
+SELECT CAST(floor(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS hour_of_day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "bloom_semi_join": q_bloom_semi_join,
+        "stratified_sample": q_stratified_sample,
+        "dedup_consecutive": q_dedup_consecutive,
+        "pivot_events": q_pivot_events,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "bloom_semi_join": _SQL_BLOOM_SEMI,
+        "stratified_sample": _SQL_STRATIFIED,
+        "dedup_consecutive": _SQL_DEDUP_CONSEC,
+        "pivot_events": _SQL_PIVOT,
+    }
+)

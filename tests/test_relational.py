@@ -91,3 +91,27 @@ def test_range_join_window_edges(ray_session):
         if c:
             want[uid[i]] = want.get(uid[i], 0) + c
     assert dict(zip(got["user_id"], got["n_pairs"])) == want
+
+
+def test_bloom_no_false_negatives_and_prunes():
+    """Bloom prefilter contract: every true key passes (exactness of
+    the semi join relies on it) and non-keys are overwhelmingly
+    pruned (5k keys in 2^17 bits at k=4 → ~0.4% fp expected)."""
+    import numpy as np
+
+    from simplepolygon_ray.relational.queries import _BLOOM_M, _bloom_words
+
+    keys = np.random.RandomState(7).randint(0, 1 << 40, 5000).astype(np.int64)
+    bits = np.zeros(_BLOOM_M // 64, np.uint64)
+    for w, b in _bloom_words(keys):
+        np.bitwise_or.at(bits, w.astype(np.int64), np.uint64(1) << b)
+
+    def member(arr):
+        m = np.ones(len(arr), bool)
+        for w, b in _bloom_words(arr):
+            m &= ((bits[w.astype(np.int64)] >> b) & np.uint64(1)).astype(bool)
+        return m
+
+    assert member(keys).all()
+    others = np.arange(1 << 41, (1 << 41) + 20000).astype(np.int64)
+    assert member(others).mean() < 0.05
