@@ -1529,6 +1529,49 @@ WHERE bit_count(xor(pa, pb)) <= 3
 EXTRA_ORACLE_SQL["image_phash_near_dup"] = _PHASH_NEARDUP_SQL
 
 
+def q_image_dedup_groups(sf_dir: str):
+    """Image dedup GROUP ASSIGNMENT: the banded-phash near-dup pairs →
+    hash-to-min connected components → (img_key, group_id, group_size,
+    keep). Same propagation engine as the text near_dup_groups; the
+    oracle recomputes the pair set via the band-replay SQL and the
+    components via a recursive min-label CTE."""
+    from ..text.dedup import groups_from_pairs
+
+    pairs = q_image_phash_near_dup(sf_dir)
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t["id_a"], "doc_b": t["id_b"]})
+
+    groups = groups_from_pairs(pairs.map_batches(ren, batch_format="pyarrow"))
+
+    def out(t: pd.DataFrame) -> pd.DataFrame:
+        return t.rename(columns={"doc_id": "img_key"})
+
+    return groups.map_batches(out, batch_format="pandas")
+
+
+_IMG_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_PHASH_NEARDUP_SQL})),
+edges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+),
+lab AS (SELECT v AS img_key, MIN(l) AS group_id FROM reach GROUP BY v)
+SELECT l.img_key, l.group_id, g.group_size,
+       CAST(l.img_key = l.group_id AS BIGINT) AS keep
+FROM lab l
+JOIN (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id) g
+  USING (group_id)
+"""
+
+EXTRA_ORACLE_SQL["image_dedup_groups"] = _IMG_GROUPS_SQL
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT user_id) over events. Oracle:
     the SQL replays the WHOLE sketch — splitmix64, register max,
@@ -1549,6 +1592,7 @@ GEO_QUERIES.update(
         "media_decode_featurize": q_media_decode_featurize,
         "media_resize": q_media_resize,
         "image_phash_near_dup": q_image_phash_near_dup,
+        "image_dedup_groups": q_image_dedup_groups,
         "approx_distinct_users": q_approx_distinct_users,
     }
 )

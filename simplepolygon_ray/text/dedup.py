@@ -36,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "connected_components",
     "near_dup_groups",
+    "groups_from_pairs",
     "embedding_near_dup_pairs",
 ]
 
@@ -750,6 +751,13 @@ def near_dup_groups(docs, *, threshold: float = 0.5, text_col: str = "text"):
     no pair are untouched (implicitly kept) — the output is bounded by
     the near-dup graph, not the corpus."""
     pairs = minhash_dedup_pairs(docs, threshold=threshold, text_col=text_col)
+    return groups_from_pairs(pairs)
+
+
+def groups_from_pairs(pairs):
+    """Generic (doc_a, doc_b) pair Dataset → (doc_id, group_id,
+    group_size, keep) group assignment — shared by the text and image
+    near-dedup pipelines."""
     labs = connected_components(pairs)
 
     def attach_size(g: pd.DataFrame) -> pd.DataFrame:
