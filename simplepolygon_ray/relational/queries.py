@@ -1525,3 +1525,171 @@ ORACLE_SQL.update(
         "pivot_events": _SQL_PIVOT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# three-table join chain (TPC-H Q3 shape) — segment filter broadcast →
+# date-filtered orders broadcast map → lineitem scan + partial groupby;
+# the only exchange is the |matched orders|-sized final groupby
+# --------------------------------------------------------------------------
+
+_Q3_DATE = "1998-06-01"
+_Q3_DATE_US = pd.Timestamp(_Q3_DATE).value // 1000  # epoch micros
+_Q3_SEGMENT = "BUILDING"
+
+
+def _q3_orders_ref(sf_dir: str):
+    """(orderkey → orderdate, orderpriority) map for BUILDING-segment
+    orders placed before the cutoff, assembled in a Ray task (both
+    dimension sides stay off the driver)."""
+    import ray
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.equal(t["c_mktsegment"], _Q3_SEGMENT))
+        return pa.table({"k": hit["c_custkey"]})
+
+    cust_refs = cust.map_batches(seg_keys, batch_format="pyarrow").to_arrow_refs()
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def early(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].cast(pa.int64())
+        return t.filter(pc.less(ts, _Q3_DATE_US))
+
+    ord_refs = orders.map_batches(early, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def assemble(n_cust: int, *tbls):
+        ckeys = [t for t in tbls[:n_cust] if t.num_rows and t.num_columns]
+        keys = (
+            pc.unique(pa.concat_tables(ckeys)["k"].combine_chunks())
+            if ckeys
+            else pa.array([], pa.int64())
+        )
+        obs = [t for t in tbls[n_cust:] if t.num_rows and t.num_columns]
+        if obs:
+            ot = pa.concat_tables(obs)
+            ot = ot.filter(pc.is_in(ot["o_custkey"], value_set=keys))
+        else:
+            ot = pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            )
+        return ot.drop_columns(["o_custkey"]).combine_chunks()
+
+    return assemble.remote(len(cust_refs), *(list(cust_refs) + list(ord_refs)))
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """Top 10 orders by open revenue (Q3 shape): BUILDING customers,
+    orders before the cutoff, lineitems shipping after it."""
+    import ray
+
+    oref = _q3_orders_ref(sf_dir)
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        omap = ray.get(oref)
+        late = batch.filter(pc.greater(batch["l_shipdate"].cast(pa.int64()), _Q3_DATE_US))
+        hit = late.filter(pc.is_in(late["l_orderkey"], value_set=omap["o_orderkey"]))
+        ext = hit["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = hit["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.rint(ext * (1.0 - disc) * 10000.0).astype(np.int64)
+        return (
+            pa.table({"l_orderkey": hit["l_orderkey"], "revenue_e4": pa.array(rev)})
+            .group_by(["l_orderkey"])
+            .aggregate([("revenue_e4", "sum")])
+            .rename_columns(["l_orderkey", "revenue_e4"])
+        )
+
+    agg = (
+        li.map_batches(f, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .to_pandas()
+    )
+    top = agg.sort_values(
+        ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    ot = ray.get(oref)
+    omap = pd.DataFrame(
+        {
+            "l_orderkey": ot["o_orderkey"].to_numpy(),
+            "o_orderdate": ot["o_orderdate"].to_pandas(),
+            "o_orderpriority": ot["o_orderpriority"].to_pandas(),
+        }
+    )
+    return top.merge(omap, on="l_orderkey", how="left").reset_index(drop=True)
+
+
+_SQL_Q3 = f"""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       o.o_orderdate, o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_e4 DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# text normalization — lowercase + whitespace collapse + trim, RE2 on
+# both sides (pyarrow and DuckDB both use RE2-compatible regexes)
+# --------------------------------------------------------------------------
+
+
+def q_text_normalize(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        collapsed = pc.replace_substring_regex(low, pattern=r"\s+", replacement=" ")
+        norm = pc.utf8_trim_whitespace(collapsed)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": norm,
+                "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "top_unshipped_orders": q_top_unshipped_orders,
+        "text_normalize": q_text_normalize,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "top_unshipped_orders": _SQL_Q3,
+        "text_normalize": _SQL_NORMALIZE,
+    }
+)
