@@ -105,13 +105,15 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
         xcross = (xj - xi) * (py - yi) / (yj - yi) + xi
     hit = cond & (px < xcross)
     inside = (hit.sum(axis=1) % 2).astype(bool)
-    # boundary: point exactly on an edge segment -> outside
-    on = (
-        (py * (xi - xj) + yi * (xj - px) + yj * (px - xi) == 0)
-        & ((xi - px) * (xj - px) <= 0)
-        & ((yi - py) * (yj - py) <= 0)
-    ).any(axis=1)
-    inside[on] = False
+    # boundary: point exactly on an edge segment -> outside. The two
+    # range products are only evaluated when some cross-product is
+    # EXACTLY zero (bit-identical result; ~never on real probe data)
+    onz = py * (xi - xj) + yi * (xj - px) + yj * (px - xi) == 0
+    if onz.any():
+        on = (
+            onz & ((xi - px) * (xj - px) <= 0) & ((yi - py) * (yj - py) <= 0)
+        ).any(axis=1)
+        inside[on] = False
     return inside
 
 

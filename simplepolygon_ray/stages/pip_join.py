@@ -45,6 +45,14 @@ __all__ = [
 # reserving CPUs or paying pool ramp-up
 _BROADCAST_CACHE: dict = {}
 
+# elements per (chunk, E) probe temporary: sized so the ~8 live f64
+# temporaries of the fused PIP expression stay inside one core's
+# private L2 instead of contending for shared L3/DRAM at full
+# occupancy (tunable for benchmarking via GRAFT_PIP_CHUNK)
+import os as _os
+
+_CHUNK_ELEMS = int(_os.environ.get("GRAFT_PIP_CHUNK", "125000"))
+
 
 def _cached_get(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
@@ -230,7 +238,7 @@ class CompiledRingIndex:
                 # probe sub-chunks sized so the (chunk, E) temporaries
                 # stay cache-resident instead of streaming through DRAM
                 E = xi.shape[1]
-                chunk = max(1, 125_000 // max(E, 1))
+                chunk = max(1, _CHUNK_ELEMS // max(E, 1))
                 for cs in range(s, e, chunk):
                     pos = order[cs : min(cs + chunk, e)]
                     px = lon[pos][:, None]
@@ -239,13 +247,19 @@ class CompiledRingIndex:
                     xcross = (xj - xi) * (py - yi) / (yj - yi) + xi
                     cross = cond & (px < xcross)
                     counts = np.add.reduceat(cross, offs, axis=1)
-                    on = (
-                        (py * (xi - xj) + yi * (xj - px) + yj * (px - xi) == 0)
-                        & ((xi - px) * (xj - px) <= 0)
-                        & ((yi - py) * (yj - py) <= 0)
-                    )
-                    on_ring = np.add.reduceat(on, offs, axis=1) > 0
-                    inside = ((counts & 1).astype(bool)) & ~on_ring
+                    inside = (counts & 1).astype(bool)
+                    # boundary test only when some cross-product is
+                    # EXACTLY zero — on real probe streams that is ~never,
+                    # so the three extra (chunk, E) products usually never
+                    # materialize; results are bit-identical either way
+                    on_zero = py * (xi - xj) + yi * (xj - px) + yj * (px - xi) == 0
+                    if on_zero.any():
+                        on = (
+                            on_zero
+                            & ((xi - px) * (xj - px) <= 0)
+                            & ((yi - py) * (yj - py) <= 0)
+                        )
+                        inside &= ~(np.add.reduceat(on, offs, axis=1) > 0)
                     pidx, ridx = np.nonzero(inside)
                     if len(pidx):
                         out_pts.append(pos[pidx])
