@@ -26,9 +26,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # carries ~600 cpu-seconds of parallel work — enough that the
 # two-parallelism scaling comparison measures throughput, not fixed
 # Ray overhead (per-pipeline startup + compile are a few seconds).
+# Polygon counts were raised 800k→2M / 200k→500k when the corpus
+# generator was vectorized (commit 65539f9 removed ~300 cpu-s of
+# synthesis), restoring the intended cpu-second budget; BENCH rows
+# disclose the per-run counts, so cross-round compares use rows/s.
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "32000000"))
-N_POLYGONS = int(os.environ.get("GRAFT_BENCH_POLYGONS", "800000"))
-N_POLYGONS_TILES = int(os.environ.get("GRAFT_BENCH_POLYGONS_TILES", "200000"))
+N_POLYGONS = int(os.environ.get("GRAFT_BENCH_POLYGONS", "2000000"))
+N_POLYGONS_TILES = int(os.environ.get("GRAFT_BENCH_POLYGONS_TILES", "500000"))
 N_POLYGONS_JOIN = int(os.environ.get("GRAFT_BENCH_POLYGONS_JOIN", "3000"))
 
 
