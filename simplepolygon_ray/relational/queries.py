@@ -1693,3 +1693,115 @@ ORACLE_SQL.update(
         "text_normalize": _SQL_NORMALIZE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# word count at scale — per-block token counts (the combiner bounds the
+# exchange by |vocab| × |blocks|, not corpus tokens), then a tiny
+# groupby + top-k
+# --------------------------------------------------------------------------
+
+
+def q_top_tokens(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch["text"]), pattern=r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        part = pa.table({"token": toks}).group_by(["token"]).aggregate([([], "count_all")])
+        return pa.table({"token": part["token"], "n": part["count_all"]})
+
+    agg = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return (
+        agg.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_TOP_TOKENS = r"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# per-label embedding centroids — grouped vector mean via exact
+# fixed-point partial sums (the exchange carries |labels| × dim rows
+# per block, never vectors)
+# --------------------------------------------------------------------------
+
+
+def q_label_centroids(sf_dir: str):
+    emb = _t(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        vals = np.asarray(col.values, dtype=np.float32).astype(np.float64)
+        ints = np.rint(vals * 1_000_000.0).astype(np.int64).reshape(-1, dim)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(acc, inv, ints)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "sum_e6": pa.array(acc.ravel()),
+                "n_vecs": pa.array(np.repeat(cnt, dim)),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_e6", alias_name="sum_e6"), Sum("n_vecs", alias_name="n_vecs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_e6"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("centroid_e6", pa.array(s / n))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_e6,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS centroid_e6
+FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+
+QUERIES.update(
+    {
+        "top_tokens": q_top_tokens,
+        "label_centroids": q_label_centroids,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "top_tokens": _SQL_TOP_TOKENS,
+        "label_centroids": _SQL_CENTROIDS,
+    }
+)
