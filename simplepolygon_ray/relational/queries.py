@@ -1805,3 +1805,275 @@ ORACLE_SQL.update(
         "label_centroids": _SQL_CENTROIDS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# left outer join — customers kept even with zero events (the event
+# side genuinely lacks some customers, so the null-extension path is
+# exercised, not just inner-join-with-extra-steps). The event side
+# pre-aggregates per user before the exchange, so the join's build
+# side carries one row per active user, not one per event.
+# --------------------------------------------------------------------------
+
+
+def q_left_join_customer_events(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v4 = np.rint(t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(
+            np.int64
+        )
+        tt = pa.table({"c_custkey": t["user_id"], "value_e4": pa.array(v4)})
+        g = tt.group_by(["c_custkey"]).aggregate(
+            [("value_e4", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "c_custkey": g["c_custkey"],
+                "value_e4": g["value_e4_sum"],
+                "n_events": g["count_all"],
+            }
+        )
+
+    # NOTE: Ray's native ``Dataset.join(join_type="left_outer")`` builds
+    # each aggregator partition with an ArrowBlockBuilder; a partition
+    # that receives ZERO build-side block shards builds a columnless
+    # table and pyarrow's join then raises "No match for FieldRef" —
+    # sparse build sides (few keys vs num_partitions) hit this
+    # nondeterministically. The bounded aggregated side goes broadcast
+    # instead (CLAUDE.md ring-index pattern); ``hash_join(...,
+    # join_type="left_outer")`` remains the large-large path where
+    # every partition is dense.
+    estats = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("value_e4", alias_name="value_e4"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(cust, estats, on="c_custkey", how="left")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(np.int64),
+                "c_mktsegment": b["c_mktsegment"],
+                "n_events": b["n_events"].fillna(0).to_numpy(np.int64),
+                "value_e4": b["value_e4"].fillna(0).to_numpy(np.int64),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pandas")
+
+
+_SQL_LEFT_JOIN = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.value_e4, 0) AS value_e4
+FROM customer c
+LEFT JOIN (SELECT user_id, COUNT(*) AS n_events,
+                  CAST(SUM(CAST(round(value * 10000.0) AS BIGINT)) AS BIGINT)
+                    AS value_e4
+           FROM events GROUP BY user_id) e
+  ON c.c_custkey = e.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) spatial locality buckets — the curve that makes
+# range-partitioned tile storage cache-friendly: points nearby in 2-D
+# land in the same key range. Positions derive deterministically from
+# event_id via splitmix64 (replayed limb-exactly in the oracle), the
+# 16-bit × 16-bit interleave is vectorized bit-twiddling, and the
+# per-bucket stats pre-combine per block (≤1024 rows cross the wire
+# per block).
+# --------------------------------------------------------------------------
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``v`` into the even bit positions."""
+    v = v & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def q_zorder_buckets(sf_dir: str):
+    from .sketches import _hash64
+    from ray.data.aggregate import Max
+
+    ev = _t(sf_dir, "events", columns=["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hash64(t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        x = h & np.uint64(0xFFFF)
+        y = (h >> np.uint64(16)) & np.uint64(0xFFFF)
+        m = (_part1by1(x) | (_part1by1(y) << np.uint64(1))).astype(np.int64)
+        tt = pa.table({"zbucket": pa.array(m >> 22), "morton": pa.array(m)})
+        g = tt.group_by(["zbucket"]).aggregate(
+            [("morton", "count"), ("morton", "min"), ("morton", "max")]
+        )
+        return pa.table(
+            {
+                "zbucket": g["zbucket"],
+                "n_points": g["morton_count"],
+                "min_morton": g["morton_min"],
+                "max_morton": g["morton_max"],
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("zbucket")
+        .aggregate(
+            Sum("n_points", alias_name="n_points"),
+            Min("min_morton", alias_name="min_morton"),
+            Max("max_morton", alias_name="max_morton"),
+        )
+    )
+
+
+_INTERLEAVE = " + ".join(
+    f"((x >> {i}) & 1) * {1 << (2 * i)} + ((y >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(16)
+)
+
+_SQL_ZORDER = f"""
+WITH h0 AS (SELECT (CAST(event_id AS HUGEINT) + {0x9E3779B97F4A7C15}) % {1 << 64} AS x
+            FROM events),
+h1 AS (SELECT {_mulmod_sql("xor(x, x >> 30)", 0xBF58476D1CE4E5B9)} AS x FROM h0),
+h2 AS (SELECT {_mulmod_sql("xor(x, x >> 27)", 0x94D049BB133111EB)} AS x FROM h1),
+h3 AS (SELECT xor(x, x >> 31) AS h FROM h2),
+xy AS (SELECT CAST(h % 65536 AS BIGINT) AS x,
+              CAST((h // 65536) % 65536 AS BIGINT) AS y FROM h3),
+mz AS (SELECT {_INTERLEAVE} AS morton FROM xy)
+SELECT morton >> 22 AS zbucket, COUNT(*) AS n_points,
+       MIN(morton) AS min_morton, MAX(morton) AS max_morton
+FROM mz GROUP BY zbucket
+"""
+
+
+QUERIES.update(
+    {
+        "left_join_customer_events": q_left_join_customer_events,
+        "zorder_buckets": q_zorder_buckets,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "left_join_customer_events": _SQL_LEFT_JOIN,
+        "zorder_buckets": _SQL_ZORDER,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# per-group exact quantiles — the two-phase histogram trick of
+# q_exact_quantiles, keyed by group: phase 1 ships (group, bucket,
+# count) partials, the driver locates each group's target-rank bucket
+# in the tiny cumulative table, phase 2 re-reads only rows inside the
+# needed (group, bucket) cells. Collected bytes ~ groups × bucket
+# occupancy, never the table.
+# --------------------------------------------------------------------------
+
+_GQUANT_E2 = (50, 90)
+
+
+def q_group_quantiles(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_e4(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "v": pa.array(v),
+                "bucket": pa.array(v >> 12),
+            }
+        )
+
+    vals = ev.map_batches(to_e4, batch_format="pyarrow")
+    hist = (
+        vals.map_batches(
+            _partial_groupby(["event_type", "bucket"], [("bucket", "count", "cnt")]),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    targets: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bucket")
+        cum = g["cnt"].cumsum().to_numpy(np.int64)
+        n = int(cum[-1])
+        buckets = g["bucket"].to_numpy(np.int64)
+        for q_e2 in _GQUANT_E2:
+            r = (q_e2 * n + 99) // 100  # ceil(q*n), exact integers
+            bi = int(np.searchsorted(cum, r))
+            before = int(cum[bi - 1]) if bi else 0
+            targets.setdefault((et, int(buckets[bi])), []).append((q_e2, r - before))
+
+    by_type: dict[str, np.ndarray] = {}
+    for et, b in targets:
+        by_type.setdefault(et, []).append(b)  # type: ignore[arg-type]
+    by_type = {et: np.asarray(bs, np.int64) for et, bs in by_type.items()}
+
+    def in_need(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(batch), bool)
+        for t, bs in by_type.items():
+            mask |= (et == t) & np.isin(b, bs)
+        # explicit types: an all-filtered block would otherwise infer
+        # type null for the empty string column and poison the concat
+        return pa.table(
+            {
+                "event_type": pa.array(et[mask], type=pa.string()),
+                "v": pa.array(
+                    batch["v"].to_numpy(zero_copy_only=False)[mask], type=pa.int64()
+                ),
+                "bucket": pa.array(b[mask], type=pa.int64()),
+            }
+        )
+
+    picked = vals.map_batches(in_need, batch_format="pyarrow").to_pandas()
+    rows = []
+    for (et, b), wants in targets.items():
+        sel = np.sort(
+            picked.loc[
+                (picked["event_type"] == et) & (picked["bucket"] == b), "v"
+            ].to_numpy(np.int64)
+        )
+        for q_e2, within in wants:
+            rows.append((et, q_e2, int(sel[within - 1])))
+    out = pd.DataFrame(rows, columns=["event_type", "q_e2", "value_e4"])
+    out = out.sort_values(["event_type", "q_e2"]).reset_index(drop=True)
+    return out.astype({"q_e2": np.int64, "value_e4": np.int64})
+
+
+_SQL_GROUP_QUANTILES = """
+WITH c AS (SELECT event_type, CAST(round(value * 10000.0) AS BIGINT) AS v FROM events),
+n AS (SELECT event_type, COUNT(*) AS cnt FROM c GROUP BY event_type),
+qs(q_e2) AS (VALUES (50), (90)),
+ranked AS (SELECT event_type, v,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+           FROM c)
+SELECT r.event_type, CAST(qs.q_e2 AS BIGINT) AS q_e2, r.v AS value_e4
+FROM qs CROSS JOIN n
+JOIN ranked r
+  ON r.event_type = n.event_type AND r.rn = (qs.q_e2 * n.cnt + 99) // 100
+"""
+
+
+QUERIES.update({"group_quantiles": q_group_quantiles})
+ORACLE_SQL.update({"group_quantiles": _SQL_GROUP_QUANTILES})
