@@ -211,8 +211,72 @@ def run_scaling():
     )
 
 
+def _ceiling_work(chunk_id: int) -> int:
+    """One fixed-size decompose work unit (no Ray): synthesize a
+    2000-polygon chunk and run the full decompose kernel over it."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from simplepolygon_ray.stages.decompose_stage import (
+        decompose_batch,
+        gen_polygon_batch,
+    )
+
+    ids = np.arange(chunk_id * 2000, (chunk_id + 1) * 2000, dtype=np.int64)
+    t = gen_polygon_batch({"id": ids})
+    return len(decompose_batch(t))
+
+
+def run_host_ceiling():
+    """No-Ray multiprocessing control: the BOX's own 8→32-proc scaling
+    for the decompose kernel (fixed total work, alternating levels,
+    best-of). On one host, 32 processes share one memory controller —
+    per-core throughput drops ~1.3× (DRAM/L3 contention), capping ANY
+    32-proc measurement near 0.78 even with zero framework overhead.
+    A real N→4N NODE cluster brings 4N memory controllers, so this
+    control isolates what the one-box proxy systematically
+    underestimates. Compare `bench.py --scaling` (Ray) against this
+    ceiling rather than against 1.0."""
+    import multiprocessing as mp
+
+    n_chunks = int(os.environ.get("GRAFT_CEILING_CHUNKS", "200"))  # 400k polys
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    levels = (8, 32)
+    best: dict[int, float] = {}
+    ctx = mp.get_context("spawn")
+    for _ in range(repeats):
+        for nproc in levels:
+            with ctx.Pool(nproc) as pool:
+                pool.map(_ceiling_work, range(nproc))  # warm imports, untimed
+                t0 = time.perf_counter()
+                pool.map(_ceiling_work, range(n_chunks), chunksize=1)
+                dt = time.perf_counter() - t0
+            best[nproc] = min(best.get(nproc, dt), dt)
+    lo, hi = levels
+    polys = n_chunks * 2000
+    eff = (polys / best[hi]) / (polys / best[lo]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "host_ceiling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "polys_per_sec_8": round(polys / best[lo], 1),
+                "polys_per_sec_32": round(polys / best[hi], 1),
+                "sec_8": round(best[lo], 3),
+                "sec_32": round(best[hi], 3),
+                "note": "no-Ray mp control; one-box DRAM ceiling for the "
+                "decompose kernel — the bar the Ray measurement is judged "
+                "against (a 4N-node cluster has 4N memory controllers)",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--host-ceiling" in sys.argv:
+        run_host_ceiling()
     else:
         print(json.dumps(run_bench()))
