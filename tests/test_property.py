@@ -279,3 +279,22 @@ def test_jaccard_rows_vec_property(texts, seed):
     got = _jaccard_rows_vec(texts, other)
     want = [jaccard_ngrams(a, b) for a, b in zip(texts, other)]
     assert got.tolist() == want
+
+
+@given(st.lists(st.integers(0, 2**16 - 1), min_size=1, max_size=200),
+       st.lists(st.integers(0, 2**16 - 1), min_size=1, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_morton_interleave_property(xs, ys):
+    """Vectorized _part1by1 interleave == per-bit scalar reference."""
+    from simplepolygon_ray.relational.queries import _part1by1
+
+    n = min(len(xs), len(ys))
+    x = np.asarray(xs[:n], np.uint64)
+    y = np.asarray(ys[:n], np.uint64)
+    got = (_part1by1(x) | (_part1by1(y) << np.uint64(1))).astype(np.int64)
+    for xi, yi, mi in zip(xs[:n], ys[:n], got):
+        want = 0
+        for b in range(16):
+            want |= ((xi >> b) & 1) << (2 * b)
+            want |= ((yi >> b) & 1) << (2 * b + 1)
+        assert int(mi) == want
