@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .join import broadcast_join
 
@@ -2077,3 +2077,229 @@ JOIN ranked r
 
 QUERIES.update({"group_quantiles": q_group_quantiles})
 ORACLE_SQL.update({"group_quantiles": _SQL_GROUP_QUANTILES})
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch — mergeable heavy-hitter registers (Cormode &
+# Muthukrishnan 2005). Each block ships at most d×w nonzero register
+# cells; the merge is one groupby Sum. Unlike HLL the whole sketch is
+# a deterministic pure function of the input, so the oracle replays
+# the register build AND the min-probe exactly in SQL.
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 2048
+_CMS_C = 0xD1B54A32D192ED03  # per-row key offset (wraps mod 2^64)
+_CMS_PROBES = tuple(range(20))
+
+
+def _cms_cols(keys_u64: np.ndarray, d: int) -> np.ndarray:
+    from .sketches import _hash64
+
+    off = np.uint64((d * _CMS_C) % _T64)
+    return (_hash64(keys_u64 + off) % np.uint64(_CMS_W)).astype(np.int64)
+
+
+def q_cms_user_counts(sf_dir: str):
+    from .sketches import _hash64  # noqa: F401 (shared hash)
+
+    ev = _t(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        regs = np.zeros((_CMS_D, _CMS_W), np.int64)
+        for d in range(_CMS_D):
+            np.add.at(regs[d], _cms_cols(u, d), 1)
+        r, c = np.nonzero(regs)
+        return pa.table(
+            {
+                "r": pa.array(r.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+                "cnt": pa.array(regs[r, c]),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    regs = np.zeros((_CMS_D, _CMS_W), np.int64)
+    regs[agg["r"].to_numpy(np.int64), agg["c"].to_numpy(np.int64)] = agg[
+        "cnt"
+    ].to_numpy(np.int64)
+    probes = np.asarray(_CMS_PROBES, np.uint64)
+    est = np.min(
+        [regs[d, _cms_cols(probes, d)] for d in range(_CMS_D)], axis=0
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {"user_id": probes.astype(np.int64), "est_count": est}
+    )
+
+
+def _splitmix_ctes(tag: str, src: str, keep: str, start_expr: str) -> str:
+    """CTE chain replaying ``_hash64`` limb-exactly (same construction
+    as the HLL / stratified oracles) ending in ``{tag}3(… , x)``."""
+    return f"""{tag}0 AS (SELECT {keep}, ({start_expr}) % {_T64} AS x FROM {src}),
+{tag}1 AS (SELECT {keep}, {_mulmod_sql("xor(x, x >> 30)", 0xBF58476D1CE4E5B9)} AS x FROM {tag}0),
+{tag}2 AS (SELECT {keep}, {_mulmod_sql("xor(x, x >> 27)", 0x94D049BB133111EB)} AS x FROM {tag}1),
+{tag}3 AS (SELECT {keep}, xor(x, x >> 31) AS x FROM {tag}2)"""
+
+
+_CMS_DC = ", ".join(f"({d}, {(d * _CMS_C) % _T64})" for d in range(_CMS_D))
+_CMS_PROBE_VALUES = ", ".join(f"({p})" for p in _CMS_PROBES)
+_GOLDEN = 0x9E3779B97F4A7C15
+
+_SQL_CMS = f"""
+WITH dc(d, c) AS (VALUES {_CMS_DC}),
+ek AS (SELECT user_id, d, c FROM events CROSS JOIN dc),
+{_splitmix_ctes("eh", "ek", "user_id, d", f"CAST(user_id AS HUGEINT) + c + {_GOLDEN}")},
+reg AS (SELECT d, CAST(x % {_CMS_W} AS BIGINT) AS col, COUNT(*) AS cnt
+        FROM eh3 GROUP BY d, col),
+probes(user_id) AS (VALUES {_CMS_PROBE_VALUES}),
+pk AS (SELECT user_id, d, c FROM probes CROSS JOIN dc),
+{_splitmix_ctes("ph", "pk", "user_id, d", f"CAST(user_id AS HUGEINT) + c + {_GOLDEN}")},
+pcol AS (SELECT user_id, d, CAST(x % {_CMS_W} AS BIGINT) AS col FROM ph3)
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(MIN(COALESCE(r.cnt, 0)) AS BIGINT) AS est_count
+FROM pcol p LEFT JOIN reg r ON p.d = r.d AND p.col = r.col
+GROUP BY p.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# funnel conversion — signup → later purchase per user. The exchange
+# carries one (user, min-signup-ts, max-purchase-ts) partial per
+# (user, block); sentinel-coded so the groupby is a plain Min/Max.
+# --------------------------------------------------------------------------
+
+_TS_MAX = np.iinfo(np.int64).max
+_TS_MIN = np.iinfo(np.int64).min
+
+
+def q_funnel_signup_purchase(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        s = np.full(len(uniq), _TS_MAX, np.int64)
+        p = np.full(len(uniq), _TS_MIN, np.int64)
+        sig = et == "signup"
+        pur = et == "purchase"
+        np.minimum.at(s, inv[sig], ts[sig])
+        np.maximum.at(p, inv[pur], ts[pur])
+        return pa.table(
+            {"user_id": pa.array(uniq), "s_min": pa.array(s), "p_max": pa.array(p)}
+        )
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("s_min", alias_name="s_min"), Max("p_max", alias_name="p_max"))
+        .to_pandas()
+    )
+    s = per_user["s_min"].to_numpy(np.int64)
+    p = per_user["p_max"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "n_signup_users": [int((s != _TS_MAX).sum())],
+            "n_converted_users": [int((s < p).sum())],
+        }
+    ).astype(np.int64)
+
+
+_SQL_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s,
+         MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id)
+SELECT COUNT(s) AS n_signup_users,
+       COUNT(CASE WHEN s < p THEN 1 END) AS n_converted_users
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
+# cohort retention — users grouped by first-activity day; one row per
+# (cohort_day, day_offset) with the distinct-user count. The heavy
+# input collapses to distinct (user, day) pairs map-side before any
+# exchange; the bounded first-day table broadcasts back.
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64) // _DAY_US
+        k = np.unique((u << np.int64(32)) + day)  # block-local distinct
+        return pa.table(
+            {"user_id": pa.array(k >> 32), "day": pa.array(k & 0xFFFFFFFF)}
+        )
+
+    pairs = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))  # global distinct
+        .drop_columns(["_n"])
+    )
+    first = (
+        pairs.groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+        .to_pandas()
+    )
+
+    joined = broadcast_join(pairs, first, on="user_id", how="inner")
+
+    def offsets(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "cohort_day": b["first_day"].to_numpy(np.int64),
+                "day_offset": b["day"].to_numpy(np.int64)
+                - b["first_day"].to_numpy(np.int64),
+            }
+        )
+        out = g.groupby(["cohort_day", "day_offset"]).size().reset_index(name="n_users")
+        return out.astype(np.int64)
+
+    return (
+        joined.map_batches(offsets, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+_SQL_COHORT = """
+WITH du AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id)
+SELECT f.first_day AS cohort_day, du.day - f.first_day AS day_offset,
+       COUNT(*) AS n_users
+FROM du JOIN f USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+QUERIES.update(
+    {
+        "cms_user_counts": q_cms_user_counts,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "cohort_retention": q_cohort_retention,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cms_user_counts": _SQL_CMS,
+        "funnel_signup_purchase": _SQL_FUNNEL,
+        "cohort_retention": _SQL_COHORT,
+    }
+)
