@@ -2303,3 +2303,121 @@ ORACLE_SQL.update(
         "cohort_retention": _SQL_COHORT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# daily active users — distinct (day, user) map-side, then a tiny
+# per-day count; the exchange carries distinct pairs, never events
+# --------------------------------------------------------------------------
+
+
+def q_daily_active_users(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64) // _DAY_US
+        k = np.unique((u << np.int64(32)) + day)
+        return pa.table(
+            {"user_id": pa.array(k >> 32), "day": pa.array(k & 0xFFFFFFFF)}
+        )
+
+    pairs = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "dau"])
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"))
+    )
+
+
+_SQL_DAU = """
+SELECT day, COUNT(*) AS dau
+FROM (SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events)
+GROUP BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# event-type co-occurrence — per-user type bitmask (distinct
+# (user, type) collapses map-side, the global OR is a Sum of distinct
+# bits), then one vectorized popcount pass over the bounded mask
+# table emits user counts per unordered type pair
+# --------------------------------------------------------------------------
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_cooccurrence(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    etypes = pa.array(_ETYPES)
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = pc.index_in(t["event_type"], value_set=etypes)
+        if ia.null_count:  # unknown type would silently corrupt the mask
+            raise ValueError("event_type outside the known set")
+        idx = ia.to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.int64(1) << idx
+        k = np.unique((u << np.int64(8)) | bits)  # distinct (user, type)
+        return pa.table(
+            {"user_id": pa.array(k >> 8), "bit": pa.array(k & 0xFF)}
+        )
+
+    masks = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "bit"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .groupby("user_id")
+        .aggregate(Sum("bit", alias_name="mask"))  # distinct bits → Sum == OR
+        .to_pandas()
+    )
+    m = masks["mask"].to_numpy(np.int64)
+    rows = []
+    for i, ta in enumerate(_ETYPES):
+        for j in range(i + 1, len(_ETYPES)):
+            both = (1 << i) | (1 << j)
+            n = int(((m & both) == both).sum())
+            if n:  # SQL's inner join emits only co-occurring pairs
+                rows.append((ta, _ETYPES[j], n))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"]).astype(
+        {"n_users": np.int64}
+    )
+
+
+_SQL_COOCCUR = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+"""
+
+
+QUERIES.update(
+    {
+        "daily_active_users": q_daily_active_users,
+        "event_type_cooccurrence": q_event_type_cooccurrence,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "daily_active_users": _SQL_DAU,
+        "event_type_cooccurrence": _SQL_COOCCUR,
+    }
+)
