@@ -2231,21 +2231,31 @@ FROM per_user
 # --------------------------------------------------------------------------
 
 _DAY_US = 86_400_000_000
+_DAY_BITS = 18  # day-number < 2^18 until year ~2687; user_id gets 45 bits
+
+
+def _distinct_user_day(t: pa.Table) -> pa.Table:
+    """Block-local distinct (user_id, day) via one packed-key unique.
+    user_id must fit 45 bits (guarded) — int64-safe at any realistic
+    id scale, unlike a 32-bit shift."""
+    u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    day = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64) // _DAY_US
+    if len(u) and (u.max() >= (1 << (63 - _DAY_BITS)) or u.min() < 0):
+        raise ValueError("user_id outside the packable 45-bit range")
+    k = np.unique((u << np.int64(_DAY_BITS)) + day)
+    return pa.table(
+        {
+            "user_id": pa.array(k >> _DAY_BITS),
+            "day": pa.array(k & ((1 << _DAY_BITS) - 1)),
+        }
+    )
 
 
 def q_cohort_retention(sf_dir: str):
     ev = _t(sf_dir, "events", columns=["user_id", "ts"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64) // _DAY_US
-        k = np.unique((u << np.int64(32)) + day)  # block-local distinct
-        return pa.table(
-            {"user_id": pa.array(k >> 32), "day": pa.array(k & 0xFFFFFFFF)}
-        )
-
     pairs = (
-        ev.map_batches(prep, batch_format="pyarrow")
+        ev.map_batches(_distinct_user_day, batch_format="pyarrow")
         .groupby(["user_id", "day"])
         .aggregate(Count(alias_name="_n"))  # global distinct
         .drop_columns(["_n"])
@@ -2314,16 +2324,8 @@ ORACLE_SQL.update(
 def q_daily_active_users(sf_dir: str):
     ev = _t(sf_dir, "events", columns=["user_id", "ts"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64) // _DAY_US
-        k = np.unique((u << np.int64(32)) + day)
-        return pa.table(
-            {"user_id": pa.array(k >> 32), "day": pa.array(k & 0xFFFFFFFF)}
-        )
-
     pairs = (
-        ev.map_batches(prep, batch_format="pyarrow")
+        ev.map_batches(_distinct_user_day, batch_format="pyarrow")
         .groupby(["user_id", "day"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
