@@ -2423,3 +2423,57 @@ ORACLE_SQL.update(
         "event_type_cooccurrence": _SQL_COOCCUR,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# semi-structured field extraction — pull an int out of the JSON-ish
+# ``props`` string with one vectorized RE2 pass (pyarrow and DuckDB
+# share the RE2 engine, so the extraction is bit-identical), then the
+# usual partial-combine groupby
+# --------------------------------------------------------------------------
+
+_PROPS_RE = r'"k": (?P<k>\d+)'
+
+
+def q_props_extract_stats(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pc.struct_field(pc.extract_regex(t["props"], _PROPS_RE), "k")
+        k = pc.cast(ks, pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "k": k})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sum_k": g["k_sum"],
+                "max_k": g["k_max"],
+                "n": g["count_all"],
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+_SQL_PROPS = r"""
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({"props_extract_stats": q_props_extract_stats})
+ORACLE_SQL.update({"props_extract_stats": _SQL_PROPS})
