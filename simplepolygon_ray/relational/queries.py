@@ -2195,18 +2195,29 @@ def q_funnel_signup_purchase(sf_dir: str):
             {"user_id": pa.array(uniq), "s_min": pa.array(s), "p_max": pa.array(p)}
         )
 
-    per_user = (
+    def count_block(t: pa.Table) -> pa.Table:
+        # per-block partial of the final counts — the driver only ever
+        # sums |blocks| two-column rows, never sees per-user rows
+        s = t["s_min"].to_numpy(zero_copy_only=False)
+        p = t["p_max"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_signup_users": pa.array([int((s != _TS_MAX).sum())]),
+                "n_converted_users": pa.array([int((s < p).sum())]),
+            }
+        )
+
+    parts = (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Min("s_min", alias_name="s_min"), Max("p_max", alias_name="p_max"))
+        .map_batches(count_block, batch_format="pyarrow")
         .to_pandas()
     )
-    s = per_user["s_min"].to_numpy(np.int64)
-    p = per_user["p_max"].to_numpy(np.int64)
     return pd.DataFrame(
         {
-            "n_signup_users": [int((s != _TS_MAX).sum())],
-            "n_converted_users": [int((s < p).sum())],
+            "n_signup_users": [int(parts["n_signup_users"].sum())],
+            "n_converted_users": [int(parts["n_converted_users"].sum())],
         }
     ).astype(np.int64)
 
@@ -2380,23 +2391,46 @@ def q_event_type_cooccurrence(sf_dir: str):
             {"user_id": pa.array(k >> 8), "bit": pa.array(k & 0xFF)}
         )
 
-    masks = (
+    npair = len(_ETYPES) * (len(_ETYPES) - 1) // 2
+    pair_both = np.empty(npair, np.int64)
+    pair_names = []
+    pi = 0
+    for i, ta in enumerate(_ETYPES):
+        for j in range(i + 1, len(_ETYPES)):
+            pair_both[pi] = (1 << i) | (1 << j)
+            pair_names.append((ta, _ETYPES[j]))
+            pi += 1
+
+    def count_block(t: pa.Table) -> pa.Table:
+        # per-block partial pair counts: |pairs| rows per block leave
+        # the task, never the per-user mask table
+        m = t["mask"].to_numpy(zero_copy_only=False)[:, None]
+        n = ((m & pair_both[None, :]) == pair_both[None, :]).sum(axis=0)
+        return pa.table(
+            {
+                "pair": pa.array(np.arange(npair, dtype=np.int64)),
+                "n_users": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
         ev.map_batches(prep, batch_format="pyarrow")
         .groupby(["user_id", "bit"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
         .groupby("user_id")
         .aggregate(Sum("bit", alias_name="mask"))  # distinct bits → Sum == OR
+        .map_batches(count_block, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n_users", alias_name="n_users"))
         .to_pandas()
+        .sort_values("pair")
     )
-    m = masks["mask"].to_numpy(np.int64)
-    rows = []
-    for i, ta in enumerate(_ETYPES):
-        for j in range(i + 1, len(_ETYPES)):
-            both = (1 << i) | (1 << j)
-            n = int(((m & both) == both).sum())
-            if n:  # SQL's inner join emits only co-occurring pairs
-                rows.append((ta, _ETYPES[j], n))
+    rows = [
+        (*pair_names[int(p)], int(n))
+        for p, n in zip(agg["pair"], agg["n_users"])
+        if n  # SQL's inner join emits only co-occurring pairs
+    ]
     return pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"]).astype(
         {"n_users": np.int64}
     )
