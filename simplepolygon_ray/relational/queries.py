@@ -1713,10 +1713,23 @@ def q_top_tokens(sf_dir: str):
         part = pa.table({"token": toks}).group_by(["token"]).aggregate([([], "count_all")])
         return pa.table({"token": part["token"], "n": part["count_all"]})
 
+    def block_topk(t: pa.Table) -> pa.Table:
+        # post-groupby blocks hold disjoint tokens, so the global
+        # top-20 is contained in the union of per-block top-20s — the
+        # driver merges 20 × blocks rows, never the vocabulary
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+            .head(20)
+            .reset_index(drop=True),
+            preserve_index=False,
+        )
+
     agg = (
         docs.map_batches(counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow")
         .to_pandas()
     )
     return (
