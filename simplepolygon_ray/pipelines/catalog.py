@@ -1704,3 +1704,101 @@ GEO_QUERIES.update(
         "geo_zonal_counts": q_geo_zonal_counts,
     }
 )
+
+
+# ---------------------------------------------------------------- ring stats
+
+
+def _ring_stats_batch(t: pa.Table) -> pa.Table:
+    """simple-ring rows → one row of exact fixed-point geometry stats
+    per ring: open vertex count, 2×signed shoelace area in e10 units
+    (int64 — no division, no float accumulation), and the e5 bbox.
+    Fully vectorized via reduceat over the block's flat coord buffer."""
+    from ..cells.grid import _rl_arange
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "n_vertices": pa.array([], type=pa.int64()),
+            "area2_e10": pa.array([], type=pa.int64()),
+            "min_x_e5": pa.array([], type=pa.int64()),
+            "max_x_e5": pa.array([], type=pa.int64()),
+            "min_y_e5": pa.array([], type=pa.int64()),
+            "max_y_e5": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    if (olen <= 0).any():
+        raise ValueError("degenerate ring in stats input")
+    if olen.max(initial=0) > 900:
+        # e5 cross terms stay < 6.5e14; 900 edges keeps the int64 sum
+        # exact with >10x headroom — raise rather than overflow silently
+        raise ValueError("ring too long for exact int64 shoelace at e5")
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    # floor, not round: these coords CAN land exactly on .5 at e5
+    # scale, where numpy rint (half-even) and SQL round (half-away)
+    # disagree; floor is bit-identical in both engines
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    nxt = np.arange(len(oc), dtype=np.int64) + 1
+    nxt[ostart + olen - 1] = ostart
+    cross = xi * yi[nxt] - xi[nxt] * yi
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "n_vertices": pa.array(olen),
+            "area2_e10": pa.array(np.add.reduceat(cross, ostart)),
+            "min_x_e5": pa.array(np.minimum.reduceat(xi, ostart)),
+            "max_x_e5": pa.array(np.maximum.reduceat(xi, ostart)),
+            "min_y_e5": pa.array(np.minimum.reduceat(yi, ostart)),
+            "max_y_e5": pa.array(np.maximum.reduceat(yi, ostart)),
+        }
+    )
+
+
+def q_geo_ring_stats(sf_dir: str):
+    """Per-ring area/bbox/vertex stats over the decompose output; the
+    open-vertex table persists so the oracle replays the shoelace and
+    bbox from the ordered vertices in SQL."""
+    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
+    simple = decompose_dataset(polygons)
+    _persist(
+        simple.map_batches(_verts_batch, batch_format="pyarrow"), "ring_stats_verts"
+    )
+    return simple.map_batches(_ring_stats_batch, batch_format="pyarrow")
+
+
+_RING_STATS_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/ring_stats_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+e AS (SELECT a.geom_id, a.ring_seq, a.xi, a.yi,
+             a.xi * b.yi - b.xi * a.yi AS cr
+      FROM v a
+      JOIN n ON n.geom_id = a.geom_id AND n.ring_seq = a.ring_seq
+      JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+              AND b.vidx = (a.vidx + 1) % n.m)
+SELECT geom_id, ring_seq, COUNT(*) AS n_vertices,
+       CAST(SUM(cr) AS BIGINT) AS area2_e10,
+       MIN(xi) AS min_x_e5, MAX(xi) AS max_x_e5,
+       MIN(yi) AS min_y_e5, MAX(yi) AS max_y_e5
+FROM e GROUP BY geom_id, ring_seq
+"""
+
+
+GEO_QUERIES.update({"geo_ring_stats": q_geo_ring_stats})
+EXTRA_ORACLE_SQL["geo_ring_stats"] = _RING_STATS_SQL
