@@ -298,3 +298,44 @@ def test_morton_interleave_property(xs, ys):
             want |= ((xi >> b) & 1) << (2 * b)
             want |= ((yi >> b) & 1) << (2 * b + 1)
         assert int(mi) == want
+
+
+def test_distinct_user_day_packing_guard():
+    """45-bit packing recovers (user, day) exactly and guards range."""
+    import pyarrow as pa
+    import pytest
+
+    from simplepolygon_ray.relational.queries import _DAY_US, _distinct_user_day
+
+    ts = pa.array(
+        (np.array([0, 1, 1, 19723], np.int64) * _DAY_US + 123).view("datetime64[us]")
+    )
+    t = pa.table({"user_id": pa.array([7, 7, 7, (1 << 44)], type=pa.int64()), "ts": ts})
+    out = _distinct_user_day(t)
+    got = sorted(zip(out["user_id"].to_pylist(), out["day"].to_pylist()))
+    assert got == [(7, 0), (7, 1), ((1 << 44), 19723)]
+
+    bad = pa.table(
+        {"user_id": pa.array([1 << 45], type=pa.int64()), "ts": ts.slice(0, 1)}
+    )
+    with pytest.raises(ValueError):
+        _distinct_user_day(bad)
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=400))
+@settings(max_examples=30, deadline=None)
+def test_cms_never_underestimates(user_ids):
+    """Count-Min invariant: est(key) >= true count for every key."""
+    from collections import Counter
+
+    from simplepolygon_ray.relational.queries import _CMS_D, _CMS_W, _cms_cols
+
+    u = np.asarray(user_ids, np.uint64)
+    regs = np.zeros((_CMS_D, _CMS_W), np.int64)
+    for d in range(_CMS_D):
+        np.add.at(regs[d], _cms_cols(u, d), 1)
+    true = Counter(user_ids)
+    keys = np.asarray(sorted(true), np.uint64)
+    est = np.min([regs[d, _cms_cols(keys, d)] for d in range(_CMS_D)], axis=0)
+    for k, e in zip(keys.tolist(), est.tolist()):
+        assert e >= true[k]
