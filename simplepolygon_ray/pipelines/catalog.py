@@ -1802,3 +1802,45 @@ FROM e GROUP BY geom_id, ring_seq
 
 GEO_QUERIES.update({"geo_ring_stats": q_geo_ring_stats})
 EXTRA_ORACLE_SQL["geo_ring_stats"] = _RING_STATS_SQL
+
+
+# ---------------------------------------------------------------- filtered ann
+
+
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered exact top-10 (the vector-db "filtered
+    search" shape): the label predicate pushes down to the parquet
+    read (row-group pruning at scale — the filtered-out vectors never
+    leave storage), then the usual per-block partial top-k."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=(pc.field("label") == 3),
+    ).drop_columns(["label"])
+    top = brute_topk(emb, query_vector(64), k=10).to_pandas()
+    top = top.reset_index(drop=True)
+    top["rank"] = np.arange(len(top), dtype=np.int64)
+    return top[["vec_id", "rank"]]
+
+
+def _ann_filtered_sql(k: int) -> str:
+    from ..ann.search import query_vector
+
+    qlit = "[" + ", ".join(repr(float(v)) for v in query_vector(64)) + "]"
+    return f"""
+SELECT vec_id,
+       CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qlit}) DESC,
+                  vec_id) - 1 AS BIGINT) AS "rank"
+FROM embeddings
+WHERE label = 3
+ORDER BY "rank"
+LIMIT {k}
+"""
+
+
+ANN_QUERIES["ann_filtered_topk"] = q_ann_filtered
+EXTRA_ORACLE_SQL["ann_filtered_topk"] = _ann_filtered_sql(10)
