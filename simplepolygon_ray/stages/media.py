@@ -13,6 +13,16 @@ deterministic fake payload (test mode), clearly marked.
 These are CALLABLE-CLASS stages on purpose: a real decoder loads
 codec tables / models once per actor in ``__init__`` and streams
 batches through ``__call__``.
+
+All hot paths are whole-batch vectorized: variable-size payloads are
+gathered zero-copy from the Arrow binary buffers into one padded
+``(n, maxlen)`` uint8 matrix, and decode / luma / phash / resize run
+as single numpy passes over the block with per-image index arithmetic.
+Bit-exactness vs the scalar ``images.codec`` kernels holds because
+every summation is an exact integer in float64 (pixels are uint8, so
+all partial sums are < 2^53) and the integral-image / median / bit-
+pack operation order is preserved; pinned by
+tests/test_media_vectorized.py.
 """
 
 from __future__ import annotations
@@ -20,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..images.codec import decode, encode, phash64
+from ..images.codec import decode, phash64
 
 __all__ = [
     "ImageDecodeActor",
@@ -34,6 +44,165 @@ __all__ = [
 _SUPPORTED_FMTS = {"raw", "q6"}
 
 
+def _binary_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column → (data uint8, offsets int64 (n+1,)), zero-copy.
+
+    Offsets are rebased so data[off[i]:off[i+1]] is row i's payload and
+    rows tile contiguously (Arrow guarantees off[i+1] == off[i] + len_i).
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        off = np.frombuffer(bufs[1], np.int64)
+    else:
+        off = np.frombuffer(bufs[1], np.int32).astype(np.int64)
+    off = off[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, off
+
+
+def _gather_padded(data: np.ndarray, starts: np.ndarray, maxlen: int) -> np.ndarray:
+    """(n,) row starts → (n, maxlen) uint8 gather (tail bytes are junk
+    the caller masks; indices are clamped so padding never reads OOB)."""
+    idx = starts[:, None] + np.arange(maxlen, dtype=np.int64)[None, :]
+    np.minimum(idx, max(len(data) - 1, 0), out=idx)
+    if len(data) == 0:
+        return np.zeros((len(starts), maxlen), np.uint8)
+    return data[idx]
+
+
+def _decode_block(
+    px: np.ndarray, is_q6: np.ndarray, valid: np.ndarray
+) -> np.ndarray:
+    """In-place q6 dequantize ((v << 2) | 2, uint8 wrap — identical to
+    images.codec.decode) and zero the padding tail."""
+    if is_q6.any():
+        q = px[is_q6]
+        px[is_q6] = (q << 2) | 2
+    px[~valid] = 0
+    return px
+
+
+def _featurize_supported(
+    data: np.ndarray, off: np.ndarray, w: np.ndarray, h: np.ndarray, is_q6: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(phash int64, mean_luma f64) for a block of raw/q6 payloads,
+    bit-identical to decode() + phash64() + pixels.mean() per row.
+
+    No padded decode matrix is built. Luma sums come straight off the
+    raw bytes (one reduceat; q6 decode is affine: Σdec = 4·Σraw+2·n_px,
+    exact in int64). The phash grayscale numerator is the per-pixel
+    channel sum on the flat stride-3 buffer ((4·t+6)/3 for q6 ≡
+    ((4a+2)+(4b+2)+(4c+2))/3 — same exact integer numerator), scattered
+    once into a dense (n, maxh×maxw) grid via per-distinct-width index
+    patterns. The y-integral is a sequential in-place row loop
+    (commutative adds == np.cumsum(axis=0) bitwise); the x-cumsum runs
+    only on the 8 boundary rows each image actually reads.
+
+    Caller guarantees: every row raw|q6, len == w·h·3 > 0, and row
+    starts 3-aligned (true whenever the buffer tiles image rows).
+    """
+    n = len(w)
+    need = w * h * 3
+    npix = need // 3
+    base = int(off[0])
+    if base % 3:
+        data = np.ascontiguousarray(data[base : off[-1]])
+        off = off - base
+        base = 0
+    seg = data[base : off[-1]].astype(np.int64)
+    sums = np.add.reduceat(seg, off[:-1] - base)
+    dec_sums = np.where(is_q6, 4 * sums + 2 * need, sums)
+    means = dec_sums / need  # scalar px.mean() == exact int sum / n_px
+
+    flat = data[base : off[-1]]
+    triple = flat[0::3].astype(np.uint16)
+    triple += flat[1::3]
+    triple += flat[2::3]
+    tp = np.concatenate([triple, np.zeros(int(npix.max()), np.uint16)])
+    pstart = (off[:-1] - base) // 3
+
+    # padding waste tracks the LOCAL max: sort rows by pixel count and
+    # run the grid pipeline on chunks of similar-size images
+    order = np.argsort(npix, kind="stable")
+    phashes = np.empty(n, np.int64)
+    for lo in range(0, n, _PHASH_CHUNK):
+        sel = order[lo : lo + _PHASH_CHUNK]
+        phashes[sel] = _phash_chunk(
+            tp, pstart[sel], w[sel], h[sel], npix[sel], is_q6[sel]
+        )
+    return phashes, means
+
+
+_PHASH_CHUNK = 128
+
+
+def _phash_chunk(
+    tp: np.ndarray,
+    pstart: np.ndarray,
+    w: np.ndarray,
+    h: np.ndarray,
+    npix: np.ndarray,
+    is_q6: np.ndarray,
+) -> np.ndarray:
+    """Batched phash64 for one similar-size chunk; see _featurize_supported."""
+    n = len(w)
+    maxpix = int(npix.max())
+    maxw = int(w.max())
+    maxh = int(h.max())
+    idx = pstart[:, None] + np.arange(maxpix, dtype=np.int64)[None, :]
+    gray = tp[idx].astype(np.float64)
+    if is_q6.any():
+        sel = is_q6[:, None]
+        np.multiply(gray, 4.0, out=gray, where=sel)
+        np.add(gray, 6.0, out=gray, where=sel)
+    gray /= 3.0
+
+    # scatter into the dense grid; one index pattern per distinct width
+    distinct_w, inv = np.unique(w, return_inverse=True)
+    ar = np.arange(maxpix, dtype=np.int64)
+    pats = np.empty((len(distinct_w), maxpix), np.int64)
+    for j, wv in enumerate(distinct_w):
+        yj = ar // wv
+        pats[j] = yj * maxw + (ar - yj * wv)
+    pos = pats[inv]
+    spill = maxh * maxw
+    np.copyto(pos, spill, where=ar[None, :] >= npix[:, None])
+    grid = np.zeros((n, spill + 1))
+    np.put_along_axis(grid, pos, gray, axis=1)
+
+    g3 = grid[:, :spill].reshape(n, maxh, maxw)
+    for yy in range(1, maxh):  # y-integral, scalar cumsum(0) bitwise
+        g3[:, yy, :] += g3[:, yy - 1, :]
+    ys = (np.arange(9, dtype=np.int64)[None, :] * h[:, None]) // 8
+    xs = (np.arange(9, dtype=np.int64)[None, :] * w[:, None]) // 8
+    yb = ys[:, 1:] - 1
+    xb = xs[:, 1:] - 1
+    rows = np.arange(n)[:, None]
+    B = g3[rows, np.maximum(yb, 0), :]  # (n, 8, maxw) boundary rows
+    Cx = B.cumsum(axis=2)  # scalar cumsum(1) per boundary row
+    S = np.zeros((n, 9, 9))
+    S[:, 1:, 1:] = Cx[
+        np.arange(n)[:, None, None],
+        np.arange(8)[None, :, None],
+        np.maximum(xb, 0)[:, None, :],
+    ]
+    # a boundary at 0 (h<8 or w<8) means ii row/col 0, which is 0
+    if (yb < 0).any() or (xb < 0).any():
+        S[:, 1:, 1:] *= (yb >= 0)[:, :, None]
+        S[:, 1:, 1:] *= (xb >= 0)[:, None, :]
+    area = np.maximum(
+        (ys[:, 1:] - ys[:, :-1])[:, :, None] * (xs[:, 1:] - xs[:, :-1])[:, None, :], 1
+    )
+    # scalar: (ii[y1,x1] - ii[y0,x1] - ii[y1,x0] + ii[y0,x0]) / area
+    blocks = (S[:, 1:, 1:] - S[:, :-1, 1:] - S[:, 1:, :-1] + S[:, :-1, :-1]) / area
+    fb = blocks.reshape(n, 64)
+    med = np.median(fb, axis=1)
+    bits = (fb > med[:, None]).astype(np.uint64)
+    ph = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return ph.view(np.int64)
+
+
 def _resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     h, w = px.shape[:2]
     yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
@@ -42,7 +211,12 @@ def _resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 class ImageDecodeActor:
-    """bytes → decoded stats + phash (decode tables built per actor)."""
+    """bytes → decoded stats + phash (decode tables built per actor).
+
+    The supported-format path decodes and featurizes the WHOLE batch in
+    one vectorized pass (padded gather + batched phash); only the
+    env-blocked external-codec stub falls back to per-row handling.
+    """
 
     def __init__(self, strict: bool = True):
         self.strict = strict
@@ -59,16 +233,30 @@ class ImageDecodeActor:
         return np.full((h, w, 3), rng, np.uint8)  # deterministic fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        phashes, means = [], []
-        for payload, w, h, fmt in zip(
-            batch["bytes"].to_pylist(),
-            batch["w"].to_pylist(),
-            batch["h"].to_pylist(),
-            batch["fmt"].to_pylist(),
-        ):
-            px = self._decode(payload, w, h, fmt)
-            phashes.append(int(np.uint64(phash64(px)).astype(np.int64)))
-            means.append(float(px.mean()))
+        n = len(batch)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fmts = np.asarray(batch["fmt"].to_pylist())
+        data, off = _binary_parts(batch["bytes"])
+        lens = off[1:] - off[:-1]
+
+        sup = np.isin(fmts, list(_SUPPORTED_FMTS))
+        need = w * h * 3
+        if sup.all() and len(batch) and (need > 0).all():
+            if (lens != need).any():
+                k = int(np.flatnonzero(lens != need)[0])
+                raise ValueError(f"payload size {lens[k]} != {w[k]}x{h[k]}x3")
+            phashes, means = _featurize_supported(data, off, w, h, fmts == "q6")
+        else:
+            # stub / degenerate path: per-row, test-only
+            phashes = np.zeros(n, np.int64)
+            means = np.zeros(n, np.float64)
+            for k in range(n):
+                payload = data[off[k] : off[k + 1]].tobytes()
+                dec = self._decode(payload, int(w[k]), int(h[k]), str(fmts[k]))
+                phashes[k] = np.uint64(phash64(dec)).astype(np.int64)
+                means[k] = float(dec.mean())
+
         cols = {
             "image_id": batch["image_id"],
             "phash_recomputed": pa.array(phashes, type=pa.int64()),
@@ -84,30 +272,53 @@ class ImageDecodeActor:
 
 
 class ImageResizeActor:
-    """bytes → resized re-encoded bytes (thumbnailing stage)."""
+    """bytes → resized re-encoded bytes (thumbnailing stage), one
+    vectorized nearest-neighbor gather per batch."""
 
     def __init__(self, out_w: int = 16, out_h: int = 16):
         self.out_w = out_w
         self.out_h = out_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_payloads = []
-        for payload, w, h, fmt in zip(
-            batch["bytes"].to_pylist(),
-            batch["w"].to_pylist(),
-            batch["h"].to_pylist(),
-            batch["fmt"].to_pylist(),
-        ):
-            px = decode(payload, w, h, fmt)
-            small = _resize_nearest(px, self.out_w, self.out_h)
-            out_payloads.append(encode(small, "raw"))
         n = len(batch)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fmts = np.asarray(batch["fmt"].to_pylist())
+        bad = ~np.isin(fmts, list(_SUPPORTED_FMTS))
+        if bad.any():
+            raise ValueError(f"unknown fmt {fmts[bad.argmax()]!r}")
+        data, off = _binary_parts(batch["bytes"])
+        lens = off[1:] - off[:-1]
+        need = w * h * 3
+        if (lens != need).any():
+            k = int(np.flatnonzero(lens != need)[0])
+            raise ValueError(f"payload size {lens[k]} != {w[k]}x{h[k]}x3")
+        maxlen = int(need.max()) if n else 0
+        px = _gather_padded(data, off[:-1], maxlen)
+        valid = np.arange(maxlen, dtype=np.int64)[None, :] < need[:, None]
+        _decode_block(px, fmts == "q6", valid)
+
+        ow, oh = self.out_w, self.out_h
+        # scalar: yi = (arange(out_h) * h // out_h).clip(0, h - 1)
+        yi = np.minimum((np.arange(oh, dtype=np.int64)[None, :] * h[:, None]) // oh, (h - 1)[:, None])
+        xi = np.minimum((np.arange(ow, dtype=np.int64)[None, :] * w[:, None]) // ow, (w - 1)[:, None])
+        idx = (yi[:, :, None] * w[:, None, None] + xi[:, None, :]) * 3
+        idx3 = (idx[:, :, :, None] + np.arange(3, dtype=np.int64)).reshape(n, -1)
+        out = np.take_along_axis(px, idx3, axis=1)  # (n, oh*ow*3) uint8
+
+        stride = oh * ow * 3
+        offsets = (np.arange(n + 1, dtype=np.int32) * stride)
+        payload_col = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(np.ascontiguousarray(out).tobytes())],
+        )
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "bytes": pa.array(out_payloads, type=pa.binary()),
-                "w": pa.array(np.full(n, self.out_w, np.int32)),
-                "h": pa.array(np.full(n, self.out_h, np.int32)),
+                "bytes": payload_col,
+                "w": pa.array(np.full(n, ow, np.int32)),
+                "h": pa.array(np.full(n, oh, np.int32)),
                 "fmt": pa.array(["raw"] * n),
             }
         )
@@ -118,26 +329,44 @@ class AudioFeatureActor:
 
     Real deployment: load the decoder in ``__init__``, emit e.g.
     log-mel frames per batch. Here: deterministic per-payload energy
-    proxy so the pipeline shape is testable end-to-end.
-    """
+    proxy (np.array_split chunk means) so the pipeline shape is
+    testable end-to-end — computed for the whole batch with one
+    np.add.reduceat over the concatenated payload buffer (chunk sums
+    are exact integers, so this matches the per-row chunk.mean()
+    bit-for-bit)."""
 
     def __init__(self, n_features: int = 8):
         self.n_features = n_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for payload in batch["bytes"].to_pylist():
-            arr = np.frombuffer(payload, np.uint8).astype(np.float64)
-            if len(arr) == 0:
-                arr = np.zeros(1)
-            chunks = np.array_split(arr, self.n_features)
-            feats.append([float(c.mean()) for c in chunks])
-        return pa.table(
-            {
-                "image_id": batch["image_id"],
-                "features": pa.array(feats, type=pa.list_(pa.float64())),
-            }
-        )
+        n = len(batch)
+        k = self.n_features
+        data, off = _binary_parts(batch["bytes"])
+        lens = off[1:] - off[:-1]
+        feats = np.full((n, k), np.nan)
+        ne = np.flatnonzero(lens > 0)
+        if len(ne):
+            eff = lens[ne]
+            # np.array_split sizes: (l % k) chunks of l//k+1, then l//k
+            sizes = (eff // k)[:, None] + (
+                np.arange(k, dtype=np.int64)[None, :] < (eff % k)[:, None]
+            )
+            local = np.zeros((len(ne), k), np.int64)
+            local[:, 1:] = sizes.cumsum(axis=1)[:, :-1]
+            bounds = off[:-1][ne][:, None] + local - off[0]
+            seg = data[off[0] : off[-1]].astype(np.float64)
+            # a trailing zero-size chunk's bound can equal len(seg);
+            # clamp for reduceat — its output is overwritten with nan
+            np.minimum(bounds, max(len(seg) - 1, 0), out=bounds)
+            sums = np.add.reduceat(seg, bounds.ravel()).reshape(len(ne), k)
+            means = np.where(sizes > 0, sums / np.maximum(sizes, 1), np.nan)
+            feats[ne] = means
+        # empty payload: scalar path substituted zeros(1) → first chunk
+        # mean 0.0, remaining k-1 chunks empty → nan
+        feats[np.flatnonzero(lens == 0), 0] = 0.0
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * k, type=pa.int32())
+        col = pa.ListArray.from_arrays(offsets, pa.array(feats.ravel(), type=pa.float64()))
+        return pa.table({"image_id": batch["image_id"], "features": col})
 
 
 class VideoFrameSampleActor:
