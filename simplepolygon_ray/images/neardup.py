@@ -29,10 +29,9 @@ both over slim (int64 × 4) rows — payload bytes never shuffle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from ..text.dedup import _pairs_in_runs, dedupe_pairs_global
+from ..text.dedup import _dedupe_pair_rows, _pairs_in_runs, dedupe_pairs_global
 
 __all__ = ["phash_near_dup_pairs", "popcount64"]
 
@@ -87,12 +86,12 @@ def phash_near_dup_pairs(
             }
         )
 
-    def pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
-        bid = g["band_id"].to_numpy(np.int64)
-        bval = g["band_val"].to_numpy(np.int64)
-        sub = g["sub"].to_numpy(np.int64)
-        key = g["img_key"].to_numpy(np.int64)
-        ph = g["phash"].to_numpy(np.int64)
+    def pairs_from_group(g: pa.Table) -> pa.Table:
+        bid = g["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bval = g["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = g["sub"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g["img_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = g["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
         # global (band_id, band_val) group sizes: every such group lands
         # whole in this bucket, so local counts ARE global counts
         enc = bid * np.int64(1 << 16) + bval
@@ -106,24 +105,25 @@ def phash_near_dup_pairs(
         )
         ai, bi = _pairs_in_runs(new, np.arange(len(order), dtype=np.int64))
         if len(ai) == 0:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "id_a": pd.Series(dtype=np.int64),
-                    "id_b": pd.Series(dtype=np.int64),
-                    "hamming": pd.Series(dtype=np.int64),
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
                 }
             )
         k, p = key[order], ph[order]
         ham = popcount64((p[ai] ^ p[bi]).astype(np.int64))
         keep = ham <= max_hamming
-        out = pd.DataFrame(
-            {"id_a": k[ai[keep]], "id_b": k[bi[keep]], "hamming": ham[keep]}
+        a, b, hm = k[ai[keep]], k[bi[keep]], ham[keep]
+        rows = _dedupe_pair_rows(a, b)
+        return pa.table(
+            {"id_a": pa.array(a[rows]), "id_b": pa.array(b[rows]), "hamming": pa.array(hm[rows])}
         )
-        return out.drop_duplicates(["id_a", "id_b"])
 
     cands = (
         imgs.map_batches(explode, batch_format="pyarrow")
         .groupby("_bb")
-        .map_groups(pairs_from_group, batch_format="pandas")
+        .map_groups(pairs_from_group, batch_format="pyarrow")
     )
     return dedupe_pairs_global(cands, ["id_a", "id_b"], n_buckets=n_buckets)

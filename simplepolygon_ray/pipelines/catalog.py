@@ -442,7 +442,7 @@ def q_text_fingerprint(sf_dir: str):
 def q_text_simhash(sf_dir: str):
     from ..text.dedup import simhash_batch
 
-    return _docs(sf_dir).map_batches(simhash_batch, batch_format="pandas")
+    return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -479,8 +479,8 @@ def q_embedding_near_dup(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     buckets = emb.map_batches(
-        lambda b: hyperplane_bucketize(b)[["vec_id", "bucket", "sub"]],
-        batch_format="pandas",
+        lambda b: hyperplane_bucketize(b).select(["vec_id", "bucket", "sub"]),
+        batch_format="pyarrow",
     )
     _persist(buckets, "emb_buckets")
     pairs = embedding_near_dup_pairs(emb, threshold=0.3)

@@ -15,12 +15,17 @@ Scale shapes (the 100 TB design):
   prefix buckets.
 - **embedding cosine**: LSH hyperplane buckets over the vector column,
   within-bucket exact cosine.
+
+Every Dataset-facing stage here runs ``batch_format="pyarrow"`` —
+blocks come out of the object store zero-copy, numpy kernels read the
+Arrow buffers directly, and no per-block Arrow→pandas→Arrow conversion
+happens anywhere on the dedup hot path.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from ._hash import FNV_OFFSET, FNV_PRIME, fnv64_batch
 
@@ -48,6 +53,32 @@ _ROWS = _N_PERM // _BANDS
 _rng = np.random.RandomState(0x5EED)
 _A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+
+_SIG_TYPE = pa.binary(_N_PERM * 8)  # fixed-size: one zero-copy frombuffer per block
+
+
+def _i64(col) -> np.ndarray:
+    """int64 numpy view of an Arrow column (zero-copy when possible)."""
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _dedupe_pair_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row indices of the FIRST occurrence of each distinct (a, b) pair
+    (lexsort is stable, so ties resolve to input order)."""
+    order = np.lexsort((b, a))
+    aa, bb = a[order], b[order]
+    keep = np.ones(len(aa), bool)
+    keep[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+    return order[keep]
+
+
+def _binary_views(col: pa.ChunkedArray | pa.Array):
+    """(offsets, data) numpy views of a binary column — one frombuffer
+    for the whole block, no per-row ``.as_py()``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return off.astype(np.int64), data
 
 
 def _shingle_strings(text: str, k: int = 3) -> list[str]:
@@ -97,10 +128,14 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def shingle_minhash_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def shingle_minhash_batch(batch, text_col: str = "text") -> pa.Table:
     """Docs → 128-perm minhash signatures, one vectorized pass for the
-    whole batch (shared FNV shingle matrix + per-perm reduceat mins)."""
-    texts = [t or "" for t in batch[text_col]]
+    whole batch (shared FNV shingle matrix + per-perm reduceat mins).
+    The signature column is fixed-size binary, built from the (D, 128)
+    uint64 block in one buffer handoff (no per-row tobytes)."""
+    if not isinstance(batch, pa.Table):  # accept pandas in unit tests
+        batch = pa.Table.from_pandas(batch, preserve_index=False)
+    texts = [t if isinstance(t, str) else "" for t in batch[text_col].to_pylist()]
     h, offs = _hash_shingles_docs(texts)
     x = h % np.uint64(_MERSENNE)
     sigs = np.empty((len(texts), _N_PERM), np.uint64)
@@ -108,42 +143,52 @@ def shingle_minhash_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.Dat
     for p in range(_N_PERM):
         v = (_A[p] * x + _B[p]) % np.uint64(_MERSENNE)
         sigs[:, p] = np.minimum.reduceat(v, starts)
-    return pd.DataFrame(
-        {"doc_id": batch["doc_id"].to_numpy(), "sig": [s.tobytes() for s in sigs]}
+    sig_col = pa.Array.from_buffers(
+        _SIG_TYPE, len(texts), [None, pa.py_buffer(sigs.tobytes())]
     )
+    return pa.table({"doc_id": batch["doc_id"], "sig": sig_col})
 
 
-def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-    """signature rows → (doc_id, band_id, band_hash) rows. The per-band
-    FNV over 8 uint64 lanes runs as 8 full-width vector ops."""
-    D = len(batch)
+def explode_bands(batch: pa.Table) -> pa.Table:
+    """signature rows → (doc_id, band_id, band_hash) rows. Signatures
+    read as ONE frombuffer over the fixed-size binary column; the
+    per-band FNV over 8 uint64 lanes runs as 8 full-width vector ops."""
+    D = batch.num_rows
     if D == 0:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": np.empty(0, np.int64),
-                "band_id": np.empty(0, np.int64),
-                "band_hash": np.empty(0, np.int64),
+                "doc_id": pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.int64()),
             }
         )
-    sigs = np.frombuffer(b"".join(batch["sig"]), np.uint64).reshape(D, _BANDS, _ROWS)
+    sig_arr = batch["sig"].combine_chunks()
+    raw = np.frombuffer(sig_arr.buffers()[1], np.uint64)
+    start = sig_arr.offset * _N_PERM
+    sigs = raw[start : start + D * _N_PERM].reshape(D, _BANDS, _ROWS)
     h = np.full((D, _BANDS), FNV_OFFSET, np.uint64)
     for r in range(_ROWS):
         h = (h ^ sigs[:, :, r]) * FNV_PRIME
-    return pd.DataFrame(
+    return pa.table(
         {
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), _BANDS),
-            "band_id": np.tile(np.arange(_BANDS, dtype=np.int64), D),
-            "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
+            "doc_id": pa.array(np.repeat(_i64(batch["doc_id"]), _BANDS)),
+            "band_id": pa.array(np.tile(np.arange(_BANDS, dtype=np.int64), D)),
+            "band_hash": pa.array((h >> np.uint64(1)).astype(np.int64).ravel()),
         }
     )
 
 
-def candidate_pairs_from_bucket(group: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(group["doc_id"].to_numpy(np.int64))
+def candidate_pairs_from_bucket(group) -> pa.Table:
+    if isinstance(group, pa.Table):
+        ids = np.sort(_i64(group["doc_id"]))
+    else:
+        ids = np.sort(np.asarray(group["doc_id"], np.int64))
     if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
     a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
 
 
 def jaccard_ngrams(t1: str, t2: str, k: int = 3) -> float:
@@ -237,28 +282,30 @@ def _pairs_within(ids: np.ndarray, texts: list[str], threshold: float):
 
 def dedupe_pairs_global(pairs, cols, *, n_buckets: int = 512):
     """Global (a, b)-pair dedupe for pairs emitted from several LSH
-    bands: block-local ``drop_duplicates``, then ONE pair-hash-bucketed
+    bands: block-local numpy dedupe, then ONE pair-hash-bucketed
     groupby dedupe — never an engine group per pair. Extra columns
-    (e.g. a verified distance) ride along; duplicate pair rows carry
-    identical values, so keeping the first is deterministic."""
+    (e.g. a verified distance) ride along via Arrow ``take``; duplicate
+    pair rows carry identical values, so keeping the first is
+    deterministic."""
     a_col, b_col = cols
 
-    def local(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.drop_duplicates([a_col, b_col]).copy()
+    def local(t: pa.Table) -> pa.Table:
+        a = _i64(t[a_col])
+        b = _i64(t[b_col])
+        rows = _dedupe_pair_rows(a, b)
+        t = t.take(pa.array(rows))
         with np.errstate(over="ignore"):
-            t["_pb"] = (
-                t[a_col].to_numpy(np.int64) * np.int64(0x9E3779B1)
-                + t[b_col].to_numpy(np.int64)
-            ) % n_buckets
-        return t
+            pb = (a[rows] * np.int64(0x9E3779B1) + b[rows]) % n_buckets
+        return t.append_column("_pb", pa.array(pb))
 
-    def grp(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates([a_col, b_col]).drop(columns=["_pb"])
+    def grp(g: pa.Table) -> pa.Table:
+        rows = _dedupe_pair_rows(_i64(g[a_col]), _i64(g[b_col]))
+        return g.drop_columns(["_pb"]).take(pa.array(rows))
 
     return (
-        pairs.map_batches(local, batch_format="pandas")
+        pairs.map_batches(local, batch_format="pyarrow")
         .groupby("_pb")
-        .map_groups(grp, batch_format="pandas")
+        .map_groups(grp, batch_format="pyarrow")
     )
 
 
@@ -277,42 +324,37 @@ def minhash_dedup_pairs(
     ``map_batches``, and the resulting candidate-id→text map — also
     task-assembled — is broadcast to the verify stage. The docs table
     itself only ever streams."""
-    sigs = docs.map_batches(shingle_minhash_batch, batch_format="pandas")
-    bands = sigs.map_batches(explode_bands, batch_format="pandas")
+    sigs = docs.map_batches(shingle_minhash_batch, batch_format="pyarrow")
+    bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
     # candidate pairs: shuffle on a HASH BUCKET of the band hash (every
     # (band_id, band_hash) bucket lands whole in one group) and emit
     # pairs for ALL buckets of the group in one segmented vectorized
-    # pass — no pandas group per LSH bucket (millions at corpus scale)
+    # pass — no group per LSH bucket (millions at corpus scale)
     n_band_buckets = 1024
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["_bb"] = t["band_hash"].to_numpy(np.int64) % n_band_buckets
-        return t
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bb = _i64(t["band_hash"]) % n_band_buckets
+        return t.append_column("_bb", pa.array(bb))
 
-    def pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort(
-            (
-                g["doc_id"].to_numpy(np.int64),
-                g["band_hash"].to_numpy(np.int64),
-                g["band_id"].to_numpy(np.int64),
-            )
-        )
-        bid = g["band_id"].to_numpy(np.int64)[order]
-        bh = g["band_hash"].to_numpy(np.int64)[order]
-        ids = g["doc_id"].to_numpy(np.int64)[order]
+    def pairs_from_group(g: pa.Table) -> pa.Table:
+        bid = _i64(g["band_id"])
+        bh = _i64(g["band_hash"])
+        ids = _i64(g["doc_id"])
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
         new = np.ones(len(order), bool)
         new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
         a, b = _pairs_in_runs(new, ids)
-        return pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates(
-            ["doc_a", "doc_b"]
-        )
+        if len(a):
+            rows = _dedupe_pair_rows(a, b)
+            a, b = a[rows], b[rows]
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
     cands = (
-        bands.map_batches(add_bucket, batch_format="pandas")
+        bands.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bb")
-        .map_groups(pairs_from_group, batch_format="pandas")
+        .map_groups(pairs_from_group, batch_format="pyarrow")
     )
 
     # dedup candidate pairs across band buckets (same pair fires in
@@ -324,7 +366,6 @@ def minhash_dedup_pairs(
     # candidate pair carry their text through the shuffle. The id set
     # is bounded by the LSH candidate count (not the corpus), collected
     # in a Ray task and broadcast — the driver holds one ObjectRef.
-    import pyarrow as pa
     import pyarrow.compute as pc
     import ray
 
@@ -375,35 +416,36 @@ def minhash_dedup_pairs(
 
     _tx_cache: dict = {}
 
-    def verify(t: pd.DataFrame) -> pd.DataFrame:
-        # two vectorized hash joins of the pair batch against the
-        # broadcast (doc_id, text) table, then one vectorized
-        # shingle-set compare for the whole batch — no per-pair Python.
-        # The pandas view of the broadcast converts once per worker
-        # process, not once per batch.
-        if "tx" not in _tx_cache:
-            _tx_cache["tx"] = ray.get(texts_ref).to_pandas()
-        tx = _tx_cache["tx"]
-        m = t[["doc_a", "doc_b"]].merge(
-            tx.rename(columns={"doc_id": "doc_a", text_col: "_ta"}), on="doc_a", how="left"
-        )
-        m = m.merge(
-            tx.rename(columns={"doc_id": "doc_b", text_col: "_tb"}), on="doc_b", how="left"
-        )
-        jac = _jaccard_rows_vec(
-            [x if isinstance(x, str) else "" for x in m["_ta"]],
-            [x if isinstance(x, str) else "" for x in m["_tb"]],
-        )
-        out = pd.DataFrame(
+    def verify(t: pa.Table) -> pa.Table:
+        # id→text lookup via ONE searchsorted against the broadcast
+        # table (sorted once per worker process, not once per batch),
+        # then one vectorized shingle-set compare for the whole batch —
+        # no per-pair Python, no pandas merge.
+        if "ids" not in _tx_cache:
+            tx = ray.get(texts_ref)
+            ids = _i64(tx["doc_id"])
+            order = np.argsort(ids, kind="stable")
+            txt = tx[text_col].to_pylist()
+            _tx_cache["ids"] = ids[order]
+            _tx_cache["texts"] = [txt[i] for i in order]
+        ids_s, texts = _tx_cache["ids"], _tx_cache["texts"]
+        da = _i64(t["doc_a"])
+        db = _i64(t["doc_b"])
+        pa_pos = np.searchsorted(ids_s, da)
+        pb_pos = np.searchsorted(ids_s, db)
+        ta = [texts[i] if isinstance(texts[i], str) else "" for i in pa_pos]
+        tb = [texts[i] if isinstance(texts[i], str) else "" for i in pb_pos]
+        jac = _jaccard_rows_vec(ta, tb)
+        keep = jac >= threshold
+        return pa.table(
             {
-                "doc_a": m["doc_a"].to_numpy(np.int64),
-                "doc_b": m["doc_b"].to_numpy(np.int64),
-                "jaccard": jac,
+                "doc_a": pa.array(da[keep]),
+                "doc_b": pa.array(db[keep]),
+                "jaccard": pa.array(jac[keep]),
             }
         )
-        return out[out["jaccard"] >= threshold]
 
-    return cands.map_batches(verify, batch_format="pandas")
+    return cands.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash64_many(texts: list[str]) -> np.ndarray:
@@ -433,29 +475,33 @@ def simhash64(text: str) -> int:
     return int(simhash64_many([text])[0])
 
 
-def simhash_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    sh = simhash64_many([t or "" for t in batch[text_col]])
-    return pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"],
-            "simhash": pd.array(sh.astype(np.int64), dtype="int64"),
-        }
+def simhash_batch(batch, text_col: str = "text") -> pa.Table:
+    if not isinstance(batch, pa.Table):
+        batch = pa.Table.from_pandas(batch, preserve_index=False)
+    sh = simhash64_many(
+        [t if isinstance(t, str) else "" for t in batch[text_col].to_pylist()]
+    )
+    return pa.table(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(sh.astype(np.int64))}
     )
 
 
 def exact_dedup(ds, key_cols, *, id_col: str = "doc_id"):
     """Exact dedup: keep the minimum-id row per key group. Runs as a
-    block-local pre-combine (pandas groupby-min per block) followed by
-    one Min aggregate — the shuffle carries at most one row per
+    block-local pre-combine (Arrow C++ hash groupby per block) followed
+    by one Min aggregate — the shuffle carries at most one row per
     (key, block) and no per-key Python group ever materializes."""
     from ray.data.aggregate import Min
 
     keys = key_cols if isinstance(key_cols, list) else [key_cols]
 
-    def local_min(t: pd.DataFrame) -> pd.DataFrame:
-        return t.groupby(keys, as_index=False, sort=False)[id_col].min()
+    def local_min(t: pa.Table) -> pa.Table:
+        res = t.group_by(keys).aggregate([(id_col, "min")])
+        return res.rename_columns(
+            [id_col if c == f"{id_col}_min" else c for c in res.column_names]
+        )
 
-    partial = ds.map_batches(local_min, batch_format="pandas")
+    partial = ds.map_batches(local_min, batch_format="pyarrow")
     return partial.groupby(keys).aggregate(Min(id_col, alias_name=id_col))
 
 
@@ -476,25 +522,59 @@ def _planes_cached(dim: int, n_planes: int):
     return _PLANES_CACHE[key]
 
 
+def _list_f32_matrix(col) -> np.ndarray:
+    """(n, dim) float32 matrix view of a vector column — flat values
+    cast once, no per-row np.asarray. Handles list<float> (parquet),
+    fixed_size_list, and Ray's tensor extension arrays."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.float32)
+    if isinstance(arr, pa.FixedSizeListArray):
+        dim = arr.type.list_size
+        vals = np.asarray(arr.values, dtype=np.float32)
+        return vals[arr.offset * dim : (arr.offset + n) * dim].reshape(n, dim)
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+        offs = np.asarray(arr.offsets, np.int64)
+        vals = np.asarray(arr.values, dtype=np.float32)
+        dim = int(offs[1] - offs[0])
+        assert (np.diff(offs) == dim).all(), "embedding column must be fixed-dim"
+        return vals[offs[0] : offs[0] + n * dim].reshape(n, dim)
+    # Ray tensor extension array (rd.from_pandas of ndarray cells)
+    m = arr.to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(np.asarray(m), dtype=np.float32)
+
+
 def hyperplane_bucketize(
-    batch: pd.DataFrame, *, n_planes: int = 12, vec_col: str = "embedding"
-) -> pd.DataFrame:
+    batch, *, n_planes: int = 12, vec_col: str = "embedding"
+) -> pa.Table:
     """Deterministic hyperplane-LSH bucket per vector (seeded planes,
     pure function of the embedding dim). Also emits ``sub``: 8 extra
     hyperplane bits used as a secondary band to split oversized
-    buckets (hot-bucket skew defusal; deterministic, SQL-replayable)."""
-    vecs = np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
-    p, p2 = _planes_cached(vecs.shape[1], n_planes)
+    buckets (hot-bucket skew defusal; deterministic, SQL-replayable).
+    ``vec`` rides along as a fixed-stride binary column built from the
+    flat float32 buffer (no per-row tobytes)."""
+    if not isinstance(batch, pa.Table):
+        batch = pa.Table.from_pandas(batch, preserve_index=False)
+    vecs = _list_f32_matrix(batch[vec_col])
+    n, dim = vecs.shape
+    p, p2 = _planes_cached(dim, n_planes)
     bits = (vecs @ p) > 0
     bits2 = (vecs @ p2) > 0
     bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
     sub = (bits2.astype(np.uint64) << np.arange(8, dtype=np.uint64)).sum(axis=1)
-    return pd.DataFrame(
+    voffs = (np.arange(n + 1, dtype=np.int64) * dim * 4).astype(np.int32)
+    vec_blob = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(voffs.tobytes()), pa.py_buffer(np.ascontiguousarray(vecs).tobytes())],
+    )
+    return pa.table(
         {
-            "vec_id": batch["vec_id"].to_numpy(np.int64),
-            "bucket": bucket.astype(np.int64),
-            "sub": sub.astype(np.int64),
-            "vec": [v.tobytes() for v in vecs],
+            "vec_id": pa.array(_i64(batch["vec_id"])),
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "sub": pa.array(sub.astype(np.int64)),
+            "vec": vec_blob,
         }
     )
 
@@ -519,6 +599,21 @@ def _cosine_pairs_block(ids: np.ndarray, unit: np.ndarray, threshold: float, chu
     return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_c)
 
 
+def _split_runs_by_cap(primary: np.ndarray, secondary: np.ndarray, cap: int):
+    """Row-index runs for the hot-bucket rule shared by the embedding
+    and ngram near-dup paths: rows (already belonging to ONE bucket
+    group) sort by ``primary`` (id order); when the group exceeds
+    ``cap`` it splits by ``secondary`` (id order within each split).
+    Returns a list of index arrays."""
+    n = len(primary)
+    if n <= cap:
+        return [np.argsort(primary, kind="stable")]
+    order = np.lexsort((primary, secondary))
+    sec = secondary[order]
+    bounds = np.flatnonzero(np.diff(sec)) + 1
+    return np.split(order, bounds)
+
+
 def embedding_near_dup_pairs(
     emb,
     *,
@@ -541,37 +636,45 @@ def embedding_near_dup_pairs(
         hyperplane_bucketize, n_planes=n_planes, vec_col=vec_col
     )
 
-    def within(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "cosine": np.float64}
-        )
-        if len(g) < 2:
-            return empty
-        g = g.sort_values("vec_id", kind="mergesort")
-        parts = (
-            [sg for _, sg in g.groupby("sub", sort=True)]
-            if len(g) > bucket_cap
-            else [g]
-        )
-        frames = []
-        for sg in parts:
-            if len(sg) < 2:
-                continue
-            vecs = np.stack([np.frombuffer(b, np.float32) for b in sg["vec"]])
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            a, b, c = _cosine_pairs_block(
-                sg["vec_id"].to_numpy(np.int64), vecs / norms, threshold
+    def within(g: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        if g.num_rows >= 2:
+            vid = _i64(g["vec_id"])
+            sub = _i64(g["sub"])
+            boffs, bdata = _binary_views(g["vec"])
+            stride = int(boffs[1] - boffs[0])
+            flat = bdata[boffs[0] : boffs[0] + g.num_rows * stride].view(np.float32)
+            vecs_all = flat.reshape(g.num_rows, stride // 4)
+            for rows in _split_runs_by_cap(vid, sub, bucket_cap):
+                if len(rows) < 2:
+                    continue
+                vecs = vecs_all[rows]
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                a, b, c = _cosine_pairs_block(vid[rows], vecs / norms, threshold)
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(c)
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
             )
-            frames.append(pd.DataFrame({"doc_a": a, "doc_b": b, "cosine": c}))
-        if not frames:
-            return empty
-        return pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
 
     return (
-        emb.map_batches(bucketize, batch_format="pandas")
+        emb.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(within, batch_format="pandas")
+        .map_groups(within, batch_format="pyarrow")
     )
 
 
@@ -596,45 +699,57 @@ def ngram_jaccard_pairs(
     ``threshold`` must be > 0 (zero-overlap pairs are never emitted)."""
     sub_shift = np.uint64(max(64 - prefix_bits - 8, 0))
 
-    def sig(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = simhash64_many([t or "" for t in batch[text_col]])
-        return pd.DataFrame(
+    def sig(batch: pa.Table) -> pa.Table:
+        texts = [
+            t if isinstance(t, str) else "" for t in batch[text_col].to_pylist()
+        ]
+        sh = simhash64_many(texts)
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].to_numpy(np.int64),
-                "bucket": (sh >> np.uint64(64 - prefix_bits)).astype(np.int64),
-                "sub": ((sh >> sub_shift) & np.uint64(255)).astype(np.int64),
+                "doc_id": pa.array(_i64(batch["doc_id"])),
+                "bucket": pa.array(
+                    (sh >> np.uint64(64 - prefix_bits)).astype(np.int64)
+                ),
+                "sub": pa.array(((sh >> sub_shift) & np.uint64(255)).astype(np.int64)),
                 "text": batch[text_col],
             }
         )
 
-    def within(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
-        )
-        if len(g) < 2:
-            return empty
-        g = g.sort_values("doc_id", kind="mergesort")
-        parts = (
-            [sg for _, sg in g.groupby("sub", sort=True)]
-            if len(g) > bucket_cap
-            else [g]
-        )
-        frames = []
-        for sg in parts:
-            if len(sg) < 2:
-                continue
-            a, b, jac = _pairs_within(
-                sg["doc_id"].to_numpy(np.int64), list(sg["text"]), threshold
+    def within(g: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        if g.num_rows >= 2:
+            did = _i64(g["doc_id"])
+            sub = _i64(g["sub"])
+            texts = g["text"].to_pylist()
+            for rows in _split_runs_by_cap(did, sub, bucket_cap):
+                if len(rows) < 2:
+                    continue
+                a, b, jac = _pairs_within(
+                    did[rows], [texts[i] or "" for i in rows], threshold
+                )
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
             )
-            frames.append(pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": jac}))
-        if not frames:
-            return empty
-        return pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "jaccard": pa.array(np.concatenate(out_j)),
+            }
+        )
 
     return (
-        docs.map_batches(sig, batch_format="pandas")
+        docs.map_batches(sig, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(within, batch_format="pandas")
+        .map_groups(within, batch_format="pyarrow")
     )
 
 
@@ -643,13 +758,11 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------
 
 
-def _cc_step(g: pd.DataFrame) -> pd.DataFrame:
+def _cc_step(node: np.ndarray, nbr: np.ndarray):
     """One hash-to-min round over one node bucket: every node computes
     the min of its (deduped) neighborhood m(v) and emits (u, m) for
     every neighbor u plus (m, u) — fully segmented numpy, no per-node
-    Python."""
-    node = g["node"].to_numpy(np.int64)
-    nbr = g["nbr"].to_numpy(np.int64)
+    Python (numpy in/out)."""
     order = np.lexsort((nbr, node))
     node, nbr = node[order], nbr[order]
     keep = np.ones(len(node), bool)
@@ -662,8 +775,11 @@ def _cc_step(g: pd.DataFrame) -> pd.DataFrame:
     m = np.repeat(nbr[starts], lens)  # min nbr per node (sorted run head)
     out_node = np.concatenate([nbr, m])
     out_nbr = np.concatenate([m, nbr])
-    out = pd.DataFrame({"node": out_node, "nbr": out_nbr})
-    return out.drop_duplicates()
+    rows = _dedupe_pair_rows(out_node, out_nbr)
+    return out_node[rows], out_nbr[rows]
+
+
+_EDGE_SCHEMA = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
 
 
 def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
@@ -679,34 +795,33 @@ def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
     edge set is materialized per round (it is bounded by the pair
     output, not the corpus) so lineage does not replay earlier rounds;
     convergence is detected by a rows+checksum signature aggregate."""
-    import pyarrow as pa
-
     import ray.data as rd
 
-    def seed(t: pd.DataFrame) -> pd.DataFrame:
-        a = t["doc_a"].to_numpy(np.int64)
-        b = t["doc_b"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                "node": np.concatenate([a, b, a, b]),
-                "nbr": np.concatenate([b, a, a, b]),
-            }
-        ).drop_duplicates()
+    def seed(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        a = _i64(t["doc_a"])
+        b = _i64(t["doc_b"])
+        node = np.concatenate([a, b, a, b])
+        nbr = np.concatenate([b, a, a, b])
+        rows = _dedupe_pair_rows(node, nbr)
+        return pa.table({"node": pa.array(node[rows]), "nbr": pa.array(nbr[rows])})
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["_nb"] = t["node"].to_numpy(np.int64) % n_buckets
-        return t
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _EDGE_SCHEMA.append(pa.field("_nb", pa.int64())).empty_table()
+        return t.append_column("_nb", pa.array(_i64(t["node"]) % n_buckets))
 
-    def step(g: pd.DataFrame) -> pd.DataFrame:
-        return _cc_step(g.drop(columns=["_nb"]))
+    def step(g: pa.Table) -> pa.Table:
+        node, nbr = _cc_step(_i64(g["node"]), _i64(g["nbr"]))
+        return pa.table({"node": pa.array(node), "nbr": pa.array(nbr)})
 
     def _signature(ds) -> tuple[int, int]:
         def sig(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or t.num_rows == 0:
                 return pa.table({"n": pa.array([0], pa.int64()), "s": pa.array([0], pa.int64())})
-            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-            nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+            node = _i64(t["node"])
+            nbr = _i64(t["nbr"])
             with np.errstate(over="ignore"):
                 h = (node * np.int64(0x9E3779B1) + nbr * np.int64(0x85EBCA77)).sum()
             return pa.table({"n": pa.array([t.num_rows], pa.int64()), "s": pa.array([int(h)], pa.int64())})
@@ -714,7 +829,7 @@ def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
         parts = ds.map_batches(sig, batch_format="pyarrow").to_pandas()
         return int(parts["n"].sum()), int(np.int64(parts["s"].to_numpy(np.int64)).sum())
 
-    edges = pairs.map_batches(seed, batch_format="pandas").materialize()
+    edges = pairs.map_batches(seed, batch_format="pyarrow").materialize()
     if edges.count() == 0:
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
@@ -722,9 +837,9 @@ def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
     prev_sig = _signature(edges)
     for _ in range(max_rounds):
         edges = (
-            edges.map_batches(add_bucket, batch_format="pandas")
+            edges.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_nb")
-            .map_groups(step, batch_format="pandas")
+            .map_groups(step, batch_format="pyarrow")
             .materialize()
         )
         cur_sig = _signature(edges)
@@ -732,15 +847,22 @@ def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
             break
         prev_sig = cur_sig
 
-    def labels(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["_nb"])
-        lab = g.groupby("node", as_index=False)["nbr"].min()
-        return lab.rename(columns={"node": "doc_id", "nbr": "group_id"})
+    def labels(g: pa.Table) -> pa.Table:
+        node = _i64(g["node"])
+        nbr = _i64(g["nbr"])
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        new = np.ones(len(node), bool)
+        new[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {"doc_id": pa.array(node[starts]), "group_id": pa.array(nbr[starts])}
+        )
 
     return (
-        edges.map_batches(add_bucket, batch_format="pandas")
+        edges.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_nb")
-        .map_groups(labels, batch_format="pandas")
+        .map_groups(labels, batch_format="pyarrow")
     )
 
 
@@ -760,21 +882,31 @@ def groups_from_pairs(pairs):
     near-dedup pipelines."""
     labs = connected_components(pairs)
 
-    def attach_size(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["_gb"]).copy()
-        g["group_size"] = g.groupby("group_id")["doc_id"].transform("size").astype(np.int64)
-        g["keep"] = (g["doc_id"].to_numpy(np.int64) == g["group_id"].to_numpy(np.int64)).astype(
-            np.int64
-        )
-        return g
+    def add_gbucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_gb", pa.array(_i64(t["group_id"]) % 256))
 
-    def add_gbucket(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["_gb"] = t["group_id"].to_numpy(np.int64) % 256
-        return t
+    def attach_size(g: pa.Table) -> pa.Table:
+        did = _i64(g["doc_id"])
+        gid = _i64(g["group_id"])
+        order = np.argsort(gid, kind="stable")
+        sg = gid[order]
+        new = np.ones(len(sg), bool)
+        new[1:] = sg[1:] != sg[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(sg)))
+        sizes = np.empty(len(sg), np.int64)
+        sizes[order] = np.repeat(lens, lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "group_id": pa.array(gid),
+                "group_size": pa.array(sizes),
+                "keep": pa.array((did == gid).astype(np.int64)),
+            }
+        )
 
     return (
-        labs.map_batches(add_gbucket, batch_format="pandas")
+        labs.map_batches(add_gbucket, batch_format="pyarrow")
         .groupby("_gb")
-        .map_groups(attach_size, batch_format="pandas")
+        .map_groups(attach_size, batch_format="pyarrow")
     )

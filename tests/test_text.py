@@ -75,11 +75,15 @@ def test_vectorized_hash_kernels_match_scalar():
     assert [int(v) for v in _rolling_fnv64_docs(texts)] == exp_fp
     # band hashes vs scalar per-band FNV over uint64 lanes
     df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
-    sigs = shingle_minhash_batch(df)
+    sigs = shingle_minhash_batch(df)  # pa.Table (sig = fixed-size binary)
     bands = explode_bands(sigs)
-    for k in range(len(bands)):
-        did, bid, bh = bands.iloc[k]
-        sig = np.frombuffer(sigs["sig"][did], np.uint64)
+    sig_bytes = sigs["sig"].to_pylist()
+    b_did = bands["doc_id"].to_pylist()
+    b_bid = bands["band_id"].to_pylist()
+    b_bh = bands["band_hash"].to_pylist()
+    for k in range(bands.num_rows):
+        did, bid, bh = b_did[k], b_bid[k], b_bh[k]
+        sig = np.frombuffer(sig_bytes[did], np.uint64)
         h = 0xCBF29CE484222325
         for v in sig[bid * 8 : (bid + 1) * 8]:
             h = ((h ^ int(v)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
