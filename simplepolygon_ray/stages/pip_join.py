@@ -49,9 +49,22 @@ _BROADCAST_CACHE: dict = {}
 # temporaries of the fused PIP expression stay inside one core's
 # private L2 instead of contending for shared L3/DRAM at full
 # occupancy (tunable for benchmarking via GRAFT_PIP_CHUNK)
+import logging as _logging
 import os as _os
 
 _CHUNK_ELEMS = int(_os.environ.get("GRAFT_PIP_CHUNK", "125000"))
+
+# broadcast→shuffle crossover (soft cap, see pip_join_broadcast doc):
+# the compiled index holds 4 float64 edge arrays PLUS a per-cell
+# gathered copy of every candidate ring's edges — ~32 B × gathered
+# edges for the dominant term. 30M gathered edges ≈ 1 GB inside ONE
+# assembly task / per probe worker; beyond that the ring side is no
+# longer "small" and callers should switch to pip_join_shuffle.
+BROADCAST_GATHERED_EDGE_CAP = int(
+    _os.environ.get("GRAFT_BROADCAST_EDGE_CAP", 30_000_000)
+)
+
+_logger = _logging.getLogger(__name__)
 
 
 def _cached_get(ref):
@@ -94,6 +107,7 @@ class CompiledRingIndex:
         if n_rings == 0:
             self._coords = np.empty((0, 2))
             self._vtx_off = np.zeros(1, np.int64)
+            self.gathered_edges = 0
             return
 
         # flatten ring coords straight out of the Arrow buffers
@@ -162,6 +176,16 @@ class CompiledRingIndex:
         # no per-ring Python work.
         lens = r_len[cov_ring]
         total = int(lens.sum())
+        self.gathered_edges = total
+        if total > BROADCAST_GATHERED_EDGE_CAP:
+            _logger.warning(
+                "compiled ring index gathers %d edges (> cap %d, ~%d MB in one "
+                "worker heap): the ring side is no longer broadcast-small — "
+                "switch to pip_join_shuffle",
+                total,
+                BROADCAST_GATHERED_EDGE_CAP,
+                total * 32 // 1_000_000,
+            )
         gpos = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
         if total:
             step = np.ones(total, np.int64)
@@ -376,6 +400,19 @@ def pip_join_broadcast(
     stream). Set ``use_actors=True`` for an autoscaling actor pool
     (``concurrency=(min, max)``; cap max below the CPU count) when the
     index is big enough that per-task deserialization matters.
+
+    **Broadcast→shuffle crossover.** The compiled index is assembled in
+    ONE Ray task and read whole by every probe worker, so the ring side
+    must fit a single worker heap: memory ≈ 32 B × E (base edge arrays)
+    + 32 B × Σ_cells(candidate-ring edges) — the gathered per-cell term
+    dominates and is reported as ``CompiledRingIndex.gathered_edges``.
+    Past ``BROADCAST_GATHERED_EDGE_CAP`` (default 30M gathered edges ≈
+    1 GB; env ``GRAFT_BROADCAST_EDGE_CAP``) a warning fires and callers
+    should switch to :func:`pip_join_shuffle`, which never assembles
+    the ring side in one place (rings shuffle as per-cover-row blobs).
+    Equivalence of the two paths is pinned by
+    ``tests/test_stages.py::test_pip_join_shuffle_matches_broadcast``
+    and ``test_pip_join_crossover_warns_and_matches``.
     """
     if isinstance(ring_rows, CompiledRingIndex):
         index_ref = ray.put(ring_rows)
@@ -435,15 +472,24 @@ def pip_join_shuffle(
     # slim ring-blob side: (geom_id, ring_seq, ring_blob) — joined onto
     # the cover rows by ring identity before the wide cell shuffle
     def blobify(t: pa.Table) -> pa.Table:
+        # one binary column built straight from the Arrow list buffers:
+        # ring i's blob is its float64 (x, y) run, offsets = vertex
+        # offsets × 16 bytes — no per-ring tobytes loop
         col = t["ring"].combine_chunks()
         offs = np.asarray(col.offsets).astype(np.int64)
-        coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
-        blobs = [coords[offs[i] : offs[i + 1]].tobytes() for i in range(len(t))]
+        flat = np.asarray(col.values.values, dtype=np.float64)
+        data = np.ascontiguousarray(flat[2 * offs[0] : 2 * offs[-1]])
+        boffs = ((offs - offs[0]) * 16).astype(np.int32)
+        blob_col = pa.Array.from_buffers(
+            pa.binary(),
+            len(t),
+            [None, pa.py_buffer(boffs.tobytes()), pa.py_buffer(data.tobytes())],
+        )
         return pa.table(
             {
                 "geom_id": t["geom_id"],
                 "ring_seq": t["ring_seq"],
-                "ring_blob": pa.array(blobs, type=pa.binary()),
+                "ring_blob": blob_col,
             }
         )
 
@@ -489,8 +535,14 @@ def pip_join_shuffle(
         lon = t["lon"].to_numpy(zero_copy_only=False)
         lat = t["lat"].to_numpy(zero_copy_only=False)
         blob_col = t["ring_blob"].combine_chunks()
-        # group rows by ring identity via blob length + first bytes proxy:
-        # exact grouping on (geom_id, ring_seq) via dictionary-encoded sort
+        # whole-column buffer views: byte offsets + data, ONE frombuffer
+        # per batch — no per-ring ``.as_py()`` anywhere
+        boffs = np.frombuffer(blob_col.buffers()[1], np.int32)[
+            blob_col.offset : blob_col.offset + len(blob_col) + 1
+        ].astype(np.int64)
+        bdata = np.frombuffer(blob_col.buffers()[2], np.uint8)
+        # group rows by ring identity: exact grouping on
+        # (geom_id, ring_seq) via dictionary-encoded sort
         gid_codes = t["geom_id"].dictionary_encode().combine_chunks().indices.to_numpy(
             zero_copy_only=False
         )
@@ -498,12 +550,20 @@ def pip_join_shuffle(
             "ring_seq"
         ].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(t), bool)
-        # vectorize per candidate ring: all rows sharing a ring test at once
+        # vectorize per candidate ring: all rows sharing a ring test at
+        # once; the ring decode is a zero-copy float64 view of the blob
+        # run (blob byte offsets are multiples of 16, so the view is
+        # 8-byte aligned)
         order = np.argsort(rkeys, kind="stable")
         bounds = np.flatnonzero(np.diff(rkeys[order])) + 1
         for rows in np.split(order, bounds):
-            # one blob decode per ring GROUP, straight off the Arrow cell
-            ring = np.frombuffer(blob_col[int(rows[0])].as_py(), np.float64).reshape(-1, 2)
+            r0 = int(rows[0])
+            seg = bdata[boffs[r0] : boffs[r0 + 1]]
+            ring = (
+                seg.view(np.float64)
+                if (boffs[r0] % 8) == 0
+                else np.frombuffer(seg.tobytes(), np.float64)
+            ).reshape(-1, 2)
             keep[rows] = points_in_ring(lon[rows], lat[rows], ring)
         t = t.filter(pa.array(keep))
         return t.select([id_col, "geom_id", "ring_seq", "lon", "lat"])

@@ -103,6 +103,47 @@ def test_pip_join_shuffle_matches_broadcast(ray_session, ring_table):
     assert key(bc) == key(sh)
 
 
+def test_pip_join_crossover_warns_and_matches(ray_session, caplog, monkeypatch):
+    """Above the documented broadcast→shuffle crossover
+    (``BROADCAST_GATHERED_EDGE_CAP``) the compiled index warns, and the
+    shuffle path — the prescribed alternative — produces the identical
+    membership set on the same corpus."""
+    import logging
+
+    import ray.data as rd
+
+    from simplepolygon_ray.stages import pip_join as pj
+
+    polys = polygons_source(250)
+    simple = decompose_dataset(polys)
+    refs = simple.to_arrow_refs()
+    import ray
+
+    ring_tbl = pa.concat_tables([ray.get(r) for r in refs])
+
+    # a cap below this corpus's gathered-edge count models the
+    # crossover; the warning must fire on the in-process build
+    monkeypatch.setattr(pj, "BROADCAST_GATHERED_EDGE_CAP", 1_000)
+    with caplog.at_level(logging.WARNING, logger="simplepolygon_ray.stages.pip_join"):
+        idx = CompiledRingIndex(ring_tbl)
+    assert idx.gathered_edges > 1_000  # corpus is above the (test) crossover
+    assert any("pip_join_shuffle" in r.message for r in caplog.records)
+
+    n_pts = 3000
+    imgs = gen_batch({"id": np.arange(n_pts, dtype=np.int64)})
+    pts_tbl = imgs.select(["image_id", "lon", "lat"])
+    bc = pip_join_broadcast(rd.from_arrow(pts_tbl), idx).to_pandas()
+    sh = pj.pip_join_shuffle(
+        rd.from_arrow(pts_tbl),
+        rd.from_arrow(ring_tbl),
+        num_partitions=8,
+        salt_factor=2,
+    ).to_pandas()
+    key = lambda df: set(zip(df["image_id"], df["geom_id"], df["ring_seq"].astype(int)))
+    assert key(bc) == key(sh)
+    assert len(bc) > 0
+
+
 def test_knn_matches_exhaustive(ray_session):
     imgs = gen_batch({"id": np.arange(800, dtype=np.int64)})
     sids = np.asarray(imgs["image_id"].to_pylist())
