@@ -252,10 +252,16 @@ def q_geo_knn(sf_dir: str):
     sites = rd.read_parquet(sites_dir)  # stays distributed; index compiles in a task
     probes = rd.read_parquet(probes_dir)
     out = knn_join_dataset(probes, sites, k=5, level=DEFAULT_LEVEL)
-    # dist_km is dropped from the oracle-checked projection: haversine
-    # needs sin/cos whose last-ulp differs between numpy and DuckDB's
-    # libm, so the hash compare is on the exact (probe, neighbor, rank)
-    return out.select_columns(["image_id", "neighbor_id", "rank"])
+    # dist_km AND rank are dropped from the oracle-checked projection:
+    # haversine needs sin/cos whose last-ulp differs between numpy and
+    # DuckDB's libm, so (a) values can't hash-match and (b) a near-tie
+    # could order differently per engine. The compare is the
+    # rank-insensitive k-NN SET per probe — a wrong neighbor anywhere
+    # still mismatches, but an ulp-swap inside the top k cannot flake.
+    # Exact ties (planted corpus case in tests/test_stages.py::
+    # test_knn_exact_tie_deterministic) resolve identically on both
+    # sides via the (dist, neighbor_id) tie-break.
+    return out.select_columns(["image_id", "neighbor_id"])
 
 
 def q_geo_tile_assign(sf_dir: str):
@@ -381,8 +387,9 @@ def q_geo_knn_shuffle(sf_dir: str):
     _persist(res, "knn_shuffle_out")
 
     def exact_only(t: pa.Table) -> pa.Table:
+        # rank dropped for ulp-tie immunity, same as q_geo_knn
         return t.filter(t["exact"].combine_chunks()).select(
-            ["image_id", "neighbor_id", "rank"]
+            ["image_id", "neighbor_id"]
         )
 
     return res.map_batches(exact_only, batch_format="pyarrow")
@@ -576,12 +583,12 @@ d AS (SELECT p.image_id, s.neighbor_id,
 r AS (SELECT image_id, neighbor_id,
         row_number() OVER (PARTITION BY image_id ORDER BY dist, neighbor_id) AS rn
       FROM d)
-SELECT image_id, neighbor_id, CAST(rn - 1 AS INTEGER) AS "rank" FROM r WHERE rn <= {k}
+SELECT image_id, neighbor_id FROM r WHERE rn <= {k}
 """
 
 
 def _knn_shuffle_sql(probes_dir: str, sites_dir: str, out_dir: str, k: int) -> str:
-    """True global kNN ranking restricted to the probes the shuffle
+    """True global kNN SET restricted to the probes the shuffle
     path certified exact — identical to :func:`_knn_sql` plus the
     exact-probe filter read from the persisted shuffle output."""
     return f"""
@@ -600,7 +607,7 @@ d AS (SELECT p.image_id, s.neighbor_id,
 r AS (SELECT image_id, neighbor_id,
         row_number() OVER (PARTITION BY image_id ORDER BY dist, neighbor_id) AS rn
       FROM d)
-SELECT image_id, neighbor_id, CAST(rn - 1 AS INTEGER) AS "rank" FROM r WHERE rn <= {k}
+SELECT image_id, neighbor_id FROM r WHERE rn <= {k}
 """
 
 

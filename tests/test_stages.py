@@ -144,6 +144,41 @@ def test_pip_join_crossover_warns_and_matches(ray_session, caplog, monkeypatch):
     assert len(bc) > 0
 
 
+def test_knn_exact_tie_deterministic(ray_session):
+    """Planted exact-tie corpus case: two sites mirror-symmetric in
+    longitude about a probe have BIT-EQUAL haversine distances (same
+    |Δlon|, same lats). Both must appear in the top-k, ordered by the
+    (dist, neighbor_id) tie-break — the same rule the SQL oracle uses,
+    so exact ties can never flake the rank-insensitive set compare."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.knn import haversine_km, knn_join_dataset
+
+    lon0, lat0, d = 11.25, 47.5, 0.125
+    probes = rd.from_arrow(
+        pa.table({"image_id": ["p0"], "lon": [lon0], "lat": [lat0]})
+    )
+    sites = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": ["sA", "sB", "sC", "sD"],
+                "lon": [lon0 - d, lon0 + d, lon0 + 3 * d, lon0 - 5 * d],
+                "lat": [lat0, lat0, lat0, lat0],
+            }
+        )
+    )
+    dA = haversine_km(np.array([lon0]), np.array([lat0]), np.array([lon0 - d]), np.array([lat0]))[0]
+    dB = haversine_km(np.array([lon0]), np.array([lat0]), np.array([lon0 + d]), np.array([lat0]))[0]
+    assert dA == dB  # the tie is exact in float64
+    out = (
+        knn_join_dataset(probes, sites, k=3, level=4, concurrency=1)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert list(out["neighbor_id"]) == ["sA", "sB", "sC"]  # id breaks the tie
+
+
 def test_knn_matches_exhaustive(ray_session):
     imgs = gen_batch({"id": np.arange(800, dtype=np.int64)})
     sids = np.asarray(imgs["image_id"].to_pylist())
