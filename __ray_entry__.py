@@ -20,10 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001."""
-    from simplepolygon_ray.pipelines.flagship import flagship
+    """Flagship pipeline on /root/testdata/sf0.001, run through the
+    checkpointed runner (north_rule resume story): deterministic
+    id-range shards, atomic per-shard parquet + manifest rows, finished
+    shards skipped on rerun. Returns the membership Dataset read back
+    from the checkpointed output."""
+    from simplepolygon_ray.pipelines.flagship import flagship_checkpointed
 
-    return flagship("/root/testdata/sf0.001")
+    return flagship_checkpointed(
+        "/root/testdata/sf0.001", "/tmp/simplepolygon_ray/flagship_ckpt_sf0.001"
+    )
 
 
 # Driver sweeps are time-boxed and walk queries() in dict insertion

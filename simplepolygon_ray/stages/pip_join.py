@@ -414,7 +414,11 @@ def pip_join_broadcast(
     ``tests/test_stages.py::test_pip_join_shuffle_matches_broadcast``
     and ``test_pip_join_crossover_warns_and_matches``.
     """
-    if isinstance(ring_rows, CompiledRingIndex):
+    if isinstance(ring_rows, ray.ObjectRef):
+        # already-compiled broadcast handle (e.g. shared across the
+        # shards of a checkpointed run — compiled once, joined many)
+        index_ref = ring_rows
+    elif isinstance(ring_rows, CompiledRingIndex):
         index_ref = ray.put(ring_rows)
     elif isinstance(ring_rows, pa.Table):
         index_ref = ray.put(CompiledRingIndex(ring_rows, level=level))

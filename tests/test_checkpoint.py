@@ -110,3 +110,31 @@ def test_write_partitioned(ray_session, tmp_path):
     back = rd.read_parquet(out).to_pandas()
     assert len(back) == 2000
     assert set(gen_points(2000).to_pandas()["image_id"]) == set(back["image_id"])
+
+
+def test_flagship_kill_and_resume(ray_session, tmp_path):
+    """North-rule story: kill the FLAGSHIP mid-pipeline, resume, and
+    the checkpointed output equals a clean run — finished shards are
+    skipped, only pending shards re-execute."""
+    import pytest
+
+    from simplepolygon_ray.pipelines.flagship import flagship, flagship_checkpointed
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "flagship_ckpt")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        flagship_checkpointed(sf, out, n_shards=4, fail_after=2)
+
+    runner_manifest = os.path.join(out, "_manifest.jsonl")
+    assert os.path.exists(runner_manifest)
+    assert sum(1 for _ in open(runner_manifest)) == 2  # two shards survived the kill
+
+    resumed = flagship_checkpointed(sf, out, n_shards=4).to_pandas()
+    assert sum(1 for _ in open(runner_manifest)) == 4  # only 2 more ran
+
+    clean = flagship(sf).to_pandas()
+    key = ["image_id", "geom_id", "ring_seq"]
+    a = resumed.sort_values(key).reset_index(drop=True)[key]
+    b = clean.sort_values(key).reset_index(drop=True)[key]
+    assert len(a) == len(b) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
