@@ -35,9 +35,13 @@ def entry() -> Any:
 # Driver sweeps are time-boxed and walk queries() in dict insertion
 # order (CORRECTNESS_r03 covered exactly the first 50 keys).  Front-load
 # the queries with the thinnest driver evidence so a boxed sweep reaches
-# them: first the six that have never appeared in a CORRECTNESS file,
-# then the sixteen checked only in round 2, then the round-3-green rest.
+# them: first the never-driver-checked (round-4-new, then round-3-new),
+# then those checked only in round 2, then the green rest.
 _PRIORITY = [
+    # never driver-checked (round-4-new)
+    "user_running_value",
+    "weekly_active_users",
+    "dedup_keep_best",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

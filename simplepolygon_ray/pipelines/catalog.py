@@ -496,6 +496,105 @@ def q_embedding_near_dup(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Apply-the-dedup, keeping the BEST representative: near-dup
+    groups keep their longest doc (max n_chars, ties to the smaller
+    doc_id) — the realistic corpus-dedup policy, vs near_dup_groups'
+    min-id canonical. Output: one row per group
+    (group_id, keep_doc_id, group_size, max_chars).
+
+    Scale shape: member metadata is bounded by the NEAR-DUP GRAPH, not
+    the corpus — member ids are collected in a Ray task, the docs
+    stream is filtered to those ids, and the (doc_id, n_chars) table is
+    broadcast for a searchsorted attach; the argmax itself is one
+    lexsort per 256-way group-hash bucket."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..text.dedup import _i64, connected_components
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    labs = connected_components(pairs).materialize()
+
+    @ray.remote
+    def _member_ids(*blocks):
+        ids = [
+            t["doc_id"].to_numpy(zero_copy_only=False)
+            for t in blocks
+            if t.num_columns > 0 and t.num_rows > 0
+        ]
+        return np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+
+    ids_ref = _member_ids.remote(*labs.to_arrow_refs())
+
+    import ray.data as rd
+
+    meta = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        return t.filter(pc.is_in(t["doc_id"], value_set=pa.array(ids)))
+
+    @ray.remote
+    def _collect(*blocks) -> pa.Table:
+        ts = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
+        if not ts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(ts)
+
+    nc_ref = _collect.remote(
+        *meta.map_batches(filt, batch_format="pyarrow").to_arrow_refs()
+    )
+    _cache: dict = {}
+
+    def attach(t: pa.Table) -> pa.Table:
+        if "ids" not in _cache:
+            tb = ray.get(nc_ref)
+            ids = _i64(tb["doc_id"])
+            order = np.argsort(ids, kind="stable")
+            _cache["ids"] = ids[order]
+            _cache["nc"] = _i64(tb["n_chars"])[order]
+        did = _i64(t["doc_id"])
+        gid = _i64(t["group_id"])
+        pos = np.searchsorted(_cache["ids"], did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "group_id": pa.array(gid),
+                "n_chars": pa.array(_cache["nc"][pos]),
+                "_gb": pa.array(gid % 256),
+            }
+        )
+
+    def best(g: pa.Table) -> pa.Table:
+        gid = _i64(g["group_id"])
+        did = _i64(g["doc_id"])
+        nc = _i64(g["n_chars"])
+        order = np.lexsort((did, -nc, gid))
+        sg = gid[order]
+        new = np.ones(len(sg), bool)
+        new[1:] = sg[1:] != sg[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(sg)))
+        return pa.table(
+            {
+                "group_id": pa.array(sg[starts]),
+                "keep_doc_id": pa.array(did[order][starts]),
+                "group_size": pa.array(lens.astype(np.int64)),
+                "max_chars": pa.array(nc[order][starts]),
+            }
+        )
+
+    return (
+        labs.map_batches(attach, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(best, batch_format="pyarrow")
+    )
+
+
 TEXT_QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -503,6 +602,7 @@ TEXT_QUERIES = {
     "text_simhash": q_text_simhash,
     "minhash_dedup_pairs": q_minhash_dedup,
     "near_dup_groups": q_near_dup_groups,
+    "dedup_keep_best": q_dedup_keep_best,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
 }
@@ -1286,9 +1386,40 @@ FROM base
 """
 
 
+# keep-best dedup: same recursive-CTE components as near_dup_groups,
+# then the per-group argmax (max n_chars, ties to the smaller doc_id)
+# via one window ranking — fully independent of the Ray LSH path.
+_DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+),
+lab AS (SELECT v AS doc_id, MIN(l) AS group_id FROM reach GROUP BY v),
+j AS (SELECT lab.doc_id, lab.group_id, d.n_chars
+      FROM lab JOIN documents d USING (doc_id)),
+r AS (SELECT group_id, doc_id, n_chars,
+        row_number() OVER (PARTITION BY group_id
+                           ORDER BY n_chars DESC, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+        MAX(n_chars) OVER (PARTITION BY group_id) AS max_chars
+      FROM j)
+SELECT group_id, doc_id AS keep_doc_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       CAST(max_chars AS BIGINT) AS max_chars
+FROM r WHERE rn = 1
+"""
+
+
 EXTRA_ORACLE_SQL: dict[str, str] = {
     "minhash_dedup_pairs": _MINHASH_SQL,
     "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
+    "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "image_decode_check": _IMG_CHECK_SQL,
     "media_decode_featurize": _MEDIA_FEAT_SQL,
     "media_resize": _MEDIA_RESIZE_SQL,

@@ -2524,3 +2524,130 @@ FROM events GROUP BY event_type
 
 QUERIES.update({"props_extract_stats": q_props_extract_stats})
 ORACLE_SQL.update({"props_extract_stats": _SQL_PROPS})
+
+
+# --------------------------------------------------------------------------
+# running total (window prefix-sum) — per-user cumulative event value
+# in (ts, event_id) order. One 512-way user-hash bucket shuffle, then
+# ONE lexsort + segmented cumsum per bucket group (no per-user group).
+# Fixed-point: floor(value * 100) is bit-identical numpy vs SQL floor,
+# and integer cumsums are execution-order-exact on both sides.
+# --------------------------------------------------------------------------
+
+
+def q_user_running_value(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_ub", pa.array(u % 512))
+
+    def run(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(g["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        su, sv = u[order], v[order]
+        cum = np.cumsum(sv)
+        new = np.ones(len(su), bool)
+        new[1:] = su[1:] != su[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(su)))
+        base = np.repeat(cum[starts] - sv[starts], lens)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(su),
+                "cum_value_c": pa.array(cum - base),
+            }
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(run, batch_format="pyarrow")
+    )
+
+
+_SQL_RUNNING = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_c
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# weekly active users — trailing-7-day rolling DISTINCT count. Each
+# distinct (user, day) contributes to window days d..d+6: block-local
+# packed-key distinct, a ×7 explode + re-distinct (still block-local),
+# ONE engine groupby for the global (user, window_day) distinct, then
+# the per-day partial-count exchange (bounded by days × blocks).
+# --------------------------------------------------------------------------
+
+
+def q_weekly_active_users(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["ts"].to_numpy(zero_copy_only=False).view(np.int64) // _DAY_US
+        if len(u) and (u.max() >= (1 << (63 - _DAY_BITS)) or u.min() < 0):
+            raise ValueError("user_id outside the packable 45-bit range")
+        k = np.unique((u << np.int64(_DAY_BITS)) + day)  # distinct (user, day)
+        kw = np.unique(
+            (k[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        )  # distinct (user, window_day); day bits never carry (wd < 2^18)
+        return pa.table(
+            {
+                "user_id": pa.array(kw >> _DAY_BITS),
+                "wd": pa.array(kw & ((1 << _DAY_BITS) - 1)),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["user_id", "wd"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["wd"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["wd", "wau"])
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("wd")
+        .aggregate(Sum("wau", alias_name="wau"))
+    )
+
+
+_SQL_WAU = """
+WITH du AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+w AS (SELECT DISTINCT user_id, day + g.s AS wd
+      FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS s) g)
+SELECT wd, COUNT(*) AS wau FROM w GROUP BY wd
+"""
+
+
+QUERIES.update(
+    {
+        "user_running_value": q_user_running_value,
+        "weekly_active_users": q_weekly_active_users,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "user_running_value": _SQL_RUNNING,
+        "weekly_active_users": _SQL_WAU,
+    }
+)

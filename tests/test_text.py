@@ -402,3 +402,41 @@ def test_near_dup_groups_keep_semantics(ray_session):
     g2 = out[out["doc_id"].isin([3, 4])]
     assert (g2["group_id"] == 3).all() and (g2["group_size"] == 2).all()
     assert list(out.loc[out["keep"] == 1, "doc_id"]) == [0, 3]
+
+
+def test_dedup_keep_best_semantics(ray_session, tmp_path):
+    """Keep-best dedup keeps the LONGEST doc per near-dup group (ties
+    to the smaller doc_id), unlike near_dup_groups' min-id canonical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simplepolygon_ray.pipelines.catalog import q_dedup_keep_best
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    texts = [
+        base,                       # 0: group with 1 and 2
+        base + " tailword",         # 1: longer -> the keeper
+        base,                       # 2: same as 0
+        "totally different text about other things entirely now",  # 3: solo
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    out = q_dedup_keep_best(sf).to_pandas().sort_values("group_id")
+    assert len(out) == 1  # doc 13 pairs with nobody -> no group row
+    row = out.iloc[0]
+    assert row["group_id"] == 10  # min-id labels the component
+    assert row["keep_doc_id"] == 11  # longest member wins
+    assert row["group_size"] == 3
+    assert row["max_chars"] == len(texts[1])
