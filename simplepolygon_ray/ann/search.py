@@ -14,7 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
+
+from ..text.dedup import _list_f32_matrix
 
 __all__ = [
     "brute_topk",
@@ -34,8 +37,20 @@ def query_vector(dim: int, seed: int = 7) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
-def _batch_vecs(batch: pd.DataFrame, vec_col: str) -> np.ndarray:
+def _batch_vecs(batch, vec_col: str) -> np.ndarray:
+    """(n, dim) float32 matrix of a vector column. Arrow tables read
+    the flat list values buffer with ONE cast (zero row loop); pandas
+    inputs keep the stacking fallback for driver-side helpers."""
+    if isinstance(batch, pa.Table):
+        return _list_f32_matrix(batch[vec_col])
     return np.stack([np.asarray(v, np.float32) for v in batch[vec_col]])
+
+
+def _topk_table(ids: np.ndarray, sims: np.ndarray, k: int, id_col: str) -> pa.Table:
+    """Partial top-k rows, (cosine desc, id asc) — the same tie-break
+    as the global sort merge, so block boundaries never flip ties."""
+    sel = np.lexsort((ids, -sims))[: min(k, len(ids))]
+    return pa.table({id_col: pa.array(ids[sel]), "cosine": pa.array(sims[sel])})
 
 
 def brute_topk(
@@ -49,19 +64,17 @@ def brute_topk(
     """Exact cosine top-k of one query against an embeddings Dataset."""
     qref = ray.put(np.asarray(query, np.float32))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pa.Table:
         q = ray.get(qref)
-        vecs = _batch_vecs(batch, vec_col)
+        vecs = _batch_vecs(t, vec_col)
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
-        sims = (vecs @ q) / (norms * float(np.linalg.norm(q)))
-        out = pd.DataFrame(
-            {id_col: batch[id_col].to_numpy(np.int64), "cosine": sims.astype(np.float64)}
-        )
+        sims = ((vecs @ q) / (norms * float(np.linalg.norm(q)))).astype(np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # partial top-k per batch: the global merge only sees k rows per block
-        return out.nlargest(k, "cosine")
+        return _topk_table(ids, sims, k, id_col)
 
-    partial = emb.map_batches(score, batch_format="pandas")
+    partial = emb.map_batches(score, batch_format="pyarrow")
     return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
@@ -93,9 +106,7 @@ def _compile_centroids(n_clusters, nprobe, q, vec_col, *blocks):
 
     tables = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
     full = pa.concat_tables(tables)
-    sample = np.stack(
-        [np.asarray(v, np.float32) for v in full[vec_col].to_pylist()]
-    )
+    sample = _list_f32_matrix(full[vec_col].combine_chunks())
     cent = _kmeans_lite(sample, min(n_clusters, len(sample)))
     probe_buckets = np.argsort(((cent - q[None, :]) ** 2).sum(1), kind="stable")[:nprobe]
     return cent, set(int(b) for b in probe_buckets)
@@ -135,20 +146,22 @@ def ivf_assign(emb, compiled_ref, *, vec_col: str = "embedding", id_col: str = "
     (vec_id, bucket, in_probe) — the persistable search manifest an
     oracle can replay the bucket-restricted ranking from."""
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
         c, probes = ray.get(compiled_ref)
-        vecs = _batch_vecs(batch, vec_col)
+        vecs = _batch_vecs(t, vec_col)
         d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         a = d.argmin(1)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: batch[id_col].to_numpy(np.int64),
-                "bucket": a.astype(np.int64),
-                "in_probe": np.isin(a, list(probes)),
+                id_col: pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "bucket": pa.array(a.astype(np.int64)),
+                "in_probe": pa.array(np.isin(a, list(probes))),
             }
         )
 
-    return emb.map_batches(assign, batch_format="pandas")
+    return emb.map_batches(assign, batch_format="pyarrow")
 
 
 def ivf_topk(
@@ -179,28 +192,25 @@ def ivf_topk(
         )
     qref = ray.put(q)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pa.Table:
         c, probes = ray.get(compiled_ref)
         qq = ray.get(qref)
-        vecs = _batch_vecs(batch, vec_col)
+        vecs = _batch_vecs(t, vec_col)
         d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
         mask = np.isin(assign, list(probes))
         if not mask.any():
-            return pd.DataFrame({id_col: pd.array([], dtype="int64"), "cosine": []})
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
         vecs = vecs[mask]
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
-        sims = (vecs @ qq) / (norms * float(np.linalg.norm(qq)))
-        out = pd.DataFrame(
-            {
-                id_col: batch[id_col].to_numpy(np.int64)[mask],
-                "cosine": sims.astype(np.float64),
-            }
-        )
-        return out.nlargest(k, "cosine")
+        sims = ((vecs @ qq) / (norms * float(np.linalg.norm(qq)))).astype(np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[mask]
+        return _topk_table(ids, sims, k, id_col)
 
-    partial = emb.map_batches(score, batch_format="pandas")
+    partial = emb.map_batches(score, batch_format="pyarrow")
     return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
@@ -252,19 +262,21 @@ def lsh_assign(
     shuffle-free: the planes are a seeded pure function."""
     q = np.asarray(query, np.float32)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _batch_vecs(batch, vec_col)
+    def assign(t: pa.Table) -> pa.Table:
+        vecs = _batch_vecs(t, vec_col)
         b = lsh_bucket_of(vecs, n_planes)
         probes = np.fromiter(lsh_probe_set(q, n_planes), np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: batch[id_col].to_numpy(np.int64),
-                "bucket": b,
-                "in_probe": np.isin(b, probes),
+                id_col: pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "bucket": pa.array(b),
+                "in_probe": pa.array(np.isin(b, probes)),
             }
         )
 
-    return emb.map_batches(assign, batch_format="pandas")
+    return emb.map_batches(assign, batch_format="pyarrow")
 
 
 def lsh_topk(
@@ -288,24 +300,21 @@ def lsh_topk(
     q = np.asarray(query, np.float32)
     qn = float(np.linalg.norm(q))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _batch_vecs(batch, vec_col)
+    def score(t: pa.Table) -> pa.Table:
+        vecs = _batch_vecs(t, vec_col)
         b = lsh_bucket_of(vecs, n_planes)
         probes = np.fromiter(lsh_probe_set(q, n_planes), np.int64)
         mask = np.isin(b, probes)
         if not mask.any():
-            return pd.DataFrame({id_col: pd.array([], dtype="int64"), "cosine": []})
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
         vecs = vecs[mask]
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
-        sims = (vecs @ q) / (norms * qn)
-        out = pd.DataFrame(
-            {
-                id_col: batch[id_col].to_numpy(np.int64)[mask],
-                "cosine": sims.astype(np.float64),
-            }
-        )
-        return out.nlargest(k, "cosine")
+        sims = ((vecs @ q) / (norms * qn)).astype(np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[mask]
+        return _topk_table(ids, sims, k, id_col)
 
-    partial = emb.map_batches(score, batch_format="pandas")
+    partial = emb.map_batches(score, batch_format="pyarrow")
     return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)
