@@ -42,6 +42,7 @@ _PRIORITY = [
     "user_running_value",
     "weekly_active_users",
     "dedup_keep_best",
+    "geo_bbox_join",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

@@ -395,6 +395,93 @@ def q_geo_knn_shuffle(sf_dir: str):
     return res.map_batches(exact_only, batch_format="pyarrow")
 
 
+def _query_boxes(n: int = 64):
+    """Deterministic query rectangles — pure integer-derived float64
+    arithmetic (every term dyadic-exact), so numpy and SQL build the
+    IDENTICAL boxes with no trig/rounding divergence."""
+    i = np.arange(n, dtype=np.int64)
+    col = (i % 8).astype(np.float64)
+    row = (i // 8).astype(np.float64)
+    lon0 = -180.0 + col * 45.0 + (i % 7).astype(np.float64)
+    lat0 = -90.0 + row * 22.5 + (i % 5).astype(np.float64)
+    lon1 = lon0 + 20.0 + (i % 11).astype(np.float64)
+    lat1 = lat0 + 10.0 + (i % 3).astype(np.float64)
+    return i, lon0, lat0, lon1, lat1
+
+
+def q_geo_bbox_join(sf_dir: str):
+    """Spatial RANGE join (rect × rect interval overlap): each simple
+    ring's bbox against a deterministic query-box set. The box side is
+    the broadcast-small dimension (64 rows, generated in-task from a
+    pure function — nothing ships); rings stream through one
+    map_batches whose per-block work is a reduceat bbox pass + one
+    vectorized (rings × boxes) interval test. No shuffle anywhere; at
+    a huge box count the same pipeline would cover boxes and rings by
+    cell and co-locate on the cell key (the pip_join_shuffle shape).
+
+    Oracle: ordered open vertices persist (same projection as the tile
+    oracle) and SQL rebuilds each ring's bbox with min/max GROUP BY,
+    regenerates the boxes from the identical integer arithmetic, and
+    replays the interval join."""
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "bbox_verts")
+    bid, blon0, blat0, blon1, blat1 = _query_boxes()
+
+    def join(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "geom_id": pa.array([], pa.string()),
+                    "ring_seq": pa.array([], pa.int32()),
+                    "box_id": pa.array([], pa.int64()),
+                }
+            )
+        col = t["ring"].combine_chunks()
+        offs = np.asarray(col.offsets).astype(np.int64)
+        coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+        starts = offs[:-1]
+        mnx = np.minimum.reduceat(coords[:, 0], starts)
+        mxx = np.maximum.reduceat(coords[:, 0], starts)
+        mny = np.minimum.reduceat(coords[:, 1], starts)
+        mxy = np.maximum.reduceat(coords[:, 1], starts)
+        hit = (
+            (mnx[:, None] <= blon1[None, :])
+            & (mxx[:, None] >= blon0[None, :])
+            & (mny[:, None] <= blat1[None, :])
+            & (mxy[:, None] >= blat0[None, :])
+        )
+        r, b = np.nonzero(hit)
+        take = pa.array(r)
+        return pa.table(
+            {
+                "geom_id": t["geom_id"].take(take),
+                "ring_seq": t["ring_seq"].take(take),
+                "box_id": pa.array(bid[b]),
+            }
+        )
+
+    return simple.map_batches(join, batch_format="pyarrow")
+
+
+_BBOX_JOIN_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq,
+                  min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+           FROM read_parquet('{_ORACLE_DIR}/bbox_verts/*.parquet')
+           GROUP BY geom_id, ring_seq),
+b AS (SELECT i AS box_id,
+             -180.0 + (i % 8) * 45.0 + (i % 7) AS lon0,
+             -90.0 + (i // 8) * 22.5 + (i % 5) AS lat0,
+             -180.0 + (i % 8) * 45.0 + (i % 7) + 20.0 + (i % 11) AS lon1,
+             -90.0 + (i // 8) * 22.5 + (i % 5) + 10.0 + (i % 3) AS lat1
+      FROM (SELECT unnest(generate_series(0, 63)) AS i))
+SELECT v.geom_id, v.ring_seq, b.box_id
+FROM v JOIN b ON v.mnx <= b.lon1 AND v.mxx >= b.lon0
+             AND v.mny <= b.lat1 AND v.mxy >= b.lat0
+"""
+
+
 GEO_QUERIES = {
     "geo_decompose": q_geo_decompose,
     "geo_cover": q_geo_cover,
@@ -403,6 +490,7 @@ GEO_QUERIES = {
     "geo_knn": q_geo_knn,
     "geo_knn_shuffle": q_geo_knn_shuffle,
     "geo_tile_assign": q_geo_tile_assign,
+    "geo_bbox_join": q_geo_bbox_join,
     "image_decode_check": q_image_decode_check,
 }
 
@@ -1450,6 +1538,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     ),
     "geo_decompose": _decompose_sql(f"{_ORACLE_DIR}/decompose_proj"),
     "geo_tile_assign": _tile_sql(f"{_ORACLE_DIR}/tile_verts", level=8),
+    "geo_bbox_join": _BBOX_JOIN_SQL,
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "ann_ivf_topk": _ann_ivf_sql(10),
