@@ -43,6 +43,7 @@ _PRIORITY = [
     "weekly_active_users",
     "dedup_keep_best",
     "geo_bbox_join",
+    "ann_multi_query_topk",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

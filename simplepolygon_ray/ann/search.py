@@ -318,3 +318,65 @@ def lsh_topk(
 
     partial = emb.map_batches(score, batch_format="pyarrow")
     return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def multi_brute_topk(
+    emb,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Batched exact cosine top-k for Q probe queries in ONE pass over
+    the corpus — the batched-inference shape: every block does a single
+    (n, dim) @ (dim, Q) matmul against the broadcast query matrix,
+    emits a per-(block, query) partial top-k (k × Q slim rows per
+    block cross the wire, never vectors), and a Q-group groupby merges
+    each query's global top-k with the (cosine desc, id asc)
+    tie-break. Scales as one corpus scan regardless of Q."""
+    qm = np.ascontiguousarray(np.asarray(queries, np.float32))
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qref = ray.put((qm.T.copy(), qn))
+    Q = qm.shape[0]
+
+    def score(t: pa.Table) -> pa.Table:
+        qt, qnorm = ray.get(qref)
+        vecs = _batch_vecs(t, vec_col)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = ((vecs @ qt) / (norms[:, None] * qnorm[None, :])).astype(np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = min(k, len(ids))
+        out_q, out_i, out_c = [], [], []
+        for q in range(Q):  # Q is small; each column select is exact
+            sel = np.lexsort((ids, -sims[:, q]))[:kk]
+            out_q.append(np.full(kk, q, np.int64))
+            out_i.append(ids[sel])
+            out_c.append(sims[sel, q])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    partial = emb.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        qid = g["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((ids, -cos))[: min(k, len(ids))]
+        return pa.table(
+            {
+                "query_id": pa.array(qid[sel]),
+                id_col: pa.array(ids[sel]),
+                "rank": pa.array(np.arange(len(sel), dtype=np.int64)),
+                "cosine": pa.array(cos[sel]),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -712,6 +712,47 @@ def q_ann_brute(sf_dir: str):
     return top[["vec_id", "rank"]]
 
 
+_MQ_SEEDS = (100, 101, 102, 103)
+
+
+def q_ann_multi_query(sf_dir: str):
+    """Batched multi-query ANN (the batched-inference shape): Q=4
+    deterministic queries share ONE corpus scan — a (n, dim) @ (dim, Q)
+    matmul per block, k×Q slim partial rows per block, Q-group merge.
+    Oracle-checked on (query_id, vec_id, rank) like ann_brute_topk
+    (cosine values are f32 vs f64 across engines; ranking compares)."""
+    import ray.data as rd
+
+    from ..ann.search import multi_brute_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qs = np.stack([query_vector(64, seed=s) for s in _MQ_SEEDS])
+    out = multi_brute_topk(emb, qs, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _ann_multi_sql(k: int) -> str:
+    from ..ann.search import query_vector
+
+    parts = []
+    for i, s in enumerate(_MQ_SEEDS):
+        qlit = "[" + ", ".join(repr(float(v)) for v in query_vector(64, seed=s)) + "]"
+        parts.append(
+            f"SELECT CAST({i} AS BIGINT) AS query_id, CAST({qlit} AS DOUBLE[]) AS qv"
+        )
+    q_union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH q AS ({q_union}),
+r AS (SELECT q.query_id, e.vec_id,
+        row_number() OVER (PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                   e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, CAST(rn - 1 AS BIGINT) AS "rank"
+FROM r WHERE rn <= {k}
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF top-10, oracle-checked on (vec_id, rank): the per-vector
     bucket assignment + probe membership persists, so the SQL replays
@@ -753,6 +794,7 @@ def q_ann_lsh(sf_dir: str):
 
 ANN_QUERIES = {
     "ann_brute_topk": q_ann_brute,
+    "ann_multi_query_topk": q_ann_multi_query,
     "ann_ivf_topk": q_ann_ivf,
     "ann_lsh_topk": q_ann_lsh,
 }
@@ -1541,6 +1583,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "geo_bbox_join": _BBOX_JOIN_SQL,
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
+    "ann_multi_query_topk": _ann_multi_sql(10),
     "ann_ivf_topk": _ann_ivf_sql(10),
     "ann_lsh_topk": _ann_lsh_sql(10),
     "approx_distinct_users": _hll_sql(p=12),

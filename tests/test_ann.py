@@ -81,3 +81,26 @@ def test_lsh_topk_recall_and_probe_semantics(ray_session, emb_df):
     asg = asg.sort_values("vec_id").reset_index(drop=True)
     assert (asg["bucket"].to_numpy() == buckets).all()
     assert (asg["in_probe"].to_numpy() == mask).all()
+
+
+def test_multi_query_matches_per_query_brute(ray_session):
+    """multi_brute_topk's per-query result must equal running
+    brute_topk per query (same ranking, same tie-break)."""
+    import ray.data as rd
+
+    from simplepolygon_ray.ann.search import brute_topk, multi_brute_topk
+
+    rng = np.random.default_rng(11)
+    emb_df = pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": [v for v in rng.standard_normal((400, 16)).astype(np.float32)],
+        }
+    )
+    qs = rng.standard_normal((3, 16)).astype(np.float32)
+    multi = multi_brute_topk(rd.from_pandas(emb_df), qs, k=5).to_pandas()
+    for qid in range(3):
+        got = multi[multi["query_id"] == qid].sort_values("rank")
+        single = brute_topk(rd.from_pandas(emb_df), qs[qid], k=5).to_pandas()
+        assert got["vec_id"].tolist() == single["vec_id"].tolist()
+        assert np.allclose(got["cosine"].to_numpy(), single["cosine"].to_numpy())
