@@ -39,7 +39,7 @@ def _t(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def _bucket_groupby(ds, key_col, fn, *, n_buckets: int = 512):
+def _bucket_groupby(ds, key_col, fn, *, n_buckets: int = 512, batch_format: str = "pandas"):
     """groupby a hash BUCKET of ``key_col`` instead of the key itself:
     the shuffle still co-locates every whole key group (same
     correctness guarantee), but downstream ``fn`` receives ONE pandas
@@ -53,13 +53,17 @@ def _bucket_groupby(ds, key_col, fn, *, n_buckets: int = 512):
         k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("_bucket", pa.array(np.mod(k, n_buckets)))
 
-    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
+    def wrapped_pd(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=["_bucket"]))
 
+    def wrapped_pa(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns(["_bucket"]))
+
+    wrapped = wrapped_pa if batch_format == "pyarrow" else wrapped_pd
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(wrapped, batch_format="pandas")
+        .map_groups(wrapped, batch_format=batch_format)
     )
 
 
@@ -317,13 +321,18 @@ def q_order_revenue_topk(sf_dir: str):
     # each bucket's sums + local top-10 vectorized, then merge 64×10
     # rows on the driver. A full sort-based groupby over |orders| keys
     # costs 3-5 s here for identical output.
-    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
-        agg = df.groupby("l_orderkey", sort=False)["revenue_e4"].sum().reset_index()
-        return agg.sort_values(
-            ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(10)
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["l_orderkey"]).aggregate([("revenue_e4", "sum")])
+        k = agg["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = agg["revenue_e4_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((k, -s))[:10]
+        return pa.table(
+            {"l_orderkey": pa.array(k[sel]), "revenue_e4": pa.array(s[sel])}
+        )
 
-    partials = _bucket_groupby(partial, "l_orderkey", bucket_topk, n_buckets=64).to_pandas()
+    partials = _bucket_groupby(
+        partial, "l_orderkey", bucket_topk, n_buckets=64, batch_format="pyarrow"
+    ).to_pandas()
     return (
         partials.sort_values(
             ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
@@ -632,26 +641,35 @@ def q_late_data_drop(sf_dir: str):
     late-data filter (SURVEY §2.3 streaming gap, partial closure)."""
     ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
 
-    def drop_late(g: pd.DataFrame) -> pd.DataFrame:
+    def drop_late(g: pa.Table) -> pa.Table:
         # whole user-bucket at once: the per-user running max is a
-        # segmented cummax (C-implemented pandas groupby), not a
-        # Python group per user
-        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
-        uid = g["user_id"].to_numpy(np.int64)
-        eid = g["event_id"].to_numpy(np.int64)
-        ts_us = g["ts"].astype("int64").to_numpy() - (eid % 7) * _DELAY_STEP_US
+        # segmented cummax (C-implemented pandas hash-groupby kernel
+        # over numpy views — the arrival-order watermark has no clean
+        # pure-numpy segmented form); the container stays Arrow
+        order = np.lexsort(
+            (
+                g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ts_us = (
+            g["ts"].to_numpy(zero_copy_only=False).view(np.int64)[order]
+            - (eid % 7) * _DELAY_STEP_US
+        )
         wm = pd.Series(ts_us).groupby(uid, sort=False).cummax().to_numpy()
         keep = ts_us >= wm - _LATENESS_US
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": uid[keep],
-                "event_id": eid[keep],
-                "ts_us": ts_us[keep],
-                "event_type": g["event_type"].to_numpy()[keep],
+                "user_id": pa.array(uid[keep]),
+                "event_id": pa.array(eid[keep]),
+                "ts_us": pa.array(ts_us[keep]),
+                "event_type": g["event_type"].take(pa.array(order[keep])),
             }
         )
 
-    return _bucket_groupby(ev, "user_id", drop_late)
+    return _bucket_groupby(ev, "user_id", drop_late, batch_format="pyarrow")
 
 
 _SQL_LATE_DROP = """
@@ -674,14 +692,23 @@ def q_sessionize(sf_dir: str):
     the threshold (ordering assumption: per-user, by event time)."""
     ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def sessions(g: pa.Table) -> pa.Table:
         # whole user-bucket at once: session boundaries from one
-        # segmented diff, per-user session ids by subtracting the
-        # running counter at each user start — no per-user group
-        g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        uid = g["user_id"].to_numpy(np.int64)
-        ts = g["ts"].astype("int64").to_numpy()
-        n = len(g)
+        # segmented diff; rows sorted by (user, ts) make every
+        # (user, session) a CONTIGUOUS run, so the per-session
+        # aggregate is one reduceat — no per-user group, no pandas
+        order = np.lexsort(
+            (
+                g["ts"].to_numpy(zero_copy_only=False).view(np.int64),
+                g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)[order]
+        v_e4 = np.rint(
+            g["value"].to_numpy(zero_copy_only=False)[order] * 10000.0
+        ).astype(np.int64)
+        n = len(uid)
         new = np.ones(n, dtype=np.int64)
         if n > 1:
             same = uid[1:] == uid[:-1]
@@ -692,17 +719,18 @@ def q_sessionize(sf_dir: str):
             start[1:] = uid[1:] != uid[:-1]
         base = np.maximum.accumulate(np.where(start, csum - 1, 0))
         sid = csum - base
-        out = pd.DataFrame(
-            {"user_id": uid, "session_id": sid,
-             "value_e4": np.rint(g["value"].to_numpy() * 10000.0).astype(np.int64)}
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "session_id": pa.array(sid[starts]),
+                "n_events": pa.array(lens.astype(np.int64)),
+                "sum_value_e4": pa.array(np.add.reduceat(v_e4, starts)),
+            }
         )
-        agg = out.groupby(["user_id", "session_id"], as_index=False).agg(
-            n_events=("session_id", "size"), sum_value_e4=("value_e4", "sum")
-        )
-        agg["n_events"] = agg["n_events"].astype(np.int64)
-        return agg
 
-    return _bucket_groupby(ev, "user_id", sessions)
+    return _bucket_groupby(ev, "user_id", sessions, batch_format="pyarrow")
 
 
 _SQL_SESSIONIZE = """
@@ -1425,22 +1453,32 @@ def q_dedup_consecutive(sf_dir: str):
     the lag compare is one vectorized pass per bucket."""
     ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        uid = g["user_id"].to_numpy(np.int64)
-        et = g["event_type"].to_numpy()
-        keep = np.ones(len(g), bool)
-        if len(g) > 1:
-            keep[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
-        return pd.DataFrame(
+    def f(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                g["ts"].to_numpy(zero_copy_only=False).view(np.int64),
+                g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        # dictionary-encode the type column so the lag compare is an
+        # int compare on codes, not Python string equality
+        et = g["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        keep = np.ones(len(uid), bool)
+        if len(uid) > 1:
+            keep[1:] = (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])
+        sel = pa.array(order[keep])
+        return pa.table(
             {
-                "user_id": uid[keep],
-                "event_id": g["event_id"].to_numpy(np.int64)[keep],
-                "event_type": et[keep],
+                "user_id": pa.array(uid[keep]),
+                "event_id": g["event_id"].take(sel),
+                "event_type": g["event_type"].take(sel),
             }
         )
 
-    return _bucket_groupby(ev, "user_id", f)
+    return _bucket_groupby(ev, "user_id", f, batch_format="pyarrow")
 
 
 _SQL_DEDUP_CONSEC = """
