@@ -44,6 +44,8 @@ _PRIORITY = [
     "dedup_keep_best",
     "geo_bbox_join",
     "ann_multi_query_topk",
+    "price_band_lookup",
+    "event_transitions",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

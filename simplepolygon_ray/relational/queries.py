@@ -2689,3 +2689,132 @@ ORACLE_SQL.update(
         "weekly_active_users": _SQL_WAU,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# band-lookup join (non-equi / theta join against irregular range
+# boundaries — the ip-to-location / price-band dimension shape): each
+# order's totalprice lands in the band [i²·137, (i+1)²·137) via ONE
+# searchsorted per block against the broadcast boundary vector; the
+# bands never shuffle and the exchange carries per-band partials.
+# Boundaries are integer-derived float64 (exact both engines).
+# --------------------------------------------------------------------------
+
+_N_BANDS = 64
+_BAND_LO = (np.arange(_N_BANDS, dtype=np.int64) ** 2 * 137).astype(np.float64)
+
+
+def q_price_band_lookup(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(_BAND_LO, price, side="right") - 1
+        band = np.clip(band, 0, _N_BANDS - 1)  # top band open-ended
+        n = np.bincount(band, minlength=_N_BANDS).astype(np.int64)
+        s = np.bincount(
+            band, weights=np.floor(price * 100.0), minlength=_N_BANDS
+        ).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "band_id": pa.array(nz.astype(np.int64)),
+                "n_orders": pa.array(n[nz]),
+                "sum_price_c": pa.array(s[nz]),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_id")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+        )
+    )
+
+
+_SQL_PRICE_BAND = """
+WITH b AS (SELECT i AS band_id,
+                  CAST(i * i * 137 AS DOUBLE) AS lo,
+                  CASE WHEN i = 63 THEN CAST('infinity' AS DOUBLE)
+                       ELSE CAST((i + 1) * (i + 1) * 137 AS DOUBLE) END AS hi
+           FROM (SELECT unnest(generate_series(0, 63)) AS i))
+SELECT b.band_id, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders o JOIN b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id
+"""
+
+
+# --------------------------------------------------------------------------
+# event-transition matrix (markov counts): per-user (prev, next) type
+# pairs in (ts, event_id) order. One 512-way user-hash bucket shuffle;
+# in-bucket the lag pairing is a lexsort + one 25-cell bincount, so
+# the final exchange carries at most 25 rows per bucket.
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    etypes = pa.array(_ETYPES)
+
+    def trans(g: pa.Table) -> pa.Table:
+        uid0 = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts0 = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid0 = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid0, ts0, uid0))
+        uid = uid0[order]
+        ia = pc.index_in(g["event_type"], value_set=etypes)
+        if ia.null_count:
+            raise ValueError("event_type outside the known set")
+        code = ia.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ne = len(_ETYPES)
+        if len(uid) < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = uid[1:] == uid[:-1]
+        key = code[:-1][same] * ne + code[1:][same]
+        cnt = np.bincount(key, minlength=ne * ne).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "prev_type": etypes.take(pa.array(nz // ne)),
+                "next_type": etypes.take(pa.array(nz % ne)),
+                "n": pa.array(cnt[nz]),
+            }
+        )
+
+    pairs = _bucket_groupby(ev, "user_id", trans, batch_format="pyarrow")
+    return pairs.groupby(["prev_type", "next_type"]).aggregate(Sum("n", alias_name="n"))
+
+
+_SQL_TRANSITIONS = """
+SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
+FROM (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
+QUERIES.update(
+    {
+        "price_band_lookup": q_price_band_lookup,
+        "event_transitions": q_event_transitions,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "price_band_lookup": _SQL_PRICE_BAND,
+        "event_transitions": _SQL_TRANSITIONS,
+    }
+)
