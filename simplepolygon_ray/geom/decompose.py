@@ -452,8 +452,11 @@ def decompose(
         winding = 1 if is_convex(ico[before], ico[left], ico[after], True) else -1
         queue.append((left, -1, winding))
 
-    # descending JS-string order so the left-most pops first
-    queue.sort(key=lambda q: js_coord_str(ico[q[0]]), reverse=True)
+    # descending JS-string order so the left-most pops first (a
+    # single-ring polygon seeds one entry — sorting a singleton is a
+    # no-op, so skipping it never changes output)
+    if len(queue) > 1:
+        queue.sort(key=lambda q: js_coord_str(ico[q[0]]), reverse=True)
     queue = _WalkQueue(queue)
 
     # ---- walk (reference src/index.ts:332-519) ----
