@@ -46,6 +46,7 @@ _PRIORITY = [
     "ann_multi_query_topk",
     "price_band_lookup",
     "event_transitions",
+    "tile_pyramid_counts",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

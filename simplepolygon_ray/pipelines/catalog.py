@@ -292,6 +292,68 @@ def q_geo_tile_assign(sf_dir: str):
     return tiles.map_batches(project, batch_format="pyarrow")
 
 
+def q_tile_pyramid_counts(sf_dir: str):
+    """Tile-pyramid rollup (the map-rendering aggregation): clipped
+    ring×tile assignments at z8 roll up to their z6 and z4 parent
+    tiles by integer shifts (x >> Δz, y >> Δz — exact both engines).
+    One map_batches emits per-block partial counts for all three
+    levels (3 slim rows per distinct tile per block), then a single
+    groupby sums — the exchange is bounded by tiles × blocks, never
+    assignments. Oracle: the z8 assignment persists and SQL replays
+    the shift rollup."""
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    tiles = tile_assign_dataset(simple, zoom=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["geom_id", "ring_seq", "tile_x", "tile_y"])
+
+    _persist(tiles.map_batches(proj, batch_format="pyarrow"), "pyramid_z8")
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zs, xs, ys, ns = [], [], [], []
+        for z in (8, 6, 4):
+            dz = 8 - z
+            key = ((x >> dz) << np.int64(32)) | (y >> dz)
+            uk, cnt = np.unique(key, return_counts=True)
+            zs.append(np.full(len(uk), z, np.int64))
+            xs.append(uk >> np.int64(32))
+            ys.append(uk & np.int64(0xFFFFFFFF))
+            ns.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "zoom": pa.array(np.concatenate(zs)),
+                "tile_x": pa.array(np.concatenate(xs)),
+                "tile_y": pa.array(np.concatenate(ys)),
+                "n_rings": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        tiles.map_batches(partial, batch_format="pyarrow")
+        .groupby(["zoom", "tile_x", "tile_y"])
+        .aggregate(Sum("n_rings", alias_name="n_rings"))
+    )
+
+
+_TILE_PYRAMID_SQL = f"""
+WITH a AS (SELECT tile_x, tile_y
+           FROM read_parquet('{_ORACLE_DIR}/pyramid_z8/*.parquet')),
+l AS (SELECT unnest([8, 6, 4]) AS zoom)
+SELECT CAST(l.zoom AS BIGINT) AS zoom,
+       CAST(a.tile_x >> (8 - l.zoom) AS BIGINT) AS tile_x,
+       CAST(a.tile_y >> (8 - l.zoom) AS BIGINT) AS tile_y,
+       COUNT(*) AS n_rings
+FROM a CROSS JOIN l
+GROUP BY 1, 2, 3
+"""
+
+
 def q_image_decode_check(sf_dir: str):
     """Per-row input_hint invariant, fully SQL-oracled: decode payload,
     regenerate the deterministic reference pattern, compare as the
@@ -491,6 +553,7 @@ GEO_QUERIES = {
     "geo_knn_shuffle": q_geo_knn_shuffle,
     "geo_tile_assign": q_geo_tile_assign,
     "geo_bbox_join": q_geo_bbox_join,
+    "tile_pyramid_counts": q_tile_pyramid_counts,
     "image_decode_check": q_image_decode_check,
 }
 
@@ -1581,6 +1644,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "geo_decompose": _decompose_sql(f"{_ORACLE_DIR}/decompose_proj"),
     "geo_tile_assign": _tile_sql(f"{_ORACLE_DIR}/tile_verts", level=8),
     "geo_bbox_join": _BBOX_JOIN_SQL,
+    "tile_pyramid_counts": _TILE_PYRAMID_SQL,
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "ann_multi_query_topk": _ann_multi_sql(10),
