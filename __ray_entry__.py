@@ -47,6 +47,7 @@ _PRIORITY = [
     "price_band_lookup",
     "event_transitions",
     "tile_pyramid_counts",
+    "tfidf_top_terms",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

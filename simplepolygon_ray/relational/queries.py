@@ -2818,3 +2818,111 @@ ORACLE_SQL.update(
         "event_transitions": _SQL_TRANSITIONS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document (feature extraction): term frequencies
+# are exact per block (each doc lives in one row), document
+# frequencies aggregate over a vocab-bounded exchange and broadcast
+# back as one task-collected table; scoring + per-doc top-3 happen in
+# the same block that computed the tf rows. The score tf * (N / df)
+# uses only exact-int doubles and correctly-rounded IEEE ops, so
+# numpy and DuckDB rank identically (ties break on token asc — UTF-8
+# byte order equals code-point order, matching numpy's U compare).
+# --------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    import ray
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet-metadata count, no scan
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        tbl = pa.table({"doc_id": pa.array(did), "token": pc.list_flatten(toks_list)})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        g = tbl.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"doc_id": g["doc_id"], "token": g["token"], "tf": g["count_all"]}
+        )
+
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    def df_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([([], "count_all")])
+        return pa.table({"token": g["token"], "df": g["count_all"]})
+
+    df_ds = (
+        tf.map_batches(df_part, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    @ray.remote
+    def _collect_df(*blocks) -> pa.Table:
+        ts = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
+        if not ts:
+            return pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        return pa.concat_tables(ts)
+
+    df_ref = _collect_df.remote(*df_ds.to_arrow_refs())
+    _cache: dict = {}
+
+    def topk(t: pa.Table) -> pa.Table:
+        if "tok" not in _cache:
+            dft = ray.get(df_ref)
+            toks = np.asarray(dft["token"].to_pylist())
+            dfs = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(toks, kind="stable")
+            _cache["tok"] = toks[order]
+            _cache["df"] = dfs[order]
+        tok = np.asarray(t["token"].to_pylist())
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(_cache["tok"], tok)
+        dfv = _cache["df"][pos]
+        score = tfv.astype(np.float64) * (float(n_docs) / dfv.astype(np.float64))
+        order = np.lexsort((tok, -score, did))
+        sd = did[order]
+        new = np.ones(len(sd), bool)
+        new[1:] = sd[1:] != sd[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(sd)))
+        rank = np.arange(len(sd), dtype=np.int64) - np.repeat(starts, lens)
+        keep = rank < 3
+        sel = pa.array(order[keep])
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[keep]),
+                "token": t["token"].take(sel),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return tf.map_batches(topk, batch_format="pyarrow")
+
+
+_SQL_TFIDF = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token,
+        row_number() OVER (PARTITION BY tf.doc_id
+          ORDER BY tf.tf * (CAST(n.n AS DOUBLE) / df.df) DESC, tf.token) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token, CAST(rn - 1 AS BIGINT) AS "rank" FROM s WHERE rn <= 3
+"""
+
+
+QUERIES.update({"tfidf_top_terms": q_tfidf_top_terms})
+ORACLE_SQL.update({"tfidf_top_terms": _SQL_TFIDF})
