@@ -48,6 +48,7 @@ _PRIORITY = [
     "event_transitions",
     "tile_pyramid_counts",
     "tfidf_top_terms",
+    "image_cell_density",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

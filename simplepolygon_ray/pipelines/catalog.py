@@ -354,6 +354,56 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_image_cell_density(sf_dir: str):
+    """Geotag heatmap (images per level-6 grid cell): the pruned
+    (lon, lat) projection streams through one map_batches computing
+    cell coordinates + a block-local bincount, then a single groupby
+    sums per-cell partials — the exchange is bounded by occupied cells
+    × blocks. The quantization ((lon+180)/360·n, truncated, clipped)
+    is exact IEEE arithmetic, so the SQL oracle replays point→cell
+    INDEPENDENTLY from the persisted points — a real cross-engine
+    check of the cell indexer, not a round-trip."""
+    import ray.data as rd
+
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(min(n_images, 50_000)), "cell_density_pts")
+    pts = rd.read_parquet(pts_dir, columns=["lon", "lat"])
+    n = 64  # level 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        i = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        j = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        cnt = np.bincount(i * n + j, minlength=n * n).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cx": pa.array(nz // n),
+                "cy": pa.array(nz % n),
+                "n_images": pa.array(cnt[nz]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n_images", alias_name="n_images"))
+    )
+
+
+_CELL_DENSITY_SQL = f"""
+SELECT cx, cy, COUNT(*) AS n_images
+FROM (SELECT
+        LEAST(GREATEST(CAST(trunc((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+        LEAST(GREATEST(CAST(trunc((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+      FROM read_parquet('{_ORACLE_DIR}/cell_density_pts/*.parquet'))
+GROUP BY cx, cy
+"""
+
+
 def q_image_decode_check(sf_dir: str):
     """Per-row input_hint invariant, fully SQL-oracled: decode payload,
     regenerate the deterministic reference pattern, compare as the
@@ -554,6 +604,7 @@ GEO_QUERIES = {
     "geo_tile_assign": q_geo_tile_assign,
     "geo_bbox_join": q_geo_bbox_join,
     "tile_pyramid_counts": q_tile_pyramid_counts,
+    "image_cell_density": q_image_cell_density,
     "image_decode_check": q_image_decode_check,
 }
 
@@ -1645,6 +1696,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "geo_tile_assign": _tile_sql(f"{_ORACLE_DIR}/tile_verts", level=8),
     "geo_bbox_join": _BBOX_JOIN_SQL,
     "tile_pyramid_counts": _TILE_PYRAMID_SQL,
+    "image_cell_density": _CELL_DENSITY_SQL,
     "geo_compact_cover": _compact_sql(f"{_ORACLE_DIR}/cover_compact"),
     "ann_brute_topk": _ann_sql(10),
     "ann_multi_query_topk": _ann_multi_sql(10),
