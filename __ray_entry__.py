@@ -49,6 +49,9 @@ _PRIORITY = [
     "tile_pyramid_counts",
     "tfidf_top_terms",
     "image_cell_density",
+    "events_value_histogram",
+    "mode_event_type",
+    "corr_price_qty",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

@@ -2926,3 +2926,182 @@ SELECT doc_id, token, CAST(rn - 1 AS BIGINT) AS "rank" FROM s WHERE rn <= 3
 
 QUERIES.update({"tfidf_top_terms": q_tfidf_top_terms})
 ORACLE_SQL.update({"tfidf_top_terms": _SQL_TFIDF})
+
+
+# --------------------------------------------------------------------------
+# value histogram (profiling op): fixed-width bins over events.value,
+# block-local bincount partials (the exchange carries bins × blocks).
+# Bin edges are dyadic (width 0.25) so floor((v - lo)/w) is exact both
+# engines.
+# --------------------------------------------------------------------------
+
+_HIST_LO, _HIST_W, _HIST_BINS = 0.0, 0.25, 64
+
+
+def q_events_value_histogram(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor((v - _HIST_LO) / _HIST_W).astype(np.int64)
+        b = np.clip(b, 0, _HIST_BINS - 1)
+        cnt = np.bincount(b, minlength=_HIST_BINS).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)), "n": pa.array(cnt[nz])})
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_SQL_HISTOGRAM = """
+SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 0.25) AS BIGINT), 0), 63) AS bin,
+       COUNT(*) AS n
+FROM events
+GROUP BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped mode (argmax count): the most frequent event_type per user
+# SEGMENT (users bucketed by id % 8 — a bounded set of groups so the
+# final argmax is driver-trivial); counts pre-combine per block.
+# Ties break on the lexicographically smaller type, same as the SQL
+# row_number ORDER BY.
+# --------------------------------------------------------------------------
+
+
+def q_mode_event_type(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = pa.array(
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 8
+        )
+        tt = pa.table({"segment": seg, "event_type": t["event_type"]})
+        g = tt.group_by(["segment", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"segment": g["segment"], "event_type": g["event_type"], "n": g["count_all"]}
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["segment", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        seg = t["segment"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist())
+        order = np.lexsort((et, -n, seg))
+        ss = seg[order]
+        new = np.ones(len(ss), bool)
+        new[1:] = ss[1:] != ss[:-1]
+        starts = np.flatnonzero(new)
+        sel = pa.array(order[starts])
+        return pa.table(
+            {
+                "segment": pa.array(ss[starts]),
+                "mode_type": t["event_type"].take(sel),
+                "n": pa.array(n[order][starts]),
+            }
+        )
+
+    # the aggregated (segment, type) table is 8 × 5 rows — one final
+    # block-level argmax pass; repartition(1) keeps it a single block
+    return counts.repartition(1).map_batches(argmax, batch_format="pyarrow")
+
+
+_SQL_MODE = """
+SELECT segment, event_type AS mode_type, n
+FROM (SELECT user_id % 8 AS segment, event_type, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY user_id % 8
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id % 8, event_type)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# correlation components per group (exact): Pearson building blocks
+# (n, Σx, Σy, Σxy, Σx², Σy²) over cent-scaled integers — exact int64
+# sums, so the driver (or SQL) can form r without any cross-engine
+# float drift ever entering the compared result.
+# --------------------------------------------------------------------------
+
+
+def q_corr_price_qty(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        y = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+        g = tt.group_by(["l_returnflag"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sxx", "sum"), ("syy", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+
+_SQL_CORR = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+FROM (SELECT l_returnflag,
+             CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "events_value_histogram": q_events_value_histogram,
+        "mode_event_type": q_mode_event_type,
+        "corr_price_qty": q_corr_price_qty,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "events_value_histogram": _SQL_HISTOGRAM,
+        "mode_event_type": _SQL_MODE,
+        "corr_price_qty": _SQL_CORR,
+    }
+)
