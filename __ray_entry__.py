@@ -52,6 +52,8 @@ _PRIORITY = [
     "events_value_histogram",
     "mode_event_type",
     "corr_price_qty",
+    "geo_zonal_value_stats",
+    "geo_knn_classify",
     # never driver-checked (round-3-new)
     "geo_ring_stats",
     "image_phash_near_dup",

@@ -170,14 +170,26 @@ def run_bench() -> dict:
 def run_scaling():
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        last_err = None
+        for attempt in range(2):  # co-tenant kills of a leg are transient:
+            # retry once rather than aborting a 25-minute protocol run
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                return json.loads(out.strip().splitlines()[-1])
+            except subprocess.CalledProcessError as e:
+                last_err = e
+                print(
+                    f"# leg ncpu={ncpu} attempt {attempt} failed "
+                    f"(rc={e.returncode}); tail: {e.stderr[-300:]!r}",
+                    file=sys.stderr,
+                )
+        raise last_err
 
     # alternate the two levels and keep each level's best spatial time:
     # co-tenant noise on this box drifts over minutes, so measuring the

@@ -2084,12 +2084,151 @@ def q_geo_zonal_counts(sf_dir: str):
     )
 
 
+def q_geo_zonal_value_stats(sf_dir: str):
+    """Zonal statistics v2: per-ring point count AND value sum (the
+    raster-zonal-mean building block). The per-point value is a
+    deterministic function of the id digits (vectorized Arrow slice +
+    cast — no per-row Python), pre-combined per block so the exchange
+    carries (ring, partials) rows only."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..relational.queries import _partial_groupby
+
+    joined = q_geo_pip_join(sf_dir)
+
+    def add_val(t: pa.Table) -> pa.Table:
+        digits = pc.utf8_slice_codeunits(t["image_id"], 3, 64)
+        v = pc.cast(digits, pa.int64()).to_numpy(zero_copy_only=False) % 1000
+        return t.append_column("val", pa.array(v))
+
+    partial = joined.map_batches(add_val, batch_format="pyarrow").map_batches(
+        _partial_groupby(
+            ["geom_id", "ring_seq"],
+            [("ring_seq", "count", "n_points"), ("val", "sum", "sum_val")],
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(["geom_id", "ring_seq"]).aggregate(
+        Sum("n_points", alias_name="n_points"),
+        Sum("sum_val", alias_name="sum_val"),
+    )
+
+
+def q_geo_knn_classify(sf_dir: str):
+    """k-NN classification (majority label of the 5 nearest sites;
+    labels are a deterministic function of the site id digits). Builds
+    on the broadcast kNN join; the per-probe vote is one lexsort +
+    segmented bincount over the k·|probes| slim rows. Ties break on
+    the smaller label, matching the SQL row_number. Shares geo_knn's
+    persisted probes/sites, so the oracle recomputes the true global
+    kNN and its majority independently."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.knn import knn_join_dataset
+
+    _, n_images = scale_counts(sf_dir)
+    n_sites = max(n_images // 10, 100)
+    sites_dir = _persist(gen_points(n_sites), "knn_sites")
+    probes_dir = _persist(gen_points(min(n_images, 5_000)), "knn_probes")
+    out = knn_join_dataset(
+        rd.read_parquet(probes_dir), rd.read_parquet(sites_dir), k=5, level=DEFAULT_LEVEL
+    )
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-block partial votes — robust to a probe's k rows
+        # spanning blocks (dynamic block splitting at scale)
+        pid = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 64), pa.int64())
+        lbl = pa.array(
+            pc.cast(pc.utf8_slice_codeunits(t["neighbor_id"], 3, 64), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            % 5
+        )
+        g = (
+            pa.table({"image_key": pid, "lbl": lbl})
+            .group_by(["image_key", "lbl"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["image_key", "lbl", "n"])
+
+    cnts = (
+        out.map_batches(partial, batch_format="pyarrow")
+        .groupby(["image_key", "lbl"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_kb(t: pa.Table) -> pa.Table:
+        k = t["image_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_kb", pa.array(k % 512))
+
+    def argmax(g: pa.Table) -> pa.Table:
+        key = g["image_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = g["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lbl, -n, key))
+        sk = key[order]
+        new = np.ones(len(sk), bool)
+        new[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "image_key": pa.array(sk[starts]),
+                "pred_label": pa.array(lbl[order][starts]),
+            }
+        )
+
+    return (
+        cnts.map_batches(add_kb, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(argmax, batch_format="pyarrow")
+    )
+
+
+_KNN_CLASSIFY_SQL = f"""
+WITH p AS (SELECT image_id, lon, lat
+           FROM read_parquet('{_ORACLE_DIR}/knn_probes/*.parquet')),
+s AS (SELECT image_id AS neighbor_id, lon AS slon, lat AS slat
+      FROM read_parquet('{_ORACLE_DIR}/knn_sites/*.parquet')),
+d AS (SELECT p.image_id, s.neighbor_id,
+        2 * 6371.0088 * asin(sqrt(
+          pow(sin((radians(s.slat) - radians(p.lat)) / 2), 2)
+          + cos(radians(p.lat)) * cos(radians(s.slat))
+            * pow(sin((radians(s.slon) - radians(p.lon)) / 2), 2))) AS dist
+      FROM p CROSS JOIN s),
+r AS (SELECT image_id, neighbor_id,
+        row_number() OVER (PARTITION BY image_id ORDER BY dist, neighbor_id) AS rn
+      FROM d),
+lab AS (SELECT CAST(substr(image_id, 4) AS BIGINT) AS image_key,
+               CAST(substr(neighbor_id, 4) AS BIGINT) % 5 AS lbl
+        FROM r WHERE rn <= 5),
+cnt AS (SELECT image_key, lbl, COUNT(*) AS c FROM lab GROUP BY image_key, lbl)
+SELECT image_key, lbl AS pred_label
+FROM (SELECT image_key, lbl,
+             row_number() OVER (PARTITION BY image_key ORDER BY c DESC, lbl) AS rn2
+      FROM cnt)
+WHERE rn2 = 1
+"""
+
+
 GEO_QUERIES.update(
     {
         "geo_compact_cover": q_geo_compact_cover,
         "geo_zonal_counts": q_geo_zonal_counts,
+        "geo_zonal_value_stats": q_geo_zonal_value_stats,
+        "geo_knn_classify": q_geo_knn_classify,
     }
 )
+
+EXTRA_ORACLE_SQL["geo_zonal_value_stats"] = (
+    "SELECT geom_id, CAST(ring_seq AS BIGINT) AS ring_seq, COUNT(*) AS n_points, "
+    "CAST(SUM(CAST(substr(image_id, 4) AS BIGINT) % 1000) AS BIGINT) AS sum_val FROM ("
+    + _pip_sql(f"{_ORACLE_DIR}/pip_points", f"{_ORACLE_DIR}/pip_edges")
+    + ") GROUP BY geom_id, ring_seq"
+)
+EXTRA_ORACLE_SQL["geo_knn_classify"] = _KNN_CLASSIFY_SQL
 
 
 # ---------------------------------------------------------------- ring stats
