@@ -97,13 +97,26 @@ class CheckpointedRunner:
     def shard_dir(self, shard_id: str) -> str:
         return os.path.join(self.out_dir, self.stage, f"shard={shard_id}")
 
-    def pending(self, shard_ids: Sequence[str]) -> list[str]:
-        out = []
-        for sid in shard_ids:
-            if self.manifest.done(self.stage, sid) and os.path.isdir(self.shard_dir(sid)):
-                continue
-            out.append(sid)
-        return out
+    def _finished(self, sid: str, lineage: Callable[[str], str] | None) -> bool:
+        """A shard is resumable-finished iff its manifest row exists,
+        its directory exists, AND — when the caller describes lineage —
+        the recorded lineage matches the CURRENT lineage string. A
+        stale checkpoint written by different code/inputs re-runs
+        instead of being silently reused."""
+        if not self.manifest.done(self.stage, sid):
+            return False
+        if not os.path.isdir(self.shard_dir(sid)):
+            return False
+        if lineage is not None:
+            rec = self.manifest._records[(self.stage, sid)]
+            if rec.lineage != lineage(sid):
+                return False
+        return True
+
+    def pending(
+        self, shard_ids: Sequence[str], lineage: Callable[[str], str] | None = None
+    ) -> list[str]:
+        return [sid for sid in shard_ids if not self._finished(sid, lineage)]
 
     def run(
         self,
@@ -116,7 +129,7 @@ class CheckpointedRunner:
         (test hook for kill/resume). Returns run stats."""
         ran, skipped = 0, 0
         for sid in shard_ids:
-            if self.manifest.done(self.stage, sid) and os.path.isdir(self.shard_dir(sid)):
+            if self._finished(sid, lineage):
                 skipped += 1
                 continue
             if fail_after is not None and ran >= fail_after:

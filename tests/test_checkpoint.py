@@ -39,11 +39,19 @@ def test_kill_and_resume(ray_session, tmp_path):
                    fail_after=3)
     assert len(runner.manifest.records()) == 3
 
-    # resume with a FRESH runner (manifest reloaded from disk)
+    # resume with a FRESH runner (manifest reloaded from disk); the
+    # same lineage description must be presented for shards to skip
+    lin = lambda s: f"ids[{int(s)*100}:{int(s)*100+100}]"
     runner2 = CheckpointedRunner(out, "decompose")
     assert runner2.pending(shards) == ["3", "4", "5"]
-    stats = runner2.run(shards, make, lineage=lambda s: "")
+    assert runner2.pending(shards, lineage=lin) == ["3", "4", "5"]
+    stats = runner2.run(shards, make, lineage=lin)
     assert stats == {"ran": 3, "skipped": 3}
+
+    # a CHANGED lineage (different code/inputs) invalidates the
+    # checkpoint instead of silently reusing it
+    runner3 = CheckpointedRunner(out, "decompose")
+    assert runner3.pending(shards, lineage=lambda s: "v2") == shards
 
     # final output identical to a clean single run
     resumed = load_output(out, "decompose").to_pandas()
