@@ -4,10 +4,14 @@
   a broadcast query matrix, partial top-k per batch, global
   sort+limit merge. The baseline every approximate method is judged
   against.
+- ``multi_brute_topk``: Q queries share ONE corpus scan (batched
+  matmul per block, k×Q slim partials, per-query merge).
 - ``ivf_topk``: IVF-style scale path — deterministic k-means-lite
-  centroids (few iterations over a driver-side sample), per-batch
+  centroids (task-compiled from a hash-mod sample), per-batch
   assignment, search restricted to the ``nprobe`` closest centroid
   buckets.
+- ``lsh_topk``: hyperplane-LSH multi-probe path — seeded pure-function
+  planes (no training, no shuffle, no broadcast).
 """
 
 from __future__ import annotations
