@@ -33,51 +33,51 @@ def entry() -> Any:
 
 
 # Driver sweeps are time-boxed and walk queries() in dict insertion
-# order (CORRECTNESS_r03 covered exactly the first 50 keys).  Front-load
-# the queries with the thinnest driver evidence so a boxed sweep reaches
-# them: first the never-driver-checked (round-4-new, then round-3-new),
-# then those checked only in round 2, then the green rest.
+# order (the r4 sweep covered exactly the first 50 keys).  Front-load
+# the queries with the thinnest driver evidence: round-5-new keys
+# first, then the 37 keys absent from CORRECTNESS_r04 (they passed the
+# r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
-    # never driver-checked (round-4-new)
-    "user_running_value",
-    "weekly_active_users",
-    "dedup_keep_best",
-    "geo_bbox_join",
-    "ann_multi_query_topk",
-    "price_band_lookup",
-    "event_transitions",
-    "tile_pyramid_counts",
-    "tfidf_top_terms",
-    "image_cell_density",
-    "events_value_histogram",
-    "mode_event_type",
-    "corr_price_qty",
-    "geo_zonal_value_stats",
-    "geo_knn_classify",
-    # never driver-checked (round-3-new)
-    "geo_ring_stats",
-    "image_phash_near_dup",
-    "image_dedup_groups",
-    "near_dup_groups",
-    "ann_lsh_topk",
-    "ann_filtered_topk",
-    # driver-checked in round 2 only
-    "cell_counts",
-    "distinct_cells",
-    "media_decode_featurize",
-    "media_resize",
-    "approx_distinct_users",
-    "geo_compact_cover",
-    "geo_zonal_counts",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "text_simhash",
-    "minhash_dedup_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "ann_brute_topk",
-    "ann_ivf_topk",
+    # round-5-new (never driver-checked)
+    # (populated as round-5 operators land)
+    # absent from CORRECTNESS_r04 (green in r3 sweep + local re-runs)
+    "semi_join_customers",
+    "anti_join_customers",
+    "sessionize",
+    "late_data_drop",
+    "asof_purchase_click",
+    "hash_join_order_customer",
+    "sliding_window",
+    "topk_per_group",
+    "range_join_user_window",
+    "exact_quantiles",
+    "rollup_revenue",
+    "var_discount",
+    "bloom_semi_join",
+    "stratified_sample",
+    "dedup_consecutive",
+    "pivot_events",
+    "top_unshipped_orders",
+    "text_normalize",
+    "top_tokens",
+    "label_centroids",
+    "left_join_customer_events",
+    "zorder_buckets",
+    "group_quantiles",
+    "cms_user_counts",
+    "funnel_signup_purchase",
+    "cohort_retention",
+    "daily_active_users",
+    "event_type_cooccurrence",
+    "props_extract_stats",
+    "geo_decompose",
+    "geo_cover",
+    "geo_pip_join",
+    "geo_pip_join_shuffle",
+    "geo_knn",
+    "geo_knn_shuffle",
+    "geo_tile_assign",
+    "image_decode_check",
 ]
 
 

@@ -2152,7 +2152,11 @@ def q_geo_knn_classify(sf_dir: str):
             .group_by(["image_key", "lbl"])
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["image_key", "lbl", "n"])
+        # select by NAME (column order from aggregate() is
+        # pyarrow-version-dependent)
+        return pa.table(
+            {"image_key": g["image_key"], "lbl": g["lbl"], "n": g["count_all"]}
+        )
 
     cnts = (
         out.map_batches(partial, batch_format="pyarrow")

@@ -98,7 +98,10 @@ def flagship_checkpointed(
     index_ref = compile_ring_index_ref(simple_rings, level=level)
 
     per = -(-n_images // n_shards)
-    shard_ids = [str(i) for i in range(n_shards)]
+    # skip tail shards with hi <= lo (n_images < n_shards): they would
+    # build rd.range(0) with more blocks than rows — the zero-row
+    # zero-column block hazard — and write empty schema-less output
+    shard_ids = [str(i) for i in range(n_shards) if i * per < n_images]
     runner = CheckpointedRunner(out_dir, "flagship_join")
 
     def make(sid: str):
@@ -115,7 +118,7 @@ def flagship_checkpointed(
         ),
         fail_after=fail_after,
     )
-    out = load_output(out_dir, "flagship_join")
+    out = load_output(out_dir, "flagship_join", shard_ids=shard_ids)
     # the hive shard=<k> directory surfaces as a partition column on
     # read-back; drop it so the schema matches the streaming flagship
     if "shard" in out.schema().names:

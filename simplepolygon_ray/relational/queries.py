@@ -22,6 +22,8 @@ megabytes at production scale.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1070,64 +1072,209 @@ GROUP BY a.user_id
 
 
 _QUANTILES_E2 = [25, 50, 75, 90, 99]
+_QBUCKET_STEP = 6  # histogram refinement: 6 fewer shift bits per level
+
+
+def _resolve_exact_quantiles(
+    vals,
+    q_e2_list,
+    *,
+    group_col: str | None = None,
+    v_col: str = "v",
+    shift0: int = 12,
+    step: int = _QBUCKET_STEP,
+    cap: int | None = None,
+):
+    """Exact distributed rank-select (quantile values) with BOUNDED
+    driver pulls. ``vals`` is a Dataset with an int64 fixed-point
+    column ``v_col`` and optionally a string ``group_col``.
+
+    Phase 1 builds a coarse per-group histogram of ``v >> shift0``
+    (per-block Arrow pre-combine, then a small groupby — the exchange
+    moves only (group, bucket, count) partials). Each target rank
+    lands in one bucket; any target bucket holding more than ``cap``
+    rows is recursively re-histogrammed at ``step`` fewer shift bits
+    (ONE extra dataset pass per level, restricted to the pending
+    prefixes; histogram cells bounded by pending-targets × 2**step)
+    until the restriction is small enough to pull — or reaches shift
+    0, where the bucket IS a single value and resolves with no pull
+    at all (a value-skewed distribution with millions of copies of
+    one value ends here). One final pass pulls only the ≤``cap``-row
+    restrictions. Returns [(group, q_e2, value)] — group is None when
+    ``group_col`` is None.
+    """
+    if cap is None:
+        cap = int(os.environ.get("GRAFT_QUANTILE_PULL_CAP", "262144"))
+
+    def hist_pass(shift: int, restrict):
+        # restrict: None (phase 1) or {group_or_None: int64 array of
+        # parent prefixes at shift+step}
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch[v_col].to_numpy(zero_copy_only=False)
+            g = None
+            if group_col is not None:
+                g = batch[group_col]
+            if restrict is not None:
+                parent = v >> (shift + step)
+                if group_col is None:
+                    mask = np.isin(parent, restrict[None])
+                else:
+                    mask = np.zeros(len(v), bool)
+                    for grp, pres in restrict.items():
+                        gm = pc.equal(g, grp).to_numpy(zero_copy_only=False)
+                        mask |= gm & np.isin(parent, pres)
+                v = v[mask]
+                if group_col is not None:
+                    g = g.filter(pa.array(mask))
+            cols: dict = {}
+            if group_col is not None:
+                cols[group_col] = g.combine_chunks() if hasattr(g, "combine_chunks") else g
+            cols["bucket"] = pa.array(v >> shift, type=pa.int64())
+            keys = ([group_col] if group_col else []) + ["bucket"]
+            res = pa.table(cols).group_by(keys).aggregate([([], "count_all")])
+            out = {k: res[k] for k in keys}
+            out["cnt"] = res["count_all"]
+            return pa.table(out)
+
+        return f
+
+    keys = ([group_col] if group_col else []) + ["bucket"]
+
+    def run_hist(shift: int, restrict):
+        return (
+            vals.map_batches(hist_pass(shift, restrict), batch_format="pyarrow")
+            .groupby(keys if group_col else "bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+
+    def groups_of(df):
+        if group_col is None:
+            yield None, df
+        else:
+            for gk, gdf in df.groupby(group_col):
+                yield gk, gdf
+
+    # phase 1: locate each target rank's bucket
+    hist = run_hist(shift0, None)
+    pending = []  # (group, q_e2, rank_within, prefix, shift, cnt)
+    for grp, gh in groups_of(hist):
+        gh = gh.sort_values("bucket")
+        cum = gh["cnt"].cumsum().to_numpy(np.int64)
+        n = int(cum[-1])
+        buckets = gh["bucket"].to_numpy(np.int64)
+        cnts = gh["cnt"].to_numpy(np.int64)
+        for q_e2 in q_e2_list:
+            r = (q_e2 * n + 99) // 100  # ceil(q*n) in exact integers
+            bi = int(np.searchsorted(cum, r))
+            before = int(cum[bi - 1]) if bi else 0
+            pending.append(
+                (grp, q_e2, r - before, int(buckets[bi]), shift0, int(cnts[bi]))
+            )
+
+    resolved: list = []  # (group, q_e2, value)
+    to_pull: list = []  # (group, q_e2, rank_within, prefix, shift)
+    while pending:
+        nxt = []
+        for grp, q, rw, pref, sh, cnt in pending:
+            if sh == 0:
+                # the bucket is one exact value — rank irrelevant
+                resolved.append((grp, q, int(pref)))
+            elif cnt <= cap:
+                to_pull.append((grp, q, rw, pref, sh))
+            else:
+                nxt.append((grp, q, rw, pref, sh))
+        if not nxt:
+            break
+        sh = nxt[0][4]  # all pending entries move in lockstep from shift0
+        new_shift = max(0, sh - step)
+        restrict: dict = {}
+        for grp, _q, _rw, pref, _sh in nxt:
+            restrict.setdefault(grp, []).append(pref)
+        restrict = {g: np.unique(np.asarray(p, np.int64)) for g, p in restrict.items()}
+        h = run_hist(new_shift, restrict)
+        pending = []
+        for grp, q, rw, pref, _sh in nxt:
+            gh = h if group_col is None else h[h[group_col] == grp]
+            sub = gh[(gh["bucket"].to_numpy(np.int64) >> (sh - new_shift)) == pref]
+            sub = sub.sort_values("bucket")
+            cum = sub["cnt"].cumsum().to_numpy(np.int64)
+            bi = int(np.searchsorted(cum, rw))
+            before = int(cum[bi - 1]) if bi else 0
+            pending.append(
+                (
+                    grp,
+                    q,
+                    rw - before,
+                    int(sub["bucket"].to_numpy(np.int64)[bi]),
+                    new_shift,
+                    int(sub["cnt"].to_numpy(np.int64)[bi]),
+                )
+            )
+
+    if to_pull:
+        pulls = to_pull
+
+        def pull_fn(batch: pa.Table) -> pa.Table:
+            v = batch[v_col].to_numpy(zero_copy_only=False)
+            mask = np.zeros(len(v), bool)
+            gm_cache: dict = {}
+            for grp, _q, _rw, pref, sh in pulls:
+                m = (v >> sh) == pref
+                if group_col is not None:
+                    if grp not in gm_cache:
+                        gm_cache[grp] = pc.equal(
+                            batch[group_col], grp
+                        ).to_numpy(zero_copy_only=False)
+                    m = m & gm_cache[grp]
+                mask |= m
+            cols: dict = {}
+            if group_col is not None:
+                cols[group_col] = (
+                    batch[group_col].filter(pa.array(mask)).cast(pa.string())
+                )
+            cols["v"] = pa.array(v[mask], type=pa.int64())
+            return pa.table(cols)
+
+        picked = vals.map_batches(pull_fn, batch_format="pyarrow").to_pandas()
+        pv = picked["v"].to_numpy(np.int64)
+        pg = (
+            picked[group_col].to_numpy(object)
+            if group_col is not None
+            else None
+        )
+        for grp, q, rw, pref, sh in pulls:
+            m = (pv >> sh) == pref
+            if pg is not None:
+                m = m & (pg == grp)
+            sel = np.sort(pv[m])
+            resolved.append((grp, q, int(sel[rw - 1])))
+
+    return resolved
 _QBUCKET_SHIFT = 12  # 4096-cent histogram buckets
 
 
 def q_exact_quantiles(sf_dir: str):
     """EXACT distributed quantiles of o_totalprice (rank ceil(q*n),
-    1-indexed) without a global sort: phase 1 builds a coarse
-    distributed histogram (cents >> 12; the shuffle moves only
-    (bucket, count) partials), the driver locates each target rank's
-    bucket from the tiny cumulative table, phase 2 re-scans only rows
-    inside the few needed buckets and selects the exact rank among
-    them. Collected data is bounded by histogram width + bucket
-    occupancy, never the table."""
+    1-indexed) without a global sort, via the recursive bounded-pull
+    histogram (`_resolve_exact_quantiles`): driver pulls are capped at
+    GRAFT_QUANTILE_PULL_CAP rows per target bucket — value-skewed
+    distributions (many equal prices) recurse to shift 0 and resolve
+    with no pull at all."""
     od = _t(sf_dir, "orders", columns=["o_totalprice"])
 
     def to_cents(batch: pa.Table) -> pa.Table:
         v = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
             np.int64
         )
-        return pa.table({"v": pa.array(v), "bucket": pa.array(v >> _QBUCKET_SHIFT)})
+        return pa.table({"v": pa.array(v)})
 
     cents = od.map_batches(to_cents, batch_format="pyarrow")
-    hist = (
-        cents.map_batches(
-            _partial_groupby(["bucket"], [("bucket", "count", "cnt")]),
-            batch_format="pyarrow",
-        )
-        .groupby("bucket")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values("bucket")
+    resolved = _resolve_exact_quantiles(
+        cents, _QUANTILES_E2, group_col=None, shift0=_QBUCKET_SHIFT
     )
-    n = int(hist["cnt"].sum())
-    cum = hist["cnt"].cumsum().to_numpy(np.int64)
-    buckets = hist["bucket"].to_numpy(np.int64)
-    targets = {}  # bucket -> [(q_e2, rank_within_bucket)]
-    for q_e2 in _QUANTILES_E2:
-        r = (q_e2 * n + 99) // 100  # ceil(q*n) in exact integers
-        bi = int(np.searchsorted(cum, r))
-        before = int(cum[bi - 1]) if bi > 0 else 0
-        targets.setdefault(int(buckets[bi]), []).append((q_e2, r - before))
-
-    need = set(targets)
-
-    def in_need(batch: pa.Table) -> pa.Table:
-        b = batch["bucket"].to_numpy(zero_copy_only=False)
-        mask = np.isin(b, np.fromiter(need, np.int64, len(need)))
-        return pa.table(
-            {"v": pa.array(batch["v"].to_numpy(zero_copy_only=False)[mask]),
-             "bucket": pa.array(b[mask])}
-        )
-
-    picked = cents.map_batches(in_need, batch_format="pyarrow").to_pandas()
-    rows = []
-    for b, wants in targets.items():
-        vals = np.sort(picked.loc[picked["bucket"] == b, "v"].to_numpy(np.int64))
-        for q_e2, within in wants:
-            rows.append((q_e2, int(vals[within - 1])))
-    out = pd.DataFrame(rows, columns=["q_e2", "value_e2"]).sort_values("q_e2")
+    rows = sorted((q, val) for _g, q, val in resolved)
+    out = pd.DataFrame(rows, columns=["q_e2", "value_e2"])
     return out.reset_index(drop=True).astype({"q_e2": np.int64, "value_e2": np.int64})
 
 
@@ -1643,23 +1790,45 @@ def q_top_unshipped_orders(sf_dir: str):
         ext = hit["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = hit["l_discount"].to_numpy(zero_copy_only=False)
         rev = np.rint(ext * (1.0 - disc) * 10000.0).astype(np.int64)
-        return (
+        g = (
             pa.table({"l_orderkey": hit["l_orderkey"], "revenue_e4": pa.array(rev)})
             .group_by(["l_orderkey"])
             .aggregate([("revenue_e4", "sum")])
-            .rename_columns(["l_orderkey", "revenue_e4"])
+        )
+        # select by NAME (aggregate column order is version-dependent)
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "revenue_e4": g["revenue_e4_sum"]}
         )
 
-    agg = (
-        li.map_batches(f, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
-        .to_pandas()
-    )
-    top = agg.sort_values(
+    # scale-correct top-10 without driver-materializing the per-order
+    # aggregate: 64-way hash-bucket co-locate of the block-local
+    # partials, vectorized per-bucket sum + local top-10, then a
+    # 640-row driver merge (same pattern as q_order_revenue_topk)
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["l_orderkey"]).aggregate([("revenue_e4", "sum")])
+        k = agg["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = agg["revenue_e4_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((k, -s))[:10]
+        return pa.table(
+            {"l_orderkey": pa.array(k[sel]), "revenue_e4": pa.array(s[sel])}
+        )
+
+    partial = li.map_batches(f, batch_format="pyarrow")
+    partials = _bucket_groupby(
+        partial, "l_orderkey", bucket_topk, n_buckets=64, batch_format="pyarrow"
+    ).to_pandas()
+    top = partials.sort_values(
         ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
     ).head(10)
-    ot = ray.get(oref)
+
+    # attach (o_orderdate, o_orderpriority) for just the 10 winners:
+    # the pick runs in a task so the order dimension table never
+    # transits the driver — only 10 rows come back
+    @ray.remote
+    def _pick(ot: pa.Table, keys: np.ndarray) -> pa.Table:
+        return ot.filter(pc.is_in(ot["o_orderkey"], value_set=pa.array(keys)))
+
+    ot = ray.get(_pick.remote(oref, top["l_orderkey"].to_numpy(np.int64)))
     omap = pd.DataFrame(
         {
             "l_orderkey": ot["o_orderkey"].to_numpy(),
@@ -2037,79 +2206,25 @@ _GQUANT_E2 = (50, 90)
 
 
 def q_group_quantiles(sf_dir: str):
+    """Per-group EXACT quantiles via the recursive bounded-pull
+    histogram (`_resolve_exact_quantiles`, grouped form) — the driver
+    never pulls more than GRAFT_QUANTILE_PULL_CAP rows per target
+    bucket regardless of value skew."""
     ev = _t(sf_dir, "events", columns=["event_type", "value"])
 
     def to_e4(batch: pa.Table) -> pa.Table:
         v = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(
             np.int64
         )
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "v": pa.array(v),
-                "bucket": pa.array(v >> 12),
-            }
-        )
+        return pa.table({"event_type": batch["event_type"], "v": pa.array(v)})
 
     vals = ev.map_batches(to_e4, batch_format="pyarrow")
-    hist = (
-        vals.map_batches(
-            _partial_groupby(["event_type", "bucket"], [("bucket", "count", "cnt")]),
-            batch_format="pyarrow",
-        )
-        .groupby(["event_type", "bucket"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
+    resolved = _resolve_exact_quantiles(
+        vals, _GQUANT_E2, group_col="event_type", shift0=12
     )
-
-    targets: dict[tuple[str, int], list[tuple[int, int]]] = {}
-    for et, g in hist.groupby("event_type"):
-        g = g.sort_values("bucket")
-        cum = g["cnt"].cumsum().to_numpy(np.int64)
-        n = int(cum[-1])
-        buckets = g["bucket"].to_numpy(np.int64)
-        for q_e2 in _GQUANT_E2:
-            r = (q_e2 * n + 99) // 100  # ceil(q*n), exact integers
-            bi = int(np.searchsorted(cum, r))
-            before = int(cum[bi - 1]) if bi else 0
-            targets.setdefault((et, int(buckets[bi])), []).append((q_e2, r - before))
-
-    by_type: dict[str, np.ndarray] = {}
-    for et, b in targets:
-        by_type.setdefault(et, []).append(b)  # type: ignore[arg-type]
-    by_type = {et: np.asarray(bs, np.int64) for et, bs in by_type.items()}
-
-    def in_need(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        b = batch["bucket"].to_numpy(zero_copy_only=False)
-        mask = np.zeros(len(batch), bool)
-        for t, bs in by_type.items():
-            mask |= (et == t) & np.isin(b, bs)
-        # explicit types: an all-filtered block would otherwise infer
-        # type null for the empty string column and poison the concat
-        return pa.table(
-            {
-                "event_type": pa.array(et[mask], type=pa.string()),
-                "v": pa.array(
-                    batch["v"].to_numpy(zero_copy_only=False)[mask], type=pa.int64()
-                ),
-                "bucket": pa.array(b[mask], type=pa.int64()),
-            }
-        )
-
-    picked = vals.map_batches(in_need, batch_format="pyarrow").to_pandas()
-    rows = []
-    for (et, b), wants in targets.items():
-        sel = np.sort(
-            picked.loc[
-                (picked["event_type"] == et) & (picked["bucket"] == b), "v"
-            ].to_numpy(np.int64)
-        )
-        for q_e2, within in wants:
-            rows.append((et, q_e2, int(sel[within - 1])))
+    rows = sorted((g, q, val) for g, q, val in resolved)
     out = pd.DataFrame(rows, columns=["event_type", "q_e2", "value_e4"])
-    out = out.sort_values(["event_type", "q_e2"]).reset_index(drop=True)
-    return out.astype({"q_e2": np.int64, "value_e4": np.int64})
+    return out.reset_index(drop=True).astype({"q_e2": np.int64, "value_e4": np.int64})
 
 
 _SQL_GROUP_QUANTILES = """
@@ -2394,11 +2509,10 @@ def q_daily_active_users(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["day"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["day", "dau"])
-        )
+        # select by NAME: key-vs-aggregate column order out of
+        # pa group_by().aggregate() is pyarrow-version-dependent
+        g = t.group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["day"], "dau": g["count_all"]})
 
     return (
         pairs.map_batches(partial, batch_format="pyarrow")
@@ -2653,11 +2767,10 @@ def q_weekly_active_users(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["wd"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["wd", "wau"])
-        )
+        # select by NAME (column order from aggregate() is
+        # pyarrow-version-dependent)
+        g = t.group_by(["wd"]).aggregate([([], "count_all")])
+        return pa.table({"wd": g["wd"], "wau": g["count_all"]})
 
     return (
         pairs.map_batches(partial, batch_format="pyarrow")
@@ -2839,6 +2952,14 @@ def q_tfidf_top_terms(sf_dir: str):
     n_docs = docs.count()  # parquet-metadata count, no scan
 
     def tf_batch(t: pa.Table) -> pa.Table:
+        # a doc's tf rows NEVER span batches here: they derive from one
+        # docs row and map_batches never splits a row — which makes the
+        # per-batch df partial AND the pass-2 per-batch top-3 exact.
+        # (Reading a MATERIALIZED tf table back would not give that:
+        # dynamic block splitting slices blocks at arbitrary row
+        # boundaries, so a doc's rows could span two blocks and top-3
+        # would emit duplicate ranks. Pass 2 re-tokenizes instead —
+        # a map-only pass beats shuffling the whole tf table.)
         toks_list = pc.split_pattern_regex(
             pc.utf8_lower(t["text"]), pattern=r"\s+"
         )
@@ -2853,14 +2974,12 @@ def q_tfidf_top_terms(sf_dir: str):
             {"doc_id": g["doc_id"], "token": g["token"], "tf": g["count_all"]}
         )
 
-    tf = docs.map_batches(tf_batch, batch_format="pyarrow").materialize()
-
     def df_part(t: pa.Table) -> pa.Table:
-        g = t.group_by(["token"]).aggregate([([], "count_all")])
+        g = tf_batch(t).group_by(["token"]).aggregate([([], "count_all")])
         return pa.table({"token": g["token"], "df": g["count_all"]})
 
     df_ds = (
-        tf.map_batches(df_part, batch_format="pyarrow")
+        docs.map_batches(df_part, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
     )
@@ -2875,7 +2994,7 @@ def q_tfidf_top_terms(sf_dir: str):
     df_ref = _collect_df.remote(*df_ds.to_arrow_refs())
     _cache: dict = {}
 
-    def topk(t: pa.Table) -> pa.Table:
+    def topk(docs_t: pa.Table) -> pa.Table:
         if "tok" not in _cache:
             dft = ray.get(df_ref)
             toks = np.asarray(dft["token"].to_pylist())
@@ -2883,6 +3002,7 @@ def q_tfidf_top_terms(sf_dir: str):
             order = np.argsort(toks, kind="stable")
             _cache["tok"] = toks[order]
             _cache["df"] = dfs[order]
+        t = tf_batch(docs_t)  # pass 2: re-tokenize (doc rows co-located)
         tok = np.asarray(t["token"].to_pylist())
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2906,7 +3026,7 @@ def q_tfidf_top_terms(sf_dir: str):
             }
         )
 
-    return tf.map_batches(topk, batch_format="pyarrow")
+    return docs.map_batches(topk, batch_format="pyarrow")
 
 
 _SQL_TFIDF = r"""
@@ -3058,8 +3178,18 @@ def q_corr_price_qty(sf_dir: str):
             [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
              ("sxx", "sum"), ("syy", "sum")]
         )
-        return g.rename_columns(
-            ["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy"]
+        # select by NAME (column order from aggregate() is
+        # pyarrow-version-dependent)
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "n": g["n_sum"],
+                "sx": g["sx_sum"],
+                "sy": g["sy_sum"],
+                "sxy": g["sxy_sum"],
+                "sxx": g["sxx_sum"],
+                "syy": g["syy_sum"],
+            }
         )
 
     return (

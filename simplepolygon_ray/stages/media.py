@@ -307,6 +307,11 @@ class ImageResizeActor:
         out = np.take_along_axis(px, idx3, axis=1)  # (n, oh*ow*3) uint8
 
         stride = oh * ow * 3
+        if n * stride > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"resized payload block is {n * stride} bytes — past the "
+                "int32 binary-offset limit; lower batch_size for this stage"
+            )
         offsets = (np.arange(n + 1, dtype=np.int32) * stride)
         payload_col = pa.Array.from_buffers(
             pa.binary(),

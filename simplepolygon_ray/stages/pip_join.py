@@ -483,6 +483,13 @@ def pip_join_shuffle(
         offs = np.asarray(col.offsets).astype(np.int64)
         flat = np.asarray(col.values.values, dtype=np.float64)
         data = np.ascontiguousarray(flat[2 * offs[0] : 2 * offs[-1]])
+        nbytes = int(offs[-1] - offs[0]) * 16
+        if nbytes > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"ring blob block holds {nbytes} bytes of vertices — past "
+                "the int32 binary-offset limit (~134M vertices/block); "
+                "split the stage into more blocks (override_num_blocks)"
+            )
         boffs = ((offs - offs[0]) * 16).astype(np.int32)
         blob_col = pa.Array.from_buffers(
             pa.binary(),

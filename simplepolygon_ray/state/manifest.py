@@ -170,14 +170,24 @@ class CheckpointedRunner:
         return {"ran": ran, "skipped": skipped}
 
 
-def load_output(out_dir: str, stage: str):
-    """Read a checkpointed stage's output back as one Dataset."""
+def load_output(out_dir: str, stage: str, *, shard_ids=None):
+    """Read a checkpointed stage's output back as one Dataset.
+
+    ``shard_ids``: when given, read ONLY the ``shard=<id>`` directories
+    of the current plan — shards orphaned by a plan change (e.g. a
+    rerun with fewer shards over an existing out_dir) are excluded
+    instead of silently duplicating rows."""
     import ray.data as rd
 
     base = os.path.join(out_dir, stage)
+    if shard_ids is not None:
+        roots = [os.path.join(base, f"shard={sid}") for sid in shard_ids]
+    else:
+        roots = [base]
     files = sorted(
         os.path.join(root, fn)
-        for root, _, fns in os.walk(base)
+        for top in roots
+        for root, _, fns in os.walk(top)
         for fn in fns
         if fn.endswith(".parquet")
     )

@@ -563,6 +563,11 @@ def hyperplane_bucketize(
     bits2 = (vecs @ p2) > 0
     bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
     sub = (bits2.astype(np.uint64) << np.arange(8, dtype=np.uint64)).sum(axis=1)
+    if n * dim * 4 > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"vector blob block is {n * dim * 4} bytes — past the int32 "
+            "binary-offset limit; split the stage into more blocks"
+        )
     voffs = (np.arange(n + 1, dtype=np.int64) * dim * 4).astype(np.int32)
     vec_blob = pa.Array.from_buffers(
         pa.binary(),
