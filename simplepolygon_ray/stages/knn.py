@@ -10,12 +10,27 @@ geometry), so results equal the exhaustive scan.
 
 from __future__ import annotations
 
+import logging as _logging
+import os as _os
+
 import numpy as np
 import pyarrow as pa
 import ray
 
 from ..cells.grid import point_to_cell
 from .cover_stage import DEFAULT_LEVEL
+
+_logger = _logging.getLogger(__name__)
+
+# broadcast→shard crossover for the dataset-sides kNN join: the
+# compiled site index holds (ids, lon, lat, cell) for EVERY site in one
+# worker heap (~24-40 B/site + the id strings). 50M sites ≈ 2 GB; past
+# the cap the site side is no longer broadcast-small and the join
+# shards the index block-wise, merging per-probe top-k afterwards
+# (mirrors BROADCAST_GATHERED_EDGE_CAP in pip_join.py).
+BROADCAST_GATHERED_SITE_CAP = int(
+    _os.environ.get("GRAFT_BROADCAST_SITE_CAP", 50_000_000)
+)
 
 __all__ = [
     "haversine_km",
@@ -219,25 +234,30 @@ class CellPointIndex:
 
 class KnnActor:
     """Actor-pool stage: site index fetched once per actor; probes are
-    scored in vectorized per-cell groups (no per-probe Python loop)."""
+    scored in vectorized per-cell groups (no per-probe Python loop).
+    ``emit_cell`` adds the probe's cell id — the sharded join's merge
+    key (all of a probe's rows share it across shards)."""
 
-    def __init__(self, index_ref, k: int, id_col: str):
+    def __init__(self, index_ref, k: int, id_col: str, emit_cell: bool = False):
         self.index: CellPointIndex = ray.get(index_ref)
         self.k = k
         self.id_col = id_col
+        self.emit_cell = emit_cell
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         pp, ss, rr, dd = self.index.knn_batch(lon, lat, self.k)
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col].take(pa.array(pp)),
-                "neighbor_id": pa.array(self.index.ids[ss]),
-                "rank": pa.array(rr.astype(np.int32)),
-                "dist_km": pa.array(dd),
-            }
-        )
+        cols = {
+            self.id_col: batch[self.id_col].take(pa.array(pp)),
+            "neighbor_id": pa.array(self.index.ids[ss]),
+            "rank": pa.array(rr.astype(np.int32)),
+            "dist_km": pa.array(dd),
+        }
+        if self.emit_cell:
+            cells = point_to_cell(lon, lat, self.index.level).astype(np.int64)
+            cols["pcell"] = pa.array(cells[pp])
+        return pa.table(cols)
 
 
 def knn_join(
@@ -471,19 +491,85 @@ def knn_join_dataset(
     site_id_col: str = "image_id",
     concurrency: int | tuple = 4,
     batch_size: int = 4096,
+    n_shards: int | None = None,
+    broadcast_site_cap: int | None = None,
 ):
     """probes Dataset × sites DATASET → kNN rows. The site index is the
     broadcast dimension table: compiled in one Ray task from the sites
     Dataset's block refs and fetched once per probe actor — the driver
-    only holds ObjectRefs. (Partitioning assumption: the site side
-    fits one worker's heap as a compiled index; for site sets beyond
-    that, shard by cell range and union the per-shard joins.)"""
-    refs = sites.to_arrow_refs()
-    index_ref = _compile_site_index.remote(level, site_id_col, *refs)
-    return probes.map_batches(
-        KnnActor,
-        fn_constructor_args=(index_ref, k, id_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    only holds ObjectRefs.
+
+    Partitioning assumption + crossover: the compiled index must fit
+    one worker's heap. Past ``broadcast_site_cap`` sites (default
+    ``BROADCAST_GATHERED_SITE_CAP``) the join warns and SHARDS the
+    index block-wise instead: per-shard exact kNN (a shard's top-k is
+    certified by the same cell-expansion bound), then one
+    cell-bucketed groupby merges per-probe global top-k — every global
+    top-k site is in its own shard's top-k, so the merge equals the
+    single-index join row-for-row. ``n_shards`` forces the shard
+    count (tests; >1 selects the sharded path unconditionally)."""
+    cap = (
+        broadcast_site_cap
+        if broadcast_site_cap is not None
+        else BROADCAST_GATHERED_SITE_CAP
     )
+    sites = sites.materialize()
+    n_sites = sites.count()  # materialized → metadata-only
+    refs = sites.to_arrow_refs()
+    if n_shards is None:
+        n_shards = 1
+        if n_sites > cap:
+            n_shards = int(-(-n_sites // max(cap, 1)))
+            _logger.warning(
+                "kNN site index would gather %d sites (> cap %d): the site "
+                "side is no longer broadcast-small — sharding the index %d "
+                "ways with a per-probe top-k merge (consider "
+                "knn_join_shuffle for cell-keyed scaling)",
+                n_sites,
+                cap,
+                n_shards,
+            )
+    if n_shards <= 1:
+        index_ref = _compile_site_index.remote(level, site_id_col, *refs)
+        return probes.map_batches(
+            KnnActor,
+            fn_constructor_args=(index_ref, k, id_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    # sharded path: round-robin the site BLOCKS into shards (no extra
+    # pass over the sites), compile one sub-index per shard
+    groups = [refs[i::n_shards] for i in range(n_shards)]
+    idx_refs = [
+        _compile_site_index.remote(level, site_id_col, *g) for g in groups
+    ]
+    parts = [
+        probes.map_batches(
+            KnnActor,
+            fn_constructor_args=(r, k, id_col, True),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        for r in idx_refs
+    ]
+    un = parts[0].union(*parts[1:])
+
+    def merge(g: pa.Table) -> pa.Table:
+        pid = g[id_col].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        d = g["dist_km"].to_numpy(zero_copy_only=False)
+        sel, rank = _segmented_topk(pid, nid, d, k)
+        selp = pa.array(sel)
+        return pa.table(
+            {
+                id_col: g[id_col].take(selp),
+                "neighbor_id": g["neighbor_id"].take(selp),
+                "rank": pa.array(rank.astype(np.int32)),
+                "dist_km": pa.array(d[sel]),
+            }
+        )
+
+    return un.groupby("pcell").map_groups(merge, batch_format="pyarrow")

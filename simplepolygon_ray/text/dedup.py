@@ -24,10 +24,15 @@ happens anywhere on the dedup hot path.
 
 from __future__ import annotations
 
+import logging as _logging
+import os as _os
+
 import numpy as np
 import pyarrow as pa
 
 from ._hash import FNV_OFFSET, FNV_PRIME, fnv64_batch
+
+_logger = _logging.getLogger(__name__)
 
 __all__ = [
     "shingle_minhash_batch",
@@ -309,11 +314,143 @@ def dedupe_pairs_global(pairs, cols, *, n_buckets: int = 512):
     )
 
 
+def _verify_pairs_shuffle(
+    cands,
+    docs,
+    *,
+    text_col: str,
+    threshold: float,
+    n_buckets: int = 512,
+):
+    """doc_id-bucketed shuffle verify for candidate sets too large to
+    broadcast (the crossover target of ``MINHASH_BROADCAST_ID_CAP``):
+
+    each candidate pair fans out to one row per side keyed by that
+    side's doc_id; the full docs table streams in as text rows keyed by
+    doc_id; ONE doc-hash bucket groupby co-locates them and attaches
+    each side's text via a searchsorted within the bucket; a second
+    pair-hash bucket groupby reunites the two sides of every pair and
+    runs the whole-bucket vectorized shingle compare. Nothing is
+    broadcast or driver-materialized — the exchange is bounded by
+    (2 × pairs + docs) rows."""
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        a = _i64(t["doc_a"])
+        b = _i64(t["doc_b"])
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b])),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    ),
+                    type=pa.int8(),
+                ),
+                text_col: pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    def as_text_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "key": pa.array(_i64(t["doc_id"])),
+                "doc_a": pa.array(np.full(n, -1, np.int64)),
+                "doc_b": pa.array(np.full(n, -1, np.int64)),
+                "side": pa.array(np.full(n, 2, np.int8), type=pa.int8()),
+                text_col: t[text_col].cast(pa.string()),
+            }
+        )
+
+    needs = cands.map_batches(fan_out, batch_format="pyarrow")
+    texts = docs.map_batches(as_text_rows, batch_format="pyarrow")
+
+    def add_kb(t: pa.Table) -> pa.Table:
+        return t.append_column("_kb", pa.array(_i64(t["key"]) % n_buckets))
+
+    def attach(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_kb"])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        is_txt = side == 2
+        key = _i64(g["key"])
+        tkeys = key[is_txt]
+        order = np.argsort(tkeys, kind="stable")
+        tkeys = tkeys[order]
+        txt_all = g[text_col].filter(pa.array(is_txt)).to_pylist()
+        txts = [txt_all[i] for i in order]
+        need = np.flatnonzero(~is_txt)
+        pos = np.searchsorted(tkeys, key[need])
+        pos = np.minimum(pos, max(len(tkeys) - 1, 0))
+        ok = len(tkeys) > 0 and (tkeys[pos] == key[need]).all()
+        if not ok and len(need):
+            raise ValueError("candidate pair references a doc_id absent from docs")
+        sel = pa.array(need)
+        return pa.table(
+            {
+                "doc_a": g["doc_a"].take(sel),
+                "doc_b": g["doc_b"].take(sel),
+                "side": g["side"].take(sel),
+                text_col: pa.array(
+                    [txts[i] if isinstance(txts[i], str) else "" for i in pos],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    attached = (
+        needs.union(texts)
+        .map_batches(add_kb, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = _i64(t["doc_a"])
+        b = _i64(t["doc_b"])
+        with np.errstate(over="ignore"):
+            pb = (a * np.int64(0x9E3779B1) + b) % n_buckets
+        return t.append_column("_pb", pa.array(pb))
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_pb"])
+        a = _i64(g["doc_a"])
+        b = _i64(g["doc_b"])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, b, a))
+        if len(order) % 2:
+            raise ValueError("unpaired verify row — pair fan-out bug")
+        ev, od = order[0::2], order[1::2]
+        if not ((side[ev] == 0).all() and (side[od] == 1).all()):
+            raise ValueError("verify rows not (side0, side1)-paired")
+        txt = g[text_col].to_pylist()
+        ta = [txt[i] for i in ev]
+        tb = [txt[i] for i in od]
+        jac = _jaccard_rows_vec(ta, tb)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[ev][keep]),
+                "doc_b": pa.array(b[ev][keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return (
+        attached.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+
+
 def minhash_dedup_pairs(
     docs,
     *,
     threshold: float = 0.8,
     text_col: str = "text",
+    broadcast_id_cap: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline over a docs Dataset
     (doc_id, text) → verified pairs (doc_a, doc_b, jaccard).
@@ -371,6 +508,32 @@ def minhash_dedup_pairs(
 
     cands = cands.materialize()
 
+    # broadcast→shuffle crossover: the verify broadcast gathers every
+    # candidate text into ONE Arrow table in a worker heap. Bounded by
+    # the LSH output, but a high-dup-rate corpus at 100 TB can push it
+    # past any single heap — past the cap, verify switches to a
+    # doc_id-bucketed shuffle join of pairs ⋈ texts, which scales with
+    # partitions instead (mirrors BROADCAST_GATHERED_EDGE_CAP in
+    # stages/pip_join.py).
+    cap = (
+        broadcast_id_cap
+        if broadcast_id_cap is not None
+        else int(_os.environ.get("GRAFT_MINHASH_BROADCAST_CAP", 5_000_000))
+    )
+    n_pairs = cands.count()  # materialized: metadata-only
+    if 2 * n_pairs > cap:
+        _logger.warning(
+            "minhash verify: %d candidate pairs (≤%d distinct texts) exceed "
+            "the broadcast cap %d — switching to the doc_id-bucketed "
+            "shuffle-join verify",
+            n_pairs,
+            2 * n_pairs,
+            cap,
+        )
+        return _verify_pairs_shuffle(
+            cands, docs, text_col=text_col, threshold=threshold
+        )
+
     @ray.remote
     def _cand_ids(*blocks):
         parts = [
@@ -408,10 +571,10 @@ def minhash_dedup_pairs(
         return pa.concat_tables(ts)
 
     # candidate-id→text table, assembled in a task and broadcast as one
-    # columnar Arrow block: its size is bounded by the candidate-pair
-    # count (LSH output), NOT the corpus, so the broadcast stays small
-    # at any input scale. (A pathological corpus where candidates ~
-    # corpus breaks any pair-verify design, joins included.)
+    # columnar Arrow block: bounded by the candidate-pair count (LSH
+    # output), NOT the corpus — and the cap check above guarantees this
+    # path only runs when that bound fits a worker heap (beyond it the
+    # shuffle-join verify takes over).
     texts_ref = _collect_texts_table.remote(*docs_small.to_arrow_refs())
 
     _tx_cache: dict = {}

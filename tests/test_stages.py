@@ -576,3 +576,39 @@ def test_knn_shuffle_salted_matches_unsalted(ray_session):
         zip(df["image_id"], df["neighbor_id"], df["rank"], df["exact"])
     )
     assert key(a) == key(b)
+
+
+def test_knn_dataset_shard_crossover_equivalence(ray_session, caplog):
+    """VERDICT r4 item 6: past the gathered-site cap the dataset-sides
+    kNN join warns and shards the index; the sharded result must equal
+    the broadcast result row-for-row (every global top-k site is in
+    its own shard's top-k, and both paths tie-break by (dist, id))."""
+    import logging
+
+    import ray.data as rd
+
+    from simplepolygon_ray.stages.knn import knn_join_dataset
+
+    sites = rd.from_arrow(
+        gen_batch({"id": np.arange(900, dtype=np.int64)}).select(
+            ["image_id", "lon", "lat"]
+        )
+    ).repartition(6)
+    probes = rd.from_arrow(
+        gen_batch({"id": np.arange(50_000, 50_180, dtype=np.int64)}).select(
+            ["image_id", "lon", "lat"]
+        )
+    )
+
+    bc = knn_join_dataset(probes, sites, k=3, concurrency=2).to_pandas()
+    with caplog.at_level(logging.WARNING, logger="simplepolygon_ray.stages.knn"):
+        sh = knn_join_dataset(
+            probes, sites, k=3, concurrency=2, broadcast_site_cap=100
+        ).to_pandas()
+    assert any("no longer broadcast-small" in r.message for r in caplog.records)
+
+    key = lambda df: sorted(
+        zip(df["image_id"], df["neighbor_id"], df["rank"], df["dist_km"])
+    )
+    assert len(bc) == len(probes.to_pandas()) * 3
+    assert key(bc) == key(sh)

@@ -440,3 +440,33 @@ def test_dedup_keep_best_semantics(ray_session, tmp_path):
     assert row["keep_doc_id"] == 11  # longest member wins
     assert row["group_size"] == 3
     assert row["max_chars"] == len(texts[1])
+
+
+def test_minhash_verify_crossover_equivalence(ray_session, caplog):
+    """VERDICT r4 item 5: past the broadcast-id cap the verify switches
+    to the doc_id-bucketed shuffle join — forced here with cap=0 — and
+    must emit exactly the broadcast path's verified pairs, with the
+    crossover warning logged."""
+    import logging
+
+    import ray.data as rd
+
+    from simplepolygon_ray.text.dedup import minhash_dedup_pairs
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def canon(df):
+        return (
+            df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+
+    base = canon(minhash_dedup_pairs(docs, threshold=0.8).to_pandas())
+    with caplog.at_level(logging.WARNING, logger="simplepolygon_ray.text.dedup"):
+        alt = canon(
+            minhash_dedup_pairs(docs, threshold=0.8, broadcast_id_cap=0).to_pandas()
+        )
+    assert any("shuffle-join verify" in r.message for r in caplog.records)
+    assert len(base) > 0
+    assert base.equals(alt)
