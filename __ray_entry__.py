@@ -39,7 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
-    # (populated as round-5 operators land)
+    "audio_features",
+    "video_frame_sample",
     # absent from CORRECTNESS_r04 (green in r3 sweep + local re-runs)
     "semi_join_customers",
     "anti_join_customers",

@@ -415,27 +415,8 @@ def q_image_decode_check(sf_dir: str):
     op-for-op from the raw payload. Capped at 4000 rows (invariant
     check, not a throughput path; the cap is logged in the docstring,
     not silent)."""
-    _, n_images = scale_counts(sf_dir)
-    n = min(n_images, 4000)
+    n = _persist_media_inputs(sf_dir)
     imgs = gen_images(n)
-
-    def proj(t: pa.Table) -> pa.Table:
-        payloads = t["bytes"].to_pylist()
-        return pa.table(
-            {
-                "image_id": t["image_id"],
-                "b": pa.array(
-                    [np.frombuffer(p, np.uint8).astype(np.int32) for p in payloads],
-                    type=pa.list_(pa.int32()),
-                ),
-                "w": t["w"].cast(pa.int64()),
-                "h": t["h"].cast(pa.int64()),
-                "fmt": t["fmt"],
-                "caption": t["caption"],
-            }
-        )
-
-    _persist(imgs.map_batches(proj, batch_format="pyarrow"), "img_check")
 
     def check(t: pa.Table) -> pa.Table:
         ids = [int(s[3:]) for s in t["image_id"].to_pylist()]
@@ -1579,7 +1560,7 @@ WITH base AS MATERIALIZED (
   SELECT image_id, fmt, caption, b, w, h,
          CAST(substr(image_id, 4) AS BIGINT) AS rid,
          CAST(w AS BIGINT) * h * 3 AS n_px
-  FROM read_parquet('{_ORACLE_DIR}/img_check/*.parquet')),
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
 px AS MATERIALIZED (
   SELECT image_id, fmt, caption, rid, n_px,
     CAST(list_sum([d*d for d in [
@@ -1610,7 +1591,7 @@ SELECT image_id,
        AS BIGINT) AS sum_luma,
   CAST(w AS BIGINT) * h * 3 AS n_px,
   CAST(1 AS BIGINT) AS phash_ok
-FROM read_parquet('{_ORACLE_DIR}/img_feat_in/*.parquet')
+FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')
 """
 
 # resize: decode → nearest-neighbor gather (src pixel for thumbnail
@@ -1619,7 +1600,7 @@ FROM read_parquet('{_ORACLE_DIR}/img_feat_in/*.parquet')
 _MEDIA_RESIZE_SQL = f"""
 WITH base AS MATERIALIZED (
   SELECT image_id, b, w, h, fmt
-  FROM read_parquet('{_ORACLE_DIR}/img_resize_in/*.parquet'))
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
 SELECT image_id,
   CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h, 'raw' AS fmt,
   CAST(list_sum([(j+1) * (CASE WHEN fmt = 'raw'
@@ -1776,9 +1757,9 @@ GEO_QUERIES.update(
 
 
 def _media_input_proj(t: pa.Table) -> pa.Table:
-    """(image_id, payload-as-int-list, w, h, fmt) — the persisted raw
-    input the media oracles replay decode from (same serialization as
-    the decode-check oracle)."""
+    """(image_id, payload-as-int-list, w, h, fmt, caption) — the ONE
+    persisted raw-input projection every media/audio/video oracle
+    replays decode from."""
     payloads = t["bytes"].to_pylist()
     return pa.table(
         {
@@ -1790,8 +1771,29 @@ def _media_input_proj(t: pa.Table) -> pa.Table:
             "w": t["w"].cast(pa.int64()),
             "h": t["h"].cast(pa.int64()),
             "fmt": t["fmt"],
+            "caption": t["caption"],
         }
     )
+
+
+_MEDIA_IN_CACHE: dict = {}
+
+
+def _persist_media_inputs(sf_dir: str) -> int:
+    """Persist the shared media-input table ONCE per (process, size):
+    five oracle queries (decode-check, featurize, resize, audio, video)
+    replay from the same corpus, so a time-boxed driver sweep pays the
+    synth + persist cost once instead of five times. Returns the
+    corpus size."""
+    _, n_images = scale_counts(sf_dir)
+    n = min(n_images, 4000)
+    if _MEDIA_IN_CACHE.get("n") != n:
+        imgs = gen_images(n)
+        _persist(
+            imgs.map_batches(_media_input_proj, batch_format="pyarrow"), "media_in"
+        )
+        _MEDIA_IN_CACHE["n"] = n
+    return n
 
 
 def q_media_decode_featurize(sf_dir: str):
@@ -1805,9 +1807,7 @@ def q_media_decode_featurize(sf_dir: str):
     round-trip float64 division within ½ulp."""
     from ..stages.media import decode_and_featurize
 
-    _, n_images = scale_counts(sf_dir)
-    imgs = gen_images(min(n_images, 4000))
-    _persist(imgs.map_batches(_media_input_proj, batch_format="pyarrow"), "img_feat_in")
+    imgs = gen_images(_persist_media_inputs(sf_dir))
     feats = decode_and_featurize(imgs, concurrency=(1, 4))
 
     def proj(t: pa.Table) -> pa.Table:
@@ -1837,9 +1837,7 @@ def q_media_resize(sf_dir: str):
     any wrong pixel, position, or decode path shifts the sum."""
     from ..stages.media import resize_images
 
-    _, n_images = scale_counts(sf_dir)
-    imgs = gen_images(min(n_images, 4000))
-    _persist(imgs.map_batches(_media_input_proj, batch_format="pyarrow"), "img_resize_in")
+    imgs = gen_images(_persist_media_inputs(sf_dir))
     out = resize_images(imgs, out_w=16, out_h=16, concurrency=(1, 4))
 
     def proj(t: pa.Table) -> pa.Table:
@@ -1973,6 +1971,119 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [float(round(est, 1))]})
 
 
+def q_audio_features(sf_dir: str):
+    """Actor-pool audio feature extraction over the deterministic
+    synthetic payloads (the audio codec itself is an env-blocked stub;
+    the Ray plumbing — actor pool, chunked reduceat featurize, list
+    column output — is real). Output: one row per (clip, chunk) with
+    the chunk mean floored at e4 fixed point. The SQL oracle replays
+    the np.array_split chunking and the mean from the persisted
+    int-list payload: chunk sums are exact int64 in both engines, the
+    single float division and ×1e4 are the same correctly-rounded IEEE
+    ops, and floor (not round) avoids the half-even/half-away trap."""
+    from ..stages.media import AudioFeatureActor
+
+    clips = gen_images(_persist_media_inputs(sf_dir))
+    feats = clips.map_batches(
+        AudioFeatureActor,
+        fn_constructor_kwargs={"n_features": 8},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        col = t["features"].combine_chunks()
+        flat = np.asarray(col.values, np.float64)
+        n = len(t)
+        k = len(flat) // max(n, 1) if n else 0
+        e4 = np.floor(flat * 10000.0)
+        # zero-size chunks surface as nan (impossible for this corpus;
+        # encode as a sentinel so the schema stays int64)
+        e4 = np.where(np.isnan(e4), -1, e4).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), k)
+        return pa.table(
+            {
+                "image_id": t["image_id"].take(pa.array(rows)),
+                "chunk_no": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+                "mean_e4": pa.array(e4),
+            }
+        )
+
+    return feats.map_batches(proj, batch_format="pyarrow")
+
+
+_AUDIO_FEAT_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, b, len(b) AS l
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+chunks AS (
+  SELECT image_id, j,
+    (l // 8) + CASE WHEN j < (l % 8) THEN 1 ELSE 0 END AS sz,
+    j * (l // 8) + LEAST(j, l % 8) AS st,
+    b
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g)
+SELECT image_id, CAST(j AS BIGINT) AS chunk_no,
+  CAST(CASE WHEN sz = 0 THEN -1 ELSE
+    floor(CAST(list_sum(array_slice(b, st + 1, st + sz)) AS DOUBLE)
+          / sz * 10000.0) END AS BIGINT) AS mean_e4
+FROM chunks
+"""
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Actor-pool video frame sampling over the deterministic synthetic
+    payloads (demuxer is an env-blocked stub; the explode-to-rows frame
+    layout and the vectorized gather are real). One row per sampled
+    frame (every 4th full 768-byte frame) with a position-weighted
+    checksum of the actual frame bytes — any wrong byte, offset or
+    stride shifts the sum. The SQL oracle re-slices the persisted
+    int-list payload and recomputes the checksum."""
+    from ..stages.media import VideoFrameSampleActor
+
+    clips = gen_images(_persist_media_inputs(sf_dir))
+    frames = clips.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_kwargs={"frame_bytes": 768, "stride": 4},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        payloads = t["frame"].to_pylist()
+        n = len(payloads)
+        if n:
+            mat = np.frombuffer(b"".join(payloads), np.uint8).reshape(n, 768)
+            weights = np.arange(1, 769, dtype=np.int64)
+            cksum = (mat.astype(np.int64) * weights[None, :]).sum(axis=1)
+        else:
+            cksum = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "image_id": t["image_id"].cast(pa.string()),
+                "frame_no": t["frame_no"].cast(pa.int64()),
+                "cksum": pa.array(cksum),
+            }
+        )
+
+    return frames.map_batches(proj, batch_format="pyarrow")
+
+
+_VIDEO_FRAME_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, b, len(b) // 768 AS n_frames
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+sampled AS (
+  SELECT image_id, b, unnest(generate_series(0, n_frames - 1, 4)) AS k
+  FROM base WHERE n_frames > 0)
+SELECT image_id, CAST(k AS BIGINT) AS frame_no,
+  CAST(list_sum([(p + 1) * b[k * 768 + p + 1]
+                 for p in generate_series(0, 767)]) AS BIGINT) AS cksum
+FROM sampled
+"""
+
+
 GEO_QUERIES.update(
     {
         "media_decode_featurize": q_media_decode_featurize,
@@ -1980,6 +2091,15 @@ GEO_QUERIES.update(
         "image_phash_near_dup": q_image_phash_near_dup,
         "image_dedup_groups": q_image_dedup_groups,
         "approx_distinct_users": q_approx_distinct_users,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
+    }
+)
+
+EXTRA_ORACLE_SQL.update(
+    {
+        "audio_features": _AUDIO_FEAT_SQL,
+        "video_frame_sample": _VIDEO_FRAME_SQL,
     }
 )
 

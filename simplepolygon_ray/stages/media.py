@@ -376,29 +376,55 @@ class AudioFeatureActor:
 
 class VideoFrameSampleActor:
     """STUB video frame sampling: treats the payload as concatenated
-    raw frames and emits every ``stride``-th frame's bytes. A real
+    raw frames and emits every ``stride``-th full frame's bytes. A real
     implementation swaps the slicer for a demuxer; the explode-to-rows
-    layout (one row per sampled frame) is the part that matters."""
+    layout (one row per sampled frame) is the part that matters.
+
+    Vectorized: one gather builds every sampled frame of the batch from
+    the concatenated payload buffer — no per-row Python."""
 
     def __init__(self, frame_bytes: int = 768, stride: int = 4):
         self.frame_bytes = frame_bytes
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_no, frames = [], [], []
-        for vid, payload in zip(
-            batch["image_id"].to_pylist(), batch["bytes"].to_pylist()
-        ):
-            n_frames = max(len(payload) // self.frame_bytes, 0)
-            for k in range(0, n_frames, self.stride):
-                ids.append(vid)
-                frame_no.append(k)
-                frames.append(payload[k * self.frame_bytes : (k + 1) * self.frame_bytes])
+        fb, st = self.frame_bytes, self.stride
+        data, off = _binary_parts(batch["bytes"])
+        lens = off[1:] - off[:-1]
+        n_frames = np.maximum(lens // fb, 0)
+        n_sampled = -(-n_frames // st)  # ceil: frames 0, st, 2·st, …
+        total = int(n_sampled.sum())
+        if total * fb > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"sampled frames block is {total * fb} bytes — past the "
+                "int32 binary-offset limit; lower batch_size for this stage"
+            )
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), n_sampled)
+        starts = np.concatenate([[0], np.cumsum(n_sampled)[:-1]]).astype(np.int64)
+        frame_no = (
+            (np.arange(total, dtype=np.int64) - np.repeat(starts, n_sampled)) * st
+        )
+        seg = data[off[0] : off[-1]]
+        base = (off[:-1] - off[0])[row] + frame_no * fb
+        mat = seg[base[:, None] + np.arange(fb, dtype=np.int64)[None, :]]
+        frame_col = pa.Array.from_buffers(
+            pa.binary(),
+            total,
+            [
+                None,
+                pa.py_buffer(
+                    (np.arange(total + 1, dtype=np.int64) * fb)
+                    .astype(np.int32)
+                    .tobytes()
+                ),
+                pa.py_buffer(np.ascontiguousarray(mat).tobytes()),
+            ],
+        )
         return pa.table(
             {
-                "image_id": pa.array(ids, type=pa.string()),
-                "frame_no": pa.array(frame_no, type=pa.int32()),
-                "frame": pa.array(frames, type=pa.binary()),
+                "image_id": batch["image_id"].take(pa.array(row)).cast(pa.string()),
+                "frame_no": pa.array(frame_no.astype(np.int32), type=pa.int32()),
+                "frame": frame_col,
             }
         )
 

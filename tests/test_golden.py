@@ -66,3 +66,30 @@ def test_walk_path_has_index_property():
     fin = json.loads((FIX / "in_simple.json").read_text())
     got = decompose_feature(fin)
     assert [f["properties"]["index"] for f in got["features"]] == [0, 1]
+
+
+def test_public_api_reference_readme_example():
+    """The reference README / jsdoc example (src/index.ts:19-37):
+    one figure-eight polygon in -> FeatureCollection of two simple
+    triangles with parent -1 and opposite windings — consumable from
+    the package top level without Ray."""
+    from simplepolygon_ray import simplepolygon
+
+    poly = {
+        "type": "Feature",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [2, 0], [0, 2], [2, 2], [0, 0]]],
+        },
+    }
+    result = simplepolygon(poly)
+    assert result["type"] == "FeatureCollection"
+    coords = [f["geometry"]["coordinates"] for f in result["features"]]
+    props = [f["properties"] for f in result["features"]]
+    assert coords == [
+        [[[0, 0], [2, 0], [1, 1], [0, 0]]],
+        [[[1, 1], [0, 2], [2, 2], [1, 1]]],
+    ]
+    assert [p["parent"] for p in props] == [-1, -1]
+    assert [p["winding"] for p in props] == [1, -1]
+    assert [p["netWinding"] for p in props] == [1, -1]
