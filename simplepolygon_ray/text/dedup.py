@@ -955,7 +955,9 @@ def _cc_step(node: np.ndarray, nbr: np.ndarray):
 _EDGE_SCHEMA = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
 
 
-def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
+def connected_components(
+    pairs, *, n_buckets: int = 256, max_rounds: int = 16, local_cap: int | None = None
+):
     """Undirected pair Dataset (doc_a, doc_b) → (doc_id, group_id)
     where ``group_id`` is the smallest doc id in the node's connected
     component.
@@ -967,8 +969,19 @@ def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
     bucket-grouped shuffle of the (bounded) edge list, no joins. The
     edge set is materialized per round (it is bounded by the pair
     output, not the corpus) so lineage does not replay earlier rounds;
-    convergence is detected by a rows+checksum signature aggregate."""
+    convergence is detected by a rows+checksum signature aggregate.
+
+    Small graphs skip the distributed rounds: at or below
+    ``GRAFT_CC_LOCAL_CAP`` seeded edges (default 2M ≈ 32 MB) the whole
+    propagation runs in ONE Ray task over the edge block refs — the
+    per-round shuffle+materialize round-trips dominate wall time at
+    that size, and the fixed point (hash-to-min labels) is identical
+    whether rounds apply per bucket or to the whole multiset."""
+    import ray
     import ray.data as rd
+
+    if local_cap is None:
+        local_cap = int(_os.environ.get("GRAFT_CC_LOCAL_CAP", 2_000_000))
 
     def seed(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
@@ -1003,10 +1016,39 @@ def connected_components(pairs, *, n_buckets: int = 256, max_rounds: int = 16):
         return int(parts["n"].sum()), int(np.int64(parts["s"].to_numpy(np.int64)).sum())
 
     edges = pairs.map_batches(seed, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
         )
+
+    if n_edges <= local_cap:
+
+        @ray.remote
+        def _local_cc(*blocks: pa.Table) -> pa.Table:
+            ts = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
+            full = pa.concat_tables(ts)
+            node, nbr = _i64(full["node"]), _i64(full["nbr"])
+            for _ in range(max_rounds):
+                node2, nbr2 = _cc_step(node, nbr)
+                if (
+                    len(node2) == len(node)
+                    and np.array_equal(node2, node)
+                    and np.array_equal(nbr2, nbr)
+                ):
+                    break
+                node, nbr = node2, nbr2
+            order = np.lexsort((nbr, node))
+            node, nbr = node[order], nbr[order]
+            first = np.ones(len(node), bool)
+            first[1:] = node[1:] != node[:-1]
+            sel = np.flatnonzero(first)
+            return pa.table(
+                {"doc_id": pa.array(node[sel]), "group_id": pa.array(nbr[sel])}
+            )
+
+        return rd.from_arrow_refs([_local_cc.remote(*edges.to_arrow_refs())])
+
     prev_sig = _signature(edges)
     for _ in range(max_rounds):
         edges = (

@@ -470,3 +470,29 @@ def test_minhash_verify_crossover_equivalence(ray_session, caplog):
     assert any("shuffle-join verify" in r.message for r in caplog.records)
     assert len(base) > 0
     assert base.equals(alt)
+
+
+def test_connected_components_local_fast_path_equivalence(ray_session):
+    """The single-task small-graph fast path must produce the same
+    (doc_id, group_id) labels as the distributed hash-to-min rounds
+    (forced with local_cap=0) on a random multi-component graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplepolygon_ray.text.dedup import connected_components
+
+    rng = np.random.RandomState(42)
+    # several chains + stars + singleton pairs across a sparse id space
+    a = rng.randint(0, 4000, 600).astype(np.int64)
+    b = (a + rng.randint(1, 50, 600)).astype(np.int64)
+    pairs = rd.from_arrow(pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)}))
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return list(zip(df["doc_id"], df["group_id"]))
+
+    local = canon(connected_components(pairs))  # n_edges << default cap
+    dist = canon(connected_components(pairs, local_cap=0))
+    assert len(local) > 0
+    assert local == dist
