@@ -146,3 +146,18 @@ def test_flagship_kill_and_resume(ray_session, tmp_path):
     b = clean.sort_values(key).reset_index(drop=True)[key]
     assert len(a) == len(b) > 0
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_orphaned_shards_excluded_from_planned_read(ray_session, tmp_path):
+    """ADVICE r4: rerunning a stage with FEWER shards over an existing
+    out_dir must not silently read back the orphaned shard dirs —
+    load_output(shard_ids=...) reads only the current plan."""
+    out = str(tmp_path / "ckpt4")
+    make = _make_shard_factory()
+
+    CheckpointedRunner(out, "decompose").run(["0", "1", "2"], make)
+    full = load_output(out, "decompose").count()
+    planned = load_output(out, "decompose", shard_ids=["0", "1"]).count()
+    orphan = load_output(out, "decompose", shard_ids=["2"]).count()
+    assert planned + orphan == full
+    assert planned < full  # shard 2's rows are excluded from the plan
