@@ -39,6 +39,12 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "set_except_user_days",
+    "set_intersect_user_days",
+    "kmeans_assign",
+    "bigram_top",
+    "weighted_sample",
+    "approx_quantile_sketch",
     "audio_features",
     "video_frame_sample",
     # absent from CORRECTNESS_r04 (green in r3 sweep + local re-runs)

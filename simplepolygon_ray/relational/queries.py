@@ -3235,3 +3235,414 @@ ORACLE_SQL.update(
         "corr_price_qty": _SQL_CORR,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# distributed set operations — EXCEPT / INTERSECT over (user, day) keys.
+# Per-block pa.group_by pre-combines the membership flags (one partial
+# row per user-day per block), so the wide exchange moves |keys|×|blocks|
+# rows; the set semantics are a vectorized flag filter after the merge.
+# At 100 TB this is the shape of "users in corpus A but not corpus B".
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _user_day_flags(sf_dir: str):
+    """Events → one row per (user_id, day_no) with c = saw a click,
+    p = saw a purchase (exact, pre-aggregated per block)."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        day = t["ts"].to_numpy(zero_copy_only=False).view(np.int64) // _DAY_US
+        isc = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        isp = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        part = (
+            pa.table({"user_id": t["user_id"], "day_no": pa.array(day), "c": isc, "p": isp})
+            .group_by(["user_id", "day_no"])
+            .aggregate([("c", "max"), ("p", "max")])
+        )
+        return pa.table(
+            {
+                "user_id": part["user_id"],
+                "day_no": part["day_no"],
+                "c": part["c_max"],
+                "p": part["p_max"],
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day_no"])
+        .aggregate(Max("c", alias_name="c"), Max("p", alias_name="p"))
+    )
+
+
+def q_set_except_user_days(sf_dir: str):
+    """(user, day) pairs with a click but NO purchase — distributed
+    EXCEPT via pre-combined membership flags (no driver state)."""
+    flags = _user_day_flags(sf_dir)
+
+    def sel(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["c"], 1), pc.equal(t["p"], 0))
+        return t.filter(keep).select(["user_id", "day_no"])
+
+    return flags.map_batches(sel, batch_format="pyarrow")
+
+
+_SQL_SET_EXCEPT = f"""
+SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_no
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_no
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_set_intersect_user_days(sf_dir: str):
+    """(user, day) pairs with BOTH a click and a purchase — distributed
+    INTERSECT over the same pre-combined flag exchange."""
+    flags = _user_day_flags(sf_dir)
+
+    def sel(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["c"], 1), pc.equal(t["p"], 1))
+        return t.filter(keep).select(["user_id", "day_no"])
+
+    return flags.map_batches(sel, batch_format="pyarrow")
+
+
+_SQL_SET_INTERSECT = f"""
+SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_no
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_no
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# k-means assignment step (one Lloyd iteration's E-step + the M-step's
+# sufficient statistics) — the centroid matrix is tiny (K×dim), read
+# once and broadcast via ray.put; each batch does one vectorized
+# int64 distance expansion (‖e‖² + ‖c‖² − 2·e·cᵀ) in EXACT fixed-point
+# (floor(x·1e4) per CLAUDE.md — numpy rint/SQL round diverge on .5),
+# so the cross-engine argmin is deterministic. The exchange carries K
+# partial rows per block. Iterating = rerunning with updated centroids.
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_EMB_SCALE = 10_000.0
+
+
+def _emb_matrix_i64(col: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
+    """list<float> column → (n, dim) int64 fixed-point matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = np.asarray(col.values, dtype=np.float64)
+    n = len(col)
+    return np.floor(vals * _EMB_SCALE).astype(np.int64).reshape(n, -1)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Assign every embedding to its nearest of K=8 seed centroids
+    (rows with vec_id < K) and emit per-centroid sufficient stats."""
+    import pyarrow.parquet as pq
+    import ray
+
+    seed = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    seed = seed.filter(pc.less(seed["vec_id"], _KMEANS_K))
+    seed = seed.take(pc.sort_indices(seed["vec_id"]))
+    cids = seed["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cmat = _emb_matrix_i64(seed["embedding"])
+    cnorm = np.einsum("ij,ij->i", cmat, cmat)
+    cref = ray.put((cids, cmat, cnorm))
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # keep the typed schema on empty blocks
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                    "member_idsum": pa.array([], pa.int64()),
+                    "dist_sum": pa.array([], pa.int64()),
+                }
+            )
+        cids_, cmat_, cnorm_ = ray.get(cref)
+        emat = _emb_matrix_i64(t["embedding"])
+        enorm = np.einsum("ij,ij->i", emat, emat)
+        # (n, K) exact int64 squared distances
+        d = enorm[:, None] + cnorm_[None, :] - 2 * (emat @ cmat_.T)
+        a = np.argmin(d, axis=1)  # first min = smallest cid (cids sorted)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dmin = d[np.arange(len(a)), a]
+        n = np.bincount(a, minlength=_KMEANS_K)
+        # exact int sums (bincount weights= would go through float)
+        idsum = np.zeros(_KMEANS_K, np.int64)
+        np.add.at(idsum, a, vid)
+        dsum = np.zeros(_KMEANS_K, np.int64)
+        np.add.at(dsum, a, dmin)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "cid": pa.array(cids_[nz]),
+                "n_members": pa.array(n[nz].astype(np.int64)),
+                "member_idsum": pa.array(idsum[nz]),
+                "dist_sum": pa.array(dsum[nz]),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .aggregate(
+            Sum("n_members", alias_name="n_members"),
+            Sum("member_idsum", alias_name="member_idsum"),
+            Sum("dist_sum", alias_name="dist_sum"),
+        )
+    )
+
+
+_SQL_KMEANS = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_KMEANS_K}),
+pts AS (
+  SELECT vec_id, unnest(embedding) AS ev,
+         unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+cs AS (
+  SELECT cid, unnest(ce) AS cv, unnest(range(1, len(ce) + 1)) AS i FROM cent),
+d AS (
+  SELECT p.vec_id, c.cid,
+         SUM((CAST(floor(CAST(p.ev AS DOUBLE) * {int(_EMB_SCALE)}) AS BIGINT)
+              - CAST(floor(CAST(c.cv AS DOUBLE) * {int(_EMB_SCALE)}) AS BIGINT))
+           * (CAST(floor(CAST(p.ev AS DOUBLE) * {int(_EMB_SCALE)}) AS BIGINT)
+              - CAST(floor(CAST(c.cv AS DOUBLE) * {int(_EMB_SCALE)}) AS BIGINT))) AS dist
+  FROM pts p JOIN cs c USING (i)
+  GROUP BY p.vec_id, c.cid),
+a AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS member_idsum,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum
+FROM a WHERE rn = 1
+GROUP BY cid
+"""
+
+
+# --------------------------------------------------------------------------
+# token-bigram top-k — n-gram language-model counts over documents.
+# Per batch: Arrow regex split, empties dropped, adjacent pairs formed
+# by offset arithmetic (no Python loop); post-groupby blocks hold
+# disjoint bigrams so the driver merges 20 × blocks rows, never the
+# vocabulary (same contract as top_tokens).
+# --------------------------------------------------------------------------
+
+
+def q_bigram_top(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        flat = toks.values
+        doc = np.repeat(
+            np.arange(len(toks), dtype=np.int64),
+            np.diff(np.asarray(toks.offsets).astype(np.int64)),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+        if len(doc) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        left = np.flatnonzero(doc[1:] == doc[:-1])
+        big = pc.binary_join_element_wise(
+            flat.take(pa.array(left)), flat.take(pa.array(left + 1)), " "
+        )
+        part = pa.table({"bigram": big}).group_by(["bigram"]).aggregate([([], "count_all")])
+        return pa.table({"bigram": part["bigram"], "n": part["count_all"]})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
+            .head(20)
+            .reset_index(drop=True),
+            preserve_index=False,
+        )
+
+    agg = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        agg.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_BIGRAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks))
+SELECT bigram, COUNT(*) AS n
+FROM pairs
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# importance-weighted sampling — per-row keep probability depends on
+# the row's class (purchase-heavy training mix); one vectorized
+# splitmix64 per row, no shuffle, deterministic at any scale and
+# replayed limb-exactly in the oracle.
+# --------------------------------------------------------------------------
+
+_WEIGHT_OF_10K = {"purchase": 9000, "signup": 5000, "click": 1000, "view": 500}
+# default (error): 100 — i.e. 1%
+
+
+def q_weighted_sample(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hm = _hash64(k) % np.uint64(10_000)
+        th = np.full(len(k), 100, np.uint64)
+        for et, w in _WEIGHT_OF_10K.items():
+            m = pc.equal(batch["event_type"], et).to_numpy(zero_copy_only=False)
+            th[m] = w
+        return batch.filter(pa.array(hm < th))
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH h0 AS (SELECT event_id, user_id, event_type,
+                   (CAST(event_id AS HUGEINT) + {0x9E3779B97F4A7C15}) % {_T64} AS x
+            FROM events),
+h1 AS (SELECT event_id, user_id, event_type,
+              {_mulmod_sql("xor(x, x >> 30)", 0xBF58476D1CE4E5B9)} AS x FROM h0),
+h2 AS (SELECT event_id, user_id, event_type,
+              {_mulmod_sql("xor(x, x >> 27)", 0x94D049BB133111EB)} AS x FROM h1),
+h3 AS (SELECT event_id, user_id, event_type, xor(x, x >> 31) % 10000 AS hm FROM h2)
+SELECT event_id, user_id, event_type
+FROM h3
+WHERE hm < CASE event_type
+             WHEN 'purchase' THEN 9000
+             WHEN 'signup' THEN 5000
+             WHEN 'click' THEN 1000
+             WHEN 'view' THEN 500
+             ELSE 100 END
+"""
+
+
+# --------------------------------------------------------------------------
+# approximate-quantile sketch — a mergeable fixed-shift histogram
+# (bucket = fixed_point(value) >> 16): each block emits its bucket
+# counts (bounded by the value range, ~75 buckets here), the exchange
+# sums them, and the driver picks quantile buckets from the ~75-row
+# merged sketch (bounded, never the data). The approximation error is
+# one bucket width by construction; ranks use pure integer ceil so
+# both engines pick the identical bucket. Complements exact_quantiles
+# (which recurses the histogram) with the one-pass mergeable variant.
+# --------------------------------------------------------------------------
+
+_AQ_SHIFT = 16
+_AQ_QUANTILES = ((50, 1, 2), (90, 9, 10), (99, 99, 100))  # (pct, num, den)
+
+
+def q_approx_quantile_sketch(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False) * 10_000.0).astype(np.int64)
+        b = v >> _AQ_SHIFT
+        lo = int(b.min()) if len(b) else 0
+        cnt = np.bincount(b - lo) if len(b) else np.zeros(0, np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"b": pa.array((nz + lo).astype(np.int64)), "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per occupied bucket (~75)
+        .sort_values("b", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for pct, num, den in _AQ_QUANTILES:
+        rank = (num * total + den - 1) // den  # exact integer ceil
+        i = int(np.searchsorted(cum, rank))
+        b = int(hist["b"].iloc[i])
+        rows.append(
+            {
+                "q_pct": np.int64(pct),
+                "approx_hi": np.int64(((b + 1) << _AQ_SHIFT) - 1),
+                "bucket_n": np.int64(hist["n"].iloc[i]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+_SQL_APPROX_QUANTILE = f"""
+WITH v AS (SELECT CAST(floor(value * 10000) AS BIGINT) >> {_AQ_SHIFT} AS b FROM events),
+h AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY b),
+c AS (SELECT b, n, CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cum FROM h),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+q AS (SELECT * FROM (VALUES (CAST(50 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                            (90, 9, 10), (99, 99, 100)) AS q(q_pct, num, den)),
+pick AS (
+  SELECT q.q_pct, MIN(c.b) AS b
+  FROM q, t, c
+  WHERE c.cum >= (q.num * t.total + q.den - 1) // q.den
+  GROUP BY q.q_pct)
+SELECT p.q_pct,
+       CAST((p.b + 1) * {1 << _AQ_SHIFT} - 1 AS BIGINT) AS approx_hi,
+       h.n AS bucket_n
+FROM pick p JOIN h ON h.b = p.b
+"""
+
+
+QUERIES.update(
+    {
+        "set_except_user_days": q_set_except_user_days,
+        "set_intersect_user_days": q_set_intersect_user_days,
+        "kmeans_assign": q_kmeans_assign,
+        "bigram_top": q_bigram_top,
+        "weighted_sample": q_weighted_sample,
+        "approx_quantile_sketch": q_approx_quantile_sketch,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "set_except_user_days": _SQL_SET_EXCEPT,
+        "set_intersect_user_days": _SQL_SET_INTERSECT,
+        "kmeans_assign": _SQL_KMEANS,
+        "bigram_top": _SQL_BIGRAM,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "approx_quantile_sketch": _SQL_APPROX_QUANTILE,
+    }
+)
