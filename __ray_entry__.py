@@ -39,6 +39,15 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "revenue_by_nation",
+    "inverted_index_stats",
+    "cube_revenue",
+    "user_event_paths",
+    "group_mad",
+    "order_price_rank",
+    "doc_chunks",
+    "token_pack_bins",
+    "image_patches",
     "set_except_user_days",
     "set_intersect_user_days",
     "kmeans_assign",

@@ -2111,6 +2111,44 @@ FROM sampled
 """
 
 
+def q_image_patches(sf_dir: str):
+    """ViT-style patch extraction over the shared media corpus:
+    actor-pool decode → 8×8×3 patch grid → one row per patch with a
+    position-weighted byte checksum. The SQL oracle re-derives every
+    patch byte from the persisted int-list payload (decode CASE per
+    fmt, the same (py,px,j) → source-pixel arithmetic), so a wrong
+    pixel, stride, grid bound or decode path shifts the sum."""
+    from ..stages.media import ImagePatchActor
+
+    imgs = gen_images(_persist_media_inputs(sf_dir))
+    return imgs.map_batches(
+        ImagePatchActor,
+        fn_constructor_kwargs={"patch": 8},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+
+
+_IMAGE_PATCH_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, b, w, fmt, w//8 AS gx, h//8 AS gy
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')
+  WHERE w >= 8 AND h >= 8),
+g AS (SELECT image_id, b, w, fmt, gx,
+             unnest(range(0, gy*gx)) AS pi
+      FROM base)
+SELECT image_id,
+  CAST(pi // gx AS BIGINT) AS py,
+  CAST(pi % gx AS BIGINT) AS px,
+  CAST(list_sum([(j+1) * (CASE WHEN fmt = 'raw'
+      THEN b[(((pi//gx)*8 + j//24)*w + ((pi%gx)*8 + (j%24)//3))*3 + j%3 + 1]
+      ELSE b[(((pi//gx)*8 + j//24)*w + ((pi%gx)*8 + (j%24)//3))*3 + j%3 + 1]*4 + 2
+      END) for j in generate_series(0, 191)]) AS BIGINT) AS cksum
+FROM g
+"""
+
+
 GEO_QUERIES.update(
     {
         "media_decode_featurize": q_media_decode_featurize,
@@ -2120,6 +2158,7 @@ GEO_QUERIES.update(
         "approx_distinct_users": q_approx_distinct_users,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "image_patches": q_image_patches,
     }
 )
 
@@ -2127,6 +2166,7 @@ EXTRA_ORACLE_SQL.update(
     {
         "audio_features": _AUDIO_FEAT_SQL,
         "video_frame_sample": _VIDEO_FRAME_SQL,
+        "image_patches": _IMAGE_PATCH_SQL,
     }
 )
 

@@ -3646,3 +3646,822 @@ ORACLE_SQL.update(
         "approx_quantile_sketch": _SQL_APPROX_QUANTILE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# multi-way dimensional join (TPC-H Q5 shape) — revenue by nation for
+# one region over a 2-year order window. Five tables, two LARGE sides
+# (orders, lineitem), joined with the repo's union + bucket-groupby
+# shuffle join (tagged sides co-locate on a key-hash bucket; one
+# vectorized pandas merge per bucket) — no Dataset.join aggregator
+# actors, no sparse-build-side hazard (CLAUDE.md). The tiny
+# region⋈nation dimension rides inside the customer map function.
+# lineitem pre-combines revenue per orderkey PER BLOCK, so the wide
+# exchange carries ≤|orders| rows per block, never raw line items.
+# --------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_LO_US = 820_454_400_000_000  # 1996-01-01 in µs since epoch
+_Q5_HI_US = 883_612_800_000_000  # 1998-01-01
+
+
+def _q5_nation_map(sf_dir: str) -> dict[int, str]:
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = set(
+        reg.filter(pc.equal(reg["r_name"], _Q5_REGION))["r_regionkey"].to_pylist()
+    )
+    return {
+        int(k): str(n)
+        for k, n, r in zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+        )
+        if int(r) in rkeys
+    }
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """customer⋈nation⋈region⋈orders⋈lineitem → revenue_e4 per nation."""
+    nmap = _q5_nation_map(sf_dir)
+    nk = np.fromiter(nmap.keys(), dtype=np.int64)
+    nv = np.array([nmap[int(k)] for k in nk], dtype=object)
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        natk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nk, natk)
+        pos = np.clip(pos, 0, len(nk) - 1)
+        keep = nk[pos] == natk
+        return pa.table(
+            {
+                "k": pa.array(ck[keep]),
+                "side": pa.array(np.zeros(int(keep.sum()), np.int64)),
+                "n_name": pa.array(nv[pos[keep]], pa.string()),
+                "ival": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= _Q5_LO_US) & (ts < _Q5_HI_US)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+        n = len(ok)
+        return pa.table(
+            {
+                "k": pa.array(ck.astype(np.int64)),
+                "side": pa.array(np.ones(n, np.int64)),
+                "n_name": pa.array(np.full(n, "", object), pa.string()),
+                "ival": pa.array(ok.astype(np.int64)),
+            }
+        )
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype=np.int64),
+                    "side": pd.Series([], dtype=np.int64),
+                    "n_name": pd.Series([], dtype="string"),  # object would infer Arrow null
+                    "rev_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = right[["k", "ival"]].merge(left[["k", "n_name"]], on="k")
+        return pd.DataFrame(
+            {
+                "k": m["ival"].to_numpy(np.int64),  # orderkey for stage 2
+                "side": np.zeros(len(m), np.int64),
+                "n_name": m["n_name"],
+                "rev_e4": np.zeros(len(m), np.int64),
+            }
+        )
+
+    order_names = _bucket_groupby(
+        cust.map_batches(cust_side, batch_format="pyarrow").union(
+            orders.map_batches(order_side, batch_format="pyarrow")
+        ),
+        "k",
+        join_cust,
+    )
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_side(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        part = (
+            pa.table(
+                {
+                    "k": t["l_orderkey"],
+                    "rev_e4": pa.array(
+                        np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["k"])
+            .aggregate([("rev_e4", "sum")])
+        )
+        n = len(part)
+        return pa.table(
+            {
+                "k": part["k"],
+                "side": pa.array(np.ones(n, np.int64)),
+                "n_name": pa.array(np.full(n, "", object), pa.string()),
+                "rev_e4": part["rev_e4_sum"],
+            }
+        )
+
+    def join_rev(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype="string"),  # object would infer Arrow null
+                    "revenue_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = right[["k", "rev_e4"]].merge(left[["k", "n_name"]], on="k")
+        part = m.groupby("n_name", as_index=False)["rev_e4"].sum()
+        return pd.DataFrame(
+            {
+                "n_name": part["n_name"],
+                "revenue_e4": part["rev_e4"].to_numpy(np.int64),
+            }
+        )
+
+    joined = _bucket_groupby(
+        order_names.union(li.map_batches(rev_side, batch_format="pyarrow")),
+        "k",
+        join_rev,
+    )
+    return joined.groupby("n_name").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+
+
+_SQL_Q5 = f"""
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT))
+            AS BIGINT) AS revenue_e4
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# inverted-index build stats — the posting-list construction pass of a
+# search/RAG indexer. Each doc row lives in exactly one block, so a
+# block-local (token, doc_id) distinct IS the global distinct; per-block
+# partials then shrink to one row per token per block and the exchange
+# carries |vocab| × |blocks| rows. sum_doc is an order-independent exact
+# int64 checksum of the posting list both engines agree on.
+# --------------------------------------------------------------------------
+
+
+def q_inverted_index_stats(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"\s+")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        toks = pc.list_flatten(toks_list)
+        pairs = pa.table({"token": toks, "doc_id": pa.array(doc)})
+        pairs = pairs.filter(pc.not_equal(pairs["token"], ""))
+        dist = pairs.group_by(["token", "doc_id"]).aggregate([])
+        g = dist.group_by(["token"]).aggregate(
+            [
+                ("doc_id", "count"),
+                ("doc_id", "min"),
+                ("doc_id", "max"),
+                ("doc_id", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "token": g["token"],
+                "df": g["doc_id_count"].cast(pa.int64()),
+                "min_doc": g["doc_id_min"],
+                "max_doc": g["doc_id_max"],
+                "sum_doc": g["doc_id_sum"],
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Min("min_doc", alias_name="min_doc"),
+            Max("max_doc", alias_name="max_doc"),
+            Sum("sum_doc", alias_name="sum_doc"),
+        )
+    )
+
+
+_SQL_INVIDX = r"""
+WITH td AS (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE token <> '')
+SELECT token,
+       COUNT(*) AS df,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+FROM td GROUP BY token
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets — revenue + order count by
+# CUBE(o_orderpriority, o_orderstatus): one heavy pre-combined leaf
+# aggregate; the 3 super-aggregate levels derive from the few leaf rows
+# (same derivation pattern as q_rollup_revenue, 'ALL' sentinel slots).
+# --------------------------------------------------------------------------
+
+
+def q_cube_revenue(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "total_cents": pa.array(cents),
+            }
+        )
+
+    leaf = (
+        od.map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            _partial_groupby(
+                ["o_orderpriority", "o_orderstatus"],
+                [("total_cents", "sum", "sum_total_cents"), ("total_cents", "count", "n_orders")],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("sum_total_cents", alias_name="sum_total_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    by_prio = (
+        leaf.groupby("o_orderpriority", as_index=False)[["sum_total_cents", "n_orders"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
+    )
+    by_stat = (
+        leaf.groupby("o_orderstatus", as_index=False)[["sum_total_cents", "n_orders"]]
+        .sum()
+        .assign(o_orderpriority="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "sum_total_cents": [leaf["sum_total_cents"].sum()],
+            "n_orders": [leaf["n_orders"].sum()],
+        }
+    )
+    cols = ["o_orderpriority", "o_orderstatus", "sum_total_cents", "n_orders"]
+    out = pd.concat([leaf[cols], by_prio[cols], by_stat[cols], total[cols]], ignore_index=True)
+    out["sum_total_cents"] = out["sum_total_cents"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+_SQL_CUBE = """
+SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END
+         AS o_orderpriority,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
+         AS o_orderstatus,
+       CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_total_cents,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# user journey paths — each user's FIRST 5 events (by ts, event_id)
+# joined into a '>'-separated path string, counted per distinct path
+# (funnel/path mining over sessions). Block-local top-5-per-user is a
+# sound pre-filter (the global first-5 of a user is contained in the
+# union of its block-local first-5s), so the user-bucket shuffle moves
+# ≤5 rows per user per block; inside each bucket the rank, the path
+# assembly (≤5 vectorized concat passes) and the count are segmented —
+# no per-user Python group at any scale.
+# --------------------------------------------------------------------------
+
+_PATH_K = 5
+
+
+def _rank_within(uid: np.ndarray) -> np.ndarray:
+    """0-based rank per contiguous equal-uid segment (input pre-sorted)."""
+    n = len(uid)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    change = np.r_[True, uid[1:] != uid[:-1]]
+    starts = np.flatnonzero(change)
+    seg = np.cumsum(change) - 1
+    return np.arange(n, dtype=np.int64) - starts[seg]
+
+
+def q_user_event_paths(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        rank = _rank_within(uid[order])
+        keep = order[rank < _PATH_K]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep]),
+                "ts": pa.array(ts[keep]),
+                "event_id": pa.array(eid[keep]),
+                "event_type": t["event_type"].take(pa.array(keep)),
+            }
+        )
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype="string"), "n_users": pd.Series([], dtype=np.int64)}
+            )
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        et = g["event_type"].to_numpy(object)[order]
+        rank = _rank_within(uid)
+        keep = rank < _PATH_K
+        uid, et, rank = uid[keep], et[keep], rank[keep]
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(change) - 1
+        n_users = int(seg[-1]) + 1 if len(seg) else 0
+        path = np.full(n_users, "", dtype=object)
+        for k in range(_PATH_K):
+            m = rank == k
+            tgt = seg[m]
+            if k == 0:
+                path[tgt] = et[m]
+            else:
+                path[tgt] = path[tgt] + ">"
+                path[tgt] = path[tgt] + et[m]
+        part = pd.Series(path).groupby(path).size()
+        return pd.DataFrame(
+            {"path": part.index.to_numpy(object), "n_users": part.to_numpy(np.int64)}
+        )
+
+    bucketed = _bucket_groupby(
+        ev.map_batches(prefilter, batch_format="pyarrow"), "user_id", paths
+    )
+    return bucketed.groupby("path").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+_SQL_PATHS = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_PATH_K} GROUP BY user_id)
+SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+"""
+
+
+QUERIES.update(
+    {
+        "revenue_by_nation": q_revenue_by_nation,
+        "inverted_index_stats": q_inverted_index_stats,
+        "cube_revenue": q_cube_revenue,
+        "user_event_paths": q_user_event_paths,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "revenue_by_nation": _SQL_Q5,
+        "inverted_index_stats": _SQL_INVIDX,
+        "cube_revenue": _SQL_CUBE,
+        "user_event_paths": _SQL_PATHS,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# median absolute deviation per group — robust dispersion, composed
+# from TWO bounded-pull exact rank-selects: (1) per-group median via
+# the recursive histogram, (2) the median of |v − median| over a
+# derived dataset (the tiny per-group median dict rides in the map
+# closure). Driver pulls stay capped at GRAFT_QUANTILE_PULL_CAP rows
+# per target bucket in both phases; ceil-rank semantics match the SQL
+# ROW_NUMBER pick exactly.
+# --------------------------------------------------------------------------
+
+
+def q_group_mad(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_e4(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(
+            np.int64
+        )
+        return pa.table({"event_type": batch["event_type"], "v": pa.array(v)})
+
+    vals = ev.map_batches(to_e4, batch_format="pyarrow")
+    med = {
+        g: val
+        for g, _q, val in _resolve_exact_quantiles(
+            vals, [50], group_col="event_type", shift0=12
+        )
+    }
+    mg = np.array(sorted(med.keys()), dtype=object)
+    mv = np.array([med[g] for g in mg], dtype=np.int64)
+
+    def to_dev(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(
+            np.int64
+        )
+        g = batch["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        pos = np.searchsorted(mg, g)
+        dv = np.abs(v - mv[pos])
+        return pa.table({"event_type": batch["event_type"], "v": pa.array(dv)})
+
+    devs = ev.map_batches(to_dev, batch_format="pyarrow")
+    mad = {
+        g: val
+        for g, _q, val in _resolve_exact_quantiles(
+            devs, [50], group_col="event_type", shift0=12
+        )
+    }
+    rows = sorted((g, med[g], mad[g]) for g in med)
+    out = pd.DataFrame(rows, columns=["event_type", "median_e4", "mad_e4"])
+    return out.reset_index(drop=True).astype({"median_e4": np.int64, "mad_e4": np.int64})
+
+
+_SQL_GROUP_MAD = """
+WITH c AS (SELECT event_type, CAST(round(value * 10000.0) AS BIGINT) AS v FROM events),
+n AS (SELECT event_type, COUNT(*) AS cnt FROM c GROUP BY event_type),
+rk AS (SELECT event_type, v,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+       FROM c),
+med AS (SELECT rk.event_type, rk.v AS median_e4
+        FROM rk JOIN n ON n.event_type = rk.event_type
+                      AND rk.rn = (50 * n.cnt + 99) // 100),
+d AS (SELECT c.event_type, abs(c.v - med.median_e4) AS dv
+      FROM c JOIN med ON med.event_type = c.event_type),
+dn AS (SELECT event_type, COUNT(*) AS cnt FROM d GROUP BY event_type),
+drk AS (SELECT event_type, dv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn
+        FROM d)
+SELECT drk.event_type, med.median_e4, drk.dv AS mad_e4
+FROM drk
+JOIN dn ON dn.event_type = drk.event_type
+JOIN med ON med.event_type = drk.event_type
+WHERE drk.rn = (50 * dn.cnt + 99) // 100
+"""
+
+
+# --------------------------------------------------------------------------
+# distributed global RANK() — every order's competition rank by price,
+# WITHOUT a global sort materialization: (1) one pre-combined pass
+# builds a coarse value-bucket histogram (bounded by value-range /
+# 2^shift cells, independent of row count); (2) the driver turns it
+# into cumulative below-bucket offsets (a few-KB array, broadcast in
+# the closure); (3) a bucket-hash shuffle co-locates equal buckets and
+# ranks within them segmented-vectorized. rank = offset[bucket] +
+# #(smaller in bucket) + 1 — exact RANK() ties included.
+# --------------------------------------------------------------------------
+
+_RANK_SHIFT = 12
+
+
+def q_order_price_rank(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "total_cents": pa.array(v),
+                "bucket": pa.array(v >> _RANK_SHIFT),
+            }
+        )
+
+    ds = od.map_batches(cents, batch_format="pyarrow")
+
+    hist = (
+        ds.map_batches(
+            _partial_groupby(["bucket"], [("bucket", "count", "cnt")]),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    hb = hist["bucket"].to_numpy(np.int64)
+    below = np.concatenate([[0], hist["cnt"].to_numpy(np.int64).cumsum()[:-1]])
+
+    def rank_in(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "total_cents": pd.Series([], dtype=np.int64),
+                    "price_rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        ok = g["o_orderkey"].to_numpy(np.int64)
+        v = g["total_cents"].to_numpy(np.int64)
+        b = g["bucket"].to_numpy(np.int64)
+        order = np.lexsort((v, b))
+        bs, vs = b[order], v[order]
+        n = len(vs)
+        seg_start = np.r_[True, bs[1:] != bs[:-1]]
+        val_start = seg_start | np.r_[True, vs[1:] != vs[:-1]]
+        idx = np.arange(n, dtype=np.int64)
+        seg0 = idx[seg_start][np.cumsum(seg_start) - 1]
+        val0 = idx[val_start][np.cumsum(val_start) - 1]
+        in_bucket = val0 - seg0  # #(strictly smaller) within the bucket
+        rank = below[np.searchsorted(hb, bs)] + in_bucket + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": ok[order],
+                "total_cents": vs,
+                "price_rank": rank,
+            }
+        )
+
+    return _bucket_groupby(ds, "bucket", rank_in)
+
+
+_SQL_PRICE_RANK = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_cents,
+       RANK() OVER (ORDER BY CAST(round(o_totalprice * 100.0) AS BIGINT))
+         AS price_rank
+FROM orders
+"""
+
+
+QUERIES.update(
+    {
+        "group_mad": q_group_mad,
+        "order_price_rank": q_order_price_rank,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "group_mad": _SQL_GROUP_MAD,
+        "order_price_rank": _SQL_PRICE_RANK,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# RAG document chunking — every doc exploded into overlapping token
+# windows (width 32, stride 16), the flat_map shape of a
+# retrieval-corpus builder. One Arrow split per block, then pure
+# offset arithmetic: per-doc token counts, padded length cumsum, and a
+# np.repeat chunk expansion — no Python loop over docs or chunks.
+# Each output row carries positional checksums (first/last token,
+# summed token length) so the SQL replay pins the exact window
+# contents, not just counts.
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 16
+
+
+def q_doc_chunks(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "first_token": pa.array([], pa.string()),
+                "last_token": pa.array([], pa.string()),
+                "sum_len": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        toks_list = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"\s+")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat_f = flat.filter(keep)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)[keep_np]
+        n_i = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(n_i)])
+        tok_len = pc.utf8_length(flat_f).to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = np.concatenate([[0], np.cumsum(tok_len)])
+        c_i = np.where(n_i > 0, (n_i - 1) // _CHUNK_S + 1, 0)
+        total = int(c_i.sum())
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(len(t), dtype=np.int64), c_i)
+        cstart = np.concatenate([[0], np.cumsum(c_i)])
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(cstart[:-1], c_i)
+        start = off[doc_rep] + chunk_id * _CHUNK_S
+        end = np.minimum(start + _CHUNK_W, off[doc_rep] + n_i[doc_rep])
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[doc_rep]),
+                "chunk_id": pa.array(chunk_id),
+                "n_tokens": pa.array(end - start),
+                "first_token": flat_f.take(pa.array(start)),
+                "last_token": flat_f.take(pa.array(end - 1)),
+                "sum_len": pa.array(cl[end] - cl[start]),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+_SQL_DOC_CHUNKS = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl
+  FROM documents),
+c AS (SELECT doc_id, tl, len(tl) AS n FROM toks WHERE len(tl) > 0),
+ch AS (SELECT doc_id, tl, n,
+              unnest(range(0, ((n-1)//{_CHUNK_S})+1)) AS chunk_id
+       FROM c)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(LEAST(chunk_id*{_CHUNK_S}+{_CHUNK_W}, n) - chunk_id*{_CHUNK_S} AS BIGINT)
+         AS n_tokens,
+       tl[chunk_id*{_CHUNK_S}+1] AS first_token,
+       tl[LEAST(chunk_id*{_CHUNK_S}+{_CHUNK_W}, n)] AS last_token,
+       CAST(list_sum(list_transform(
+              list_slice(tl, chunk_id*{_CHUNK_S}+1,
+                         LEAST(chunk_id*{_CHUNK_S}+{_CHUNK_W}, n)),
+              x -> len(x))) AS BIGINT) AS sum_len
+FROM ch
+"""
+
+
+# --------------------------------------------------------------------------
+# training-sequence packing — assign docs (in doc_id order) to
+# fixed-capacity token bins via a DISTRIBUTED GLOBAL ORDERED PREFIX
+# SUM: (1) per-doc token counts; (2) a coarse doc_id-range histogram
+# (one pre-combined pass, cells = id-range / 2^GRAFT_PACK_RB_SHIFT —
+# independent of row count) gives every range its exclusive global
+# offset; (3) a range-bucket shuffle co-locates each range and the
+# within-range exclusive cumsum is segmented-vectorized. bin_id =
+# (global tokens before this doc) // capacity. The classic
+# hierarchical-scan shape: at 100 TB the histogram recursion of
+# _resolve_exact_quantiles applies if the range table itself outgrows
+# the driver (raise the shift).
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 8192
+
+
+def _pack_rb_shift() -> int:
+    return int(os.environ.get("GRAFT_PACK_RB_SHIFT", "12"))
+
+
+def q_token_pack_bins(sf_dir: str):
+    import ray
+
+    from ..stages.pip_join import _cached_get
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    shift = _pack_rb_shift()
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"\s+")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)[keep]
+        n_i = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_tokens": pa.array(n_i),
+                "rb": pa.array(did >> shift),
+            }
+        )
+
+    ds_n = docs.map_batches(counts, batch_format="pyarrow")
+
+    hist = (
+        ds_n.map_batches(
+            _partial_groupby(["rb"], [("n_tokens", "sum", "tok")]),
+            batch_format="pyarrow",
+        )
+        .groupby("rb")
+        .aggregate(Sum("tok", alias_name="tok"))
+        .to_pandas()
+        .sort_values("rb")
+    )
+    rb_ids = hist["rb"].to_numpy(np.int64)
+    rb_off = np.concatenate([[0], hist["tok"].to_numpy(np.int64).cumsum()[:-1]])
+    off_ref = ray.put((rb_ids, rb_off))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "bin_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        ids, offs = _cached_get(off_ref)
+        did = g["doc_id"].to_numpy(np.int64)
+        n = g["n_tokens"].to_numpy(np.int64)
+        rb = g["rb"].to_numpy(np.int64)
+        order = np.lexsort((did, rb))
+        did, n, rb = did[order], n[order], rb[order]
+        cum_excl = np.cumsum(n) - n
+        seg_start = np.r_[True, rb[1:] != rb[:-1]]
+        seg = np.cumsum(seg_start) - 1
+        base = cum_excl[seg_start][seg]
+        cb = offs[np.searchsorted(ids, rb)] + (cum_excl - base)
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "n_tokens": n,
+                "bin_id": cb // _PACK_CAP,
+            }
+        )
+
+    return _bucket_groupby(ds_n, "rb", assign)
+
+
+_SQL_TOKEN_PACK = rf"""
+WITH t AS (SELECT doc_id,
+                  len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS n
+           FROM documents),
+s AS (SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cb
+      FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(cb // {_PACK_CAP} AS BIGINT) AS bin_id
+FROM s
+"""
+
+
+QUERIES.update(
+    {
+        "doc_chunks": q_doc_chunks,
+        "token_pack_bins": q_token_pack_bins,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "doc_chunks": _SQL_DOC_CHUNKS,
+        "token_pack_bins": _SQL_TOKEN_PACK,
+    }
+)
