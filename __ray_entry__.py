@@ -39,6 +39,12 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "geo_image_brightness",
+    "pareto_front",
+    "table_checksum",
+    "event_concentration",
+    "edit_distance_pairs",
+    "image_pyramid",
     "revenue_by_nation",
     "inverted_index_stats",
     "cube_revenue",

@@ -792,8 +792,23 @@ def q_dedup_keep_best(sf_dir: str):
     )
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy-dup verify: exact Levenshtein over the MinHash candidate
+    pair set (the classic LSH-block → DP-verify pipeline). Texts attach
+    to pairs via the doc_id-bucketed shuffle join (nothing broadcast);
+    the DP vectorizes across the pair axis with a min-plus prefix scan.
+    The SQL oracle recomputes the candidates independently (all-pairs
+    trigram Jaccard) and scores with DuckDB's levenshtein()."""
+    from ..text.dedup import edit_distance_score_pairs
+
+    return edit_distance_score_pairs(
+        _minhash_pairs_cached(sf_dir), _docs(sf_dir)
+    )
+
+
 TEXT_QUERIES = {
     "text_langid": q_text_langid,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_simhash": q_text_simhash,
@@ -1655,8 +1670,19 @@ FROM r WHERE rn = 1
 """
 
 
+_EDIT_DIST_SQL = (
+    "WITH cand AS (" + _MINHASH_SQL + ")\n"
+    "SELECT c.doc_a, c.doc_b,\n"
+    "       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist\n"
+    "FROM cand c\n"
+    "JOIN documents da ON da.doc_id = c.doc_a\n"
+    "JOIN documents db ON db.doc_id = c.doc_b"
+)
+
+
 EXTRA_ORACLE_SQL: dict[str, str] = {
     "minhash_dedup_pairs": _MINHASH_SQL,
+    "edit_distance_pairs": _EDIT_DIST_SQL,
     "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
     "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "image_decode_check": _IMG_CHECK_SQL,
@@ -2149,9 +2175,52 @@ FROM g
 """
 
 
+def q_image_pyramid(sf_dir: str):
+    """Mean-pool tile pyramid over the shared media corpus: actor-pool
+    decode → 2^L×2^L integer box pooling (levels 1–2) → one row per
+    (image, level) with a position-weighted checksum of the pooled
+    grid. The SQL oracle re-derives every pooled cell from the
+    persisted int-list payload (decode CASE per fmt, exact sum//area),
+    so a wrong pool bound, stride or decode path shifts the sum."""
+    from ..stages.media import ImagePyramidActor
+
+    imgs = gen_images(_persist_media_inputs(sf_dir))
+    return imgs.map_batches(
+        ImagePyramidActor,
+        fn_constructor_kwargs={"levels": (1, 2)},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+
+
+_IMAGE_PYRAMID_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, b, w, h, fmt
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+lv(level, s) AS (VALUES (1, 2), (2, 4)),
+g AS (SELECT image_id, b, w, fmt, level, s, w//s AS gx, h//s AS gy
+      FROM base CROSS JOIN lv WHERE w >= s AND h >= s),
+cells AS (SELECT image_id, b, w, fmt, level, s, gx, gy,
+                 unnest(range(0, gy*gx*3)) AS pi
+          FROM g),
+v AS (SELECT image_id, level, gy, gx, pi,
+  list_sum([(CASE WHEN fmt = 'raw'
+      THEN b[(((pi//(gx*3))*s + t//s)*w + ((pi%(gx*3))//3)*s + t%s)*3 + pi%3 + 1]
+      ELSE b[(((pi//(gx*3))*s + t//s)*w + ((pi%(gx*3))//3)*s + t%s)*3 + pi%3 + 1]*4 + 2
+      END) for t in generate_series(0, s*s - 1)]) // (s*s) AS pooled
+  FROM cells)
+SELECT image_id, CAST(level AS BIGINT) AS level,
+       CAST(gy AS BIGINT) AS gy, CAST(gx AS BIGINT) AS gx,
+       CAST(SUM((pi+1) * pooled) AS BIGINT) AS cksum
+FROM v GROUP BY image_id, level, gy, gx
+"""
+
+
 GEO_QUERIES.update(
     {
         "media_decode_featurize": q_media_decode_featurize,
+        "image_pyramid": q_image_pyramid,
         "media_resize": q_media_resize,
         "image_phash_near_dup": _phash_pairs_cached,
         "image_dedup_groups": q_image_dedup_groups,
@@ -2167,6 +2236,7 @@ EXTRA_ORACLE_SQL.update(
         "audio_features": _AUDIO_FEAT_SQL,
         "video_frame_sample": _VIDEO_FRAME_SQL,
         "image_patches": _IMAGE_PATCH_SQL,
+        "image_pyramid": _IMAGE_PYRAMID_SQL,
     }
 )
 
@@ -2302,6 +2372,97 @@ def q_geo_zonal_value_stats(sf_dir: str):
     )
 
 
+def q_geo_image_brightness(sf_dir: str):
+    """CROSS-MODAL zonal stats (the axes-A+B flagship shape): PIP-join
+    the media corpus's geotags into the decomposed simple rings, then
+    aggregate each ring's EXACT integer decoded-luma sum. The luma side
+    is one scalar per image computed from payload byte sums without a
+    full decode (raw: Σb; q6: Σ(4b+2) = 4Σb + 2·npx) and rides as a
+    task-assembled broadcast keyed by the numeric image id — one
+    ray.put, read per worker, never per batch. At a scale where the
+    per-image scalar table outgrows a worker heap, the attach becomes
+    an image_id-bucketed shuffle join (the `_verify_pairs_shuffle`
+    pattern); the broadcast is the bounded-side fast path, like
+    pip_join's `GRAFT_BROADCAST_EDGE_CAP` crossover."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..relational.queries import _partial_groupby
+    from ..stages.pip_join import _cached_get
+
+    n_polys, _ = scale_counts(sf_dir)
+    n_media = _persist_media_inputs(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "pipb_edges")
+    pts_dir = _persist(gen_points(n_media), "pipb_points")
+    joined = pip_join_broadcast(
+        rd.read_parquet(pts_dir), simple, level=DEFAULT_LEVEL
+    ).select_columns(["image_id", "geom_id", "ring_seq"])
+
+    def luma_partial(t: pa.Table) -> pa.Table:
+        from ..stages.media import _binary_parts
+
+        data, off = _binary_parts(t["bytes"])
+        npx = off[1:] - off[:-1]
+        sums = np.add.reduceat(data.astype(np.int64), off[:-1]) if len(t) else np.zeros(0, np.int64)
+        sums = np.where(npx > 0, sums, 0)
+        is_q6 = pc.equal(t["fmt"], "q6").to_numpy(zero_copy_only=False)
+        luma = np.where(is_q6, 4 * sums + 2 * npx, sums)
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(t["image_id"], 3, 64), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({"iid": pa.array(ids), "luma": pa.array(luma)})
+
+    luma_tbl = pa.concat_tables(
+        ray.get(
+            [
+                blk
+                for blk in gen_images(n_media)
+                .map_batches(luma_partial, batch_format="pyarrow")
+                .to_arrow_refs()
+            ]
+        )
+    )
+    order = np.argsort(luma_tbl["iid"].to_numpy(zero_copy_only=False), kind="stable")
+    luma_ref = ray.put(
+        (
+            luma_tbl["iid"].to_numpy(zero_copy_only=False)[order],
+            luma_tbl["luma"].to_numpy(zero_copy_only=False)[order],
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids_sorted, luma = _cached_get(luma_ref)
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(t["image_id"], 3, 64), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids_sorted, ids)
+        if len(ids) and not (ids_sorted[np.minimum(pos, len(ids_sorted) - 1)] == ids).all():
+            raise ValueError("pip output references an image absent from the corpus")
+        return pa.table(
+            {
+                "geom_id": t["geom_id"],
+                "ring_seq": t["ring_seq"],
+                "luma": pa.array(luma[pos]),
+            }
+        )
+
+    partial = joined.map_batches(attach, batch_format="pyarrow").map_batches(
+        _partial_groupby(
+            ["geom_id", "ring_seq"],
+            [("ring_seq", "count", "n_images"), ("luma", "sum", "sum_luma")],
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(["geom_id", "ring_seq"]).aggregate(
+        Sum("n_images", alias_name="n_images"),
+        Sum("sum_luma", alias_name="sum_luma"),
+    )
+
+
 def q_geo_knn_classify(sf_dir: str):
     """k-NN classification (majority label of the 5 nearest sites;
     labels are a deterministic function of the site id digits). Builds
@@ -2409,6 +2570,7 @@ GEO_QUERIES.update(
         "geo_compact_cover": q_geo_compact_cover,
         "geo_zonal_counts": q_geo_zonal_counts,
         "geo_zonal_value_stats": q_geo_zonal_value_stats,
+        "geo_image_brightness": q_geo_image_brightness,
         "geo_knn_classify": q_geo_knn_classify,
     }
 )
@@ -2420,6 +2582,20 @@ EXTRA_ORACLE_SQL["geo_zonal_value_stats"] = (
     + ") GROUP BY geom_id, ring_seq"
 )
 EXTRA_ORACLE_SQL["geo_knn_classify"] = _KNN_CLASSIFY_SQL
+EXTRA_ORACLE_SQL["geo_image_brightness"] = (
+    "WITH j AS ("
+    + _pip_sql(f"{_ORACLE_DIR}/pipb_points", f"{_ORACLE_DIR}/pipb_edges")
+    + f"""),
+luma AS (SELECT image_id,
+  CAST(list_sum([CASE WHEN fmt = 'raw' THEN v ELSE v*4 + 2 END for v in b])
+       AS BIGINT) AS sl
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT j.geom_id, CAST(j.ring_seq AS BIGINT) AS ring_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(l.sl) AS BIGINT) AS sum_luma
+FROM j JOIN luma l ON l.image_id = j.image_id
+GROUP BY j.geom_id, j.ring_seq"""
+)
 
 
 # ---------------------------------------------------------------- ring stats

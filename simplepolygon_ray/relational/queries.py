@@ -4465,3 +4465,234 @@ ORACLE_SQL.update(
         "token_pack_bins": _SQL_TOKEN_PACK,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# pareto front (skyline) — the 2-D dominance frontier of part
+# (retail price, size), maximizing both. Skylines are MERGEABLE
+# (global skyline ⊆ union of block skylines), so the distributed
+# shape is: vectorized per-block skyline (massive reduction — the
+# survivor set of a random block is ~O(log n)) → one single-task
+# merge over the concatenated block skylines. The only data movement
+# is the block-skyline rows; nothing driver-side. At 100 TB the merge
+# input is (blocks × per-block frontier) rows — document the
+# assumption that frontiers are small; a pathological total-order
+# dataset degrades to a sort, not an OOM, because the merge task
+# streams blocks.
+# --------------------------------------------------------------------------
+
+
+def _skyline_keep(price_c: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Indices of non-dominated rows (maximize both; a row survives
+    unless some row is >= on both axes and > on at least one — equal
+    duplicates all survive). Vectorized: sort by price desc, per
+    distinct-price segment keep rows at the segment's max size iff
+    that max strictly exceeds the running max over higher prices."""
+    n = len(price_c)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((-size, -price_c))
+    p, s = price_c[order], size[order]
+    seg_start = np.r_[True, p[1:] != p[:-1]]
+    seg = np.cumsum(seg_start) - 1
+    seg_max = s[seg_start]  # first row of each segment has the max size
+    prev_max = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(seg_max)[:-1]])
+    keep_seg = seg_max > prev_max
+    keep = keep_seg[seg] & (s == seg_max[seg])
+    return order[keep]
+
+
+def q_pareto_front(sf_dir: str):
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local_sky(t: pa.Table) -> pa.Table:
+        price_c = np.rint(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _skyline_keep(price_c, size)
+        sel = pa.array(keep)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"].take(sel).cast(pa.int64()),
+                "price_c": pa.array(price_c[keep]),
+                "p_size": pa.array(size[keep]),
+            }
+        )
+
+    def merge_sky(t: pa.Table) -> pa.Table:
+        keep = _skyline_keep(
+            t["price_c"].to_numpy(zero_copy_only=False),
+            t["p_size"].to_numpy(zero_copy_only=False),
+        )
+        return t.take(pa.array(keep))
+
+    return (
+        part.map_batches(local_sky, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_sky, batch_format="pyarrow", batch_size=None)
+    )
+
+
+_SQL_PARETO = """
+WITH p AS (SELECT p_partkey,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                  CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+SELECT p_partkey, price_c, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c >= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c > a.price_c OR b.p_size > a.p_size))
+"""
+
+
+# --------------------------------------------------------------------------
+# order-independent table fingerprint — migration/validation checksum
+# at 100-TB scale: splitmix64 over a canonical per-row integer, summed
+# mod 2^64. Per block the uint64 sum wraps natively; the exchange
+# carries ONE (lo32, hi32) partial per block (no overflow until 2^31
+# blocks), and the driver folds the ≤1-row aggregate. The SQL replays
+# the hash limb-exactly (the `_splitmix_ctes` machinery) and the mod
+# fold in HUGEINT.
+# --------------------------------------------------------------------------
+
+_CKSUM_M32 = (1 << 32) - 1
+
+
+def q_table_checksum(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        with np.errstate(over="ignore"):
+            c = (ok.astype(np.uint64) * np.uint64(331) + ln.astype(np.uint64)) * np.uint64(
+                65536
+            ) + qc.astype(np.uint64)
+            h = _hash64(c)
+            s = np.add.reduce(h, dtype=np.uint64) if len(h) else np.uint64(0)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([len(t)], pa.int64()),
+                "lo": pa.array([int(s & np.uint64(_CKSUM_M32))], pa.int64()),
+                "hi": pa.array([int(s >> np.uint64(32))], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("lo", alias_name="lo"),
+            Sum("hi", alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    tot = (int(agg["lo"][0]) + (int(agg["hi"][0]) << 32)) % (1 << 64)
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([int(agg["n"][0])], np.int64),
+            "cksum_hi": np.array([tot >> 32], np.int64),
+            "cksum_lo": np.array([tot & _CKSUM_M32], np.int64),
+        }
+    )
+
+
+_SQL_TABLE_CKSUM = f"""
+WITH c AS (SELECT ((CAST(l_orderkey AS HUGEINT) * 331 + l_linenumber) * 65536
+                   + CAST(round(l_quantity * 100) AS HUGEINT) + {_GOLDEN}) % {_T64} AS start
+           FROM lineitem),
+{_splitmix_ctes("tc", "c", "1 AS one", "start")},
+s AS (SELECT COUNT(*) AS n,
+             (SUM(x % {1 << 32}) + SUM(x // {1 << 32}) * {1 << 32}) % {_T64} AS tot
+      FROM tc3)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(tot // {1 << 32} AS BIGINT) AS cksum_hi,
+       CAST(tot % {1 << 32} AS BIGINT) AS cksum_lo
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# per-key concentration diagnostics (Herfindahl index as an exact
+# rational) — the skew pre-pass a shuffle planner needs: for each
+# event_type, how concentrated are its events across users?
+# HHI = sum_u c_u^2 / n^2, reported as exact integer numerator +
+# denominator terms. Users are whole inside one hash bucket, so the
+# (type, user) counts complete per bucket; the exchange carries one
+# (type, sumsq, n, users) partial per (bucket, type).
+# --------------------------------------------------------------------------
+
+
+def q_event_concentration(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="string"),
+                    "sum_sq": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_users": pd.Series([], dtype=np.int64),
+                }
+            )
+        cnt = (
+            g.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        c = cnt["c"].to_numpy(np.int64)
+        cnt["sq"] = c * c
+        out = cnt.groupby("event_type", sort=False).agg(
+            sum_sq=("sq", "sum"), n_events=("c", "sum"), n_users=("c", "size")
+        )
+        return out.reset_index().astype(
+            {"sum_sq": np.int64, "n_events": np.int64, "n_users": np.int64}
+        )
+
+    bucketed = _bucket_groupby(ev, "user_id", per_bucket)
+    return (
+        bucketed.groupby("event_type")
+        .aggregate(
+            Sum("sum_sq", alias_name="sum_sq"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_users", alias_name="n_users"),
+        )
+    )
+
+
+_SQL_EVENT_CONC = """
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS c
+           FROM events GROUP BY event_type, user_id)
+SELECT event_type,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "pareto_front": q_pareto_front,
+        "table_checksum": q_table_checksum,
+        "event_concentration": q_event_concentration,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "pareto_front": _SQL_PARETO,
+        "table_checksum": _SQL_TABLE_CKSUM,
+        "event_concentration": _SQL_EVENT_CONC,
+    }
+)

@@ -502,6 +502,84 @@ class ImagePatchActor:
         )
 
 
+class ImagePyramidActor:
+    """Mean-pool tile pyramid (the raster analogue of the vector tile
+    pyramid): per image and level L, pool the decoded pixels over
+    2^L × 2^L blocks with an exact integer sum // area, and emit one
+    row per (image, level) carrying the pooled grid's position-weighted
+    checksum. Vectorized per (w, h) group — one reshape-sum and one
+    int64 matvec per (dim-group, level), no per-image Python."""
+
+    def __init__(self, levels: tuple = (1, 2)):
+        self.levels = tuple(levels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fmts = np.asarray(batch["fmt"].to_pylist())
+        bad = ~np.isin(fmts, list(_SUPPORTED_FMTS))
+        if bad.any():
+            raise ValueError(f"unknown fmt {fmts[bad.argmax()]!r}")
+        data, off = _binary_parts(batch["bytes"])
+        lens = off[1:] - off[:-1]
+        need = w * h * 3
+        if (lens != need).any():
+            k = int(np.flatnonzero(lens != need)[0])
+            raise ValueError(f"payload size {lens[k]} != {w[k]}x{h[k]}x3")
+        maxlen = int(need.max()) if n else 0
+        px = _gather_padded(data, off[:-1], maxlen)
+        valid = np.arange(maxlen, dtype=np.int64)[None, :] < need[:, None]
+        _decode_block(px, fmts == "q6", valid)
+
+        rows_out: list[np.ndarray] = []
+        lv_out: list[np.ndarray] = []
+        gy_out: list[np.ndarray] = []
+        gx_out: list[np.ndarray] = []
+        ck_out: list[np.ndarray] = []
+        dims = np.unique(np.stack([w, h], axis=1), axis=0) if n else np.zeros((0, 2), np.int64)
+        for w0, h0 in dims:
+            idx = np.flatnonzero((w == w0) & (h == h0))
+            m = px[idx, : int(w0) * int(h0) * 3].reshape(len(idx), int(h0), int(w0), 3)
+            for lv in self.levels:
+                s = 1 << lv
+                gy, gx = int(h0) // s, int(w0) // s
+                if gy == 0 or gx == 0:
+                    continue
+                pooled = (
+                    m[:, : gy * s, : gx * s, :]
+                    .reshape(len(idx), gy, s, gx, s, 3)
+                    .astype(np.int64)
+                    .sum(axis=(2, 4))
+                    // (s * s)
+                )  # (k, gy, gx, 3)
+                weights = np.arange(1, gy * gx * 3 + 1, dtype=np.int64)
+                cks = pooled.reshape(len(idx), -1) @ weights
+                rows_out.append(idx)
+                lv_out.append(np.full(len(idx), lv, np.int64))
+                gy_out.append(np.full(len(idx), gy, np.int64))
+                gx_out.append(np.full(len(idx), gx, np.int64))
+                ck_out.append(cks)
+        if rows_out:
+            rows = np.concatenate(rows_out)
+            lvs = np.concatenate(lv_out)
+            gys = np.concatenate(gy_out)
+            gxs = np.concatenate(gx_out)
+            cks = np.concatenate(ck_out)
+        else:
+            rows = np.zeros(0, np.int64)
+            lvs = gys = gxs = cks = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "image_id": batch["image_id"].take(pa.array(rows)).cast(pa.string()),
+                "level": pa.array(lvs),
+                "gy": pa.array(gys),
+                "gx": pa.array(gxs),
+                "cksum": pa.array(cks),
+            }
+        )
+
+
 def decode_and_featurize(images, *, concurrency=(1, 4), batch_size: int = 1024):
     """Actor-pool decode stage; small batches — rows carry pixel bytes."""
     return images.map_batches(

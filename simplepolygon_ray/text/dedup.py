@@ -237,6 +237,43 @@ def _jaccard_rows_vec(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
     return ni / np.maximum(union, 1)
 
 
+def _levenshtein_rows_vec(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+    """levenshtein(texts_a[i], texts_b[i]) for every i — unit-cost
+    Wagner–Fischer, vectorized ACROSS the pair axis: the outer loop
+    runs max-len(b) times, and inside it the row update's sequential
+    left-dependency (dp[i][j-1]+1) collapses to a min-plus prefix scan
+    (minimum.accumulate of cand - j, plus j back). ASCII corpora only
+    (byte == char, matching DuckDB's levenshtein on these inputs)."""
+    n = len(texts_a)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    ba = [t.encode("utf-8") for t in texts_a]
+    bb = [t.encode("utf-8") for t in texts_b]
+    la = np.array([len(x) for x in ba], np.int64)
+    lb = np.array([len(x) for x in bb], np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(La, 1)), np.uint8)
+    B = np.zeros((n, max(Lb, 1)), np.uint8)
+    for i, x in enumerate(ba):
+        A[i, : len(x)] = np.frombuffer(x, np.uint8)
+    for i, x in enumerate(bb):
+        B[i, : len(x)] = np.frombuffer(x, np.uint8)
+    res = np.zeros(n, np.int64)
+    res[lb == 0] = la[lb == 0]
+    row = np.broadcast_to(np.arange(La + 1, dtype=np.int64), (n, La + 1)).copy()
+    j_idx = np.arange(La + 1, dtype=np.int64)
+    for i in range(1, Lb + 1):
+        cost = (A != B[:, i - 1 : i]).astype(np.int64)
+        cand = np.empty_like(row)
+        cand[:, 0] = i
+        np.minimum(row[:, 1:] + 1, row[:, :-1] + cost, out=cand[:, 1:])
+        row = np.minimum.accumulate(cand - j_idx, axis=1) + j_idx
+        done = lb == i
+        if done.any():
+            res[done] = row[done, la[done]]
+    return res
+
+
 def _pairs_in_runs(new: np.ndarray, vals: np.ndarray):
     """All within-run (a, b) pairs (a before b in run order) for runs
     delimited by ``new`` (True at each run start), batched by run-size
@@ -321,6 +358,7 @@ def _verify_pairs_shuffle(
     text_col: str,
     threshold: float,
     n_buckets: int = 512,
+    scorer=None,
 ):
     """doc_id-bucketed shuffle verify for candidate sets too large to
     broadcast (the crossover target of ``MINHASH_BROADCAST_ID_CAP``):
@@ -428,13 +466,16 @@ def _verify_pairs_shuffle(
         txt = g[text_col].to_pylist()
         ta = [txt[i] for i in ev]
         tb = [txt[i] for i in od]
-        jac = _jaccard_rows_vec(ta, tb)
-        keep = jac >= threshold
+        if scorer is not None:
+            col, vals, keep = scorer(ta, tb)
+        else:
+            col, vals = "jaccard", _jaccard_rows_vec(ta, tb)
+            keep = vals >= threshold
         return pa.table(
             {
                 "doc_a": pa.array(a[ev][keep]),
                 "doc_b": pa.array(b[ev][keep]),
-                "jaccard": pa.array(jac[keep]),
+                col: pa.array(vals[keep]),
             }
         )
 
@@ -614,6 +655,25 @@ def minhash_dedup_pairs(
         )
 
     return cands.map_batches(verify, batch_format="pyarrow")
+
+
+def edit_distance_score_pairs(cands, docs, *, text_col: str = "text", max_dist=None):
+    """Exact unit-cost Levenshtein over a CANDIDATE pair set (fuzzy-dup
+    verify, the classic second stage after LSH blocking): texts attach
+    to pairs via the same doc_id-bucketed shuffle join as the minhash
+    verify crossover — exchange bounded by (2 × pairs + docs) rows,
+    nothing broadcast — then the whole-bucket vectorized DP scores each
+    pair. ``max_dist=None`` emits every pair with its distance;
+    otherwise pairs with distance > max_dist drop."""
+
+    def scorer(ta, tb):
+        d = _levenshtein_rows_vec(ta, tb)
+        keep = d <= max_dist if max_dist is not None else np.ones(len(d), bool)
+        return "edit_dist", d, keep
+
+    return _verify_pairs_shuffle(
+        cands, docs, text_col=text_col, threshold=0.0, scorer=scorer
+    )
 
 
 def simhash64_many(texts: list[str]) -> np.ndarray:
