@@ -39,6 +39,16 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "label_covariance",
+    "pq_codes",
+    "latest_event_per_user",
+    "geo_ring_decimate",
+    "copurchase_pairs",
+    "events_ohlc",
+    "user_value_deltas",
+    "ntile_orders",
+    "iqr_outlier_counts",
+    "profile_numeric",
     "geo_image_brightness",
     "pareto_front",
     "table_checksum",

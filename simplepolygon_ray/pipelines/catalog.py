@@ -2696,6 +2696,132 @@ GEO_QUERIES.update({"geo_ring_stats": q_geo_ring_stats})
 EXTRA_ORACLE_SQL["geo_ring_stats"] = _RING_STATS_SQL
 
 
+# ---------------------------------------------------------------- decimation
+
+# Keep a vertex iff C · m · |cross2_k| ≥ |area2| — its turn triangle is
+# at least 1/(C·m) of the ring area. Scale-free (no tuning constant in
+# coordinate units) and pure int64 on both engines. C=2, m ≤ 900,
+# |cross2| < 6.5e14 keep the product < 1.2e18 (int64-safe).
+_DECIM_C = 2
+
+
+def _ring_decimate_batch(t: pa.Table) -> pa.Table:
+    """simple-ring rows → one exact-int decimation summary per ring:
+    one-pass Visvalingam-style vertex screen (drop vertices whose turn
+    triangle is below 1/(C·m) of the ring area; vertex 0 pinned), with
+    kept-vertex count and coordinate/position checksums so the SQL
+    replay pins exactly WHICH vertices survive, not just how many."""
+    from ..cells.grid import _rl_arange
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "n_vertices": pa.array([], type=pa.int64()),
+            "n_kept": pa.array([], type=pa.int64()),
+            "kept_vidx_sum": pa.array([], type=pa.int64()),
+            "kept_x_sum": pa.array([], type=pa.int64()),
+            "kept_y_sum": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    if (olen <= 0).any():
+        raise ValueError("degenerate ring in decimate input")
+    if olen.max(initial=0) > 900:
+        raise ValueError("ring too long for exact int64 cross terms at e5")
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    # floor (not rint): e5-scaled coords land exactly on .5 (CLAUDE.md)
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    idx = np.arange(len(oc), dtype=np.int64)
+    nxt = idx + 1
+    nxt[ostart + olen - 1] = ostart
+    prv = idx - 1
+    prv[ostart] = ostart + olen - 1
+    vidx = idx - np.repeat(ostart, olen)
+    area2 = np.add.reduceat(xi * yi[nxt] - xi[nxt] * yi, ostart)
+    cross2 = (xi - xi[prv]) * (yi[nxt] - yi) - (xi[nxt] - xi) * (yi - yi[prv])
+    m_pv = np.repeat(olen, olen)
+    keep = (vidx == 0) | (
+        _DECIM_C * m_pv * np.abs(cross2) >= np.repeat(np.abs(area2), olen)
+    )
+    k64 = keep.astype(np.int64)
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "n_vertices": pa.array(olen),
+            "n_kept": pa.array(np.add.reduceat(k64, ostart)),
+            "kept_vidx_sum": pa.array(np.add.reduceat((vidx + 1) * k64, ostart)),
+            "kept_x_sum": pa.array(np.add.reduceat(xi * k64, ostart)),
+            "kept_y_sum": pa.array(np.add.reduceat(yi * k64, ostart)),
+        }
+    )
+
+
+def q_geo_ring_decimate(sf_dir: str):
+    """Polyline/ring simplification over the decompose output — the
+    tile-serving preprocessing step (render low zooms from decimated
+    rings). One pass, no shuffle: each ring decimates inside its own
+    block. The vertex table persists so SQL re-derives every turn
+    triangle and the keep decision per vertex."""
+    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
+    simple = decompose_dataset(polygons)
+    _persist(
+        simple.map_batches(_verts_batch, batch_format="pyarrow"), "decim_verts"
+    )
+    return simple.map_batches(_ring_decimate_batch, batch_format="pyarrow")
+
+
+_RING_DECIMATE_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/decim_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+ar AS (SELECT a.geom_id, a.ring_seq,
+              SUM(a.xi * b.yi - b.xi * a.yi) AS area2
+       FROM v a
+       JOIN n ON n.geom_id = a.geom_id AND n.ring_seq = a.ring_seq
+       JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+               AND b.vidx = (a.vidx + 1) % n.m
+       GROUP BY a.geom_id, a.ring_seq),
+k AS (SELECT a.geom_id, a.ring_seq, a.vidx, a.xi, a.yi,
+             CASE WHEN a.vidx = 0 OR
+                  {_DECIM_C} * n.m * abs((a.xi - c.xi) * (b.yi - a.yi)
+                                       - (b.xi - a.xi) * (a.yi - c.yi))
+                  >= abs(ar.area2)
+             THEN 1 ELSE 0 END AS keep
+      FROM v a
+      JOIN n ON n.geom_id = a.geom_id AND n.ring_seq = a.ring_seq
+      JOIN ar ON ar.geom_id = a.geom_id AND ar.ring_seq = a.ring_seq
+      JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+              AND b.vidx = (a.vidx + 1) % n.m
+      JOIN v c ON c.geom_id = a.geom_id AND c.ring_seq = a.ring_seq
+              AND c.vidx = (a.vidx - 1 + n.m) % n.m)
+SELECT geom_id, ring_seq, COUNT(*) AS n_vertices,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM((vidx + 1) * keep) AS BIGINT) AS kept_vidx_sum,
+       CAST(SUM(xi * keep) AS BIGINT) AS kept_x_sum,
+       CAST(SUM(yi * keep) AS BIGINT) AS kept_y_sum
+FROM k GROUP BY geom_id, ring_seq
+"""
+
+
+GEO_QUERIES.update({"geo_ring_decimate": q_geo_ring_decimate})
+EXTRA_ORACLE_SQL["geo_ring_decimate"] = _RING_DECIMATE_SQL
+
+
 # ---------------------------------------------------------------- filtered ann
 
 

@@ -4696,3 +4696,748 @@ ORACLE_SQL.update(
         "event_concentration": _SQL_EVENT_CONC,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# market-basket co-purchase pairs — the classic frequent-itemset first
+# pass: distinct parts per order, all within-order pairs, global pair
+# counts, top-20. Two bounded exchanges: an orderkey-hash bucket
+# shuffle co-locates each basket (pair emission is run-batched numpy,
+# no per-order Python), then the pair-count groupby moves one partial
+# row per (block, pair). Baskets are small (TPC-H ≤ 7 lines), so pair
+# explosion is ≤ 21× basket rows — never all-pairs over the table.
+# --------------------------------------------------------------------------
+
+
+def q_copurchase_pairs(sf_dir: str):
+    from ..text.dedup import _pairs_in_runs
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series([], dtype=np.int64),
+                    "part_b": pd.Series([], dtype=np.int64),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        pk = g["l_partkey"].to_numpy(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct (order, part) then within-order pairs, part_a < part_b
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        a, b = _pairs_in_runs(new, pk)  # run order is pk-ascending → a < b
+        t = (
+            pd.DataFrame({"part_a": a, "part_b": b})
+            .groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .rename("n_orders")
+            .reset_index()
+        )
+        return t.astype({"part_a": np.int64, "part_b": np.int64, "n_orders": np.int64})
+
+    per_bucket = _bucket_groupby(li, "l_orderkey", pairs)
+    counts = (
+        per_bucket.map_batches(
+            _partial_groupby(
+                ["part_a", "part_b"], [("n_orders", "sum", "n_orders")]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        # pair keys are complete after the groupby → block-local top-20
+        # is a safe prefilter; the driver merge sees ≤ 20 × blocks rows.
+        if len(t) <= 20:
+            return t
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((b, a, -n))[:20]
+        return t.take(pa.array(sel))
+
+    agg = counts.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return (
+        agg.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_COPURCHASE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM p
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# OHLC candles — per-hour open/high/low/close of the event value (the
+# time-series rollup shape: order-sensitive endpoints + order-free
+# extremes in one pass). Hours shuffle by hash bucket; one lexsort per
+# bucket resolves open/close at segment boundaries with the unique
+# (ts, event_id) order, so the result is deterministic under any block
+# arrival order. The exchange moves event rows once; output is one row
+# per hour.
+# --------------------------------------------------------------------------
+
+
+def q_events_ohlc(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "hour": pa.array(ts // 3_600_000_000),
+                "ts_us": pa.array(ts),
+                "event_id": batch["event_id"],
+                "value_e4": pa.array(v),
+            }
+        )
+
+    def candles(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "hour": pd.Series([], dtype=np.int64),
+                    "open_e4": pd.Series([], dtype=np.int64),
+                    "high_e4": pd.Series([], dtype=np.int64),
+                    "low_e4": pd.Series([], dtype=np.int64),
+                    "close_e4": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        h = g["hour"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        v = g["value_e4"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, h))
+        h, v = h[order], v[order]
+        new = np.r_[True, h[1:] != h[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(h)) - 1
+        high = np.maximum.reduceat(v, starts)
+        low = np.minimum.reduceat(v, starts)
+        return pd.DataFrame(
+            {
+                "hour": h[starts],
+                "open_e4": v[starts],
+                "high_e4": high,
+                "low_e4": low,
+                "close_e4": v[ends],
+                "n_events": np.append(starts[1:], len(h)) - starts,
+            }
+        ).astype(np.int64)
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return _bucket_groupby(prepped, "hour", candles)
+
+
+_SQL_EVENTS_OHLC = """
+WITH e AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+                  ts, event_id,
+                  CAST(round(value * 10000.0) AS BIGINT) AS v
+           FROM events),
+w AS (SELECT hour, v,
+        ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e)
+SELECT hour,
+       CAST(MAX(CASE WHEN rf = 1 THEN v END) AS BIGINT) AS open_e4,
+       CAST(MAX(v) AS BIGINT) AS high_e4,
+       CAST(MIN(v) AS BIGINT) AS low_e4,
+       CAST(MAX(CASE WHEN rl = 1 THEN v END) AS BIGINT) AS close_e4,
+       COUNT(*) AS n_events
+FROM w GROUP BY hour
+"""
+
+
+# --------------------------------------------------------------------------
+# per-user value deltas — LAG(value) diffs in (ts, event_id) order
+# (the time-series differencing / feature-engineering shape). Whole
+# users co-locate per hash bucket; one lexsort + np.diff per bucket,
+# first-event rows drop (no nullable column to lose schema over).
+# --------------------------------------------------------------------------
+
+
+def q_user_value_deltas(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "user_id": batch["user_id"],
+                "value_e4": pa.array(v),
+            }
+        )
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "delta_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        v = g["value_e4"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, v = u[order], eid[order], v[order]
+        cont = np.r_[False, u[1:] == u[:-1]]  # row continues its user run
+        d = np.r_[np.int64(0), v[1:] - v[:-1]]
+        return pd.DataFrame(
+            {"event_id": eid[cont], "user_id": u[cont], "delta_e4": d[cont]}
+        ).astype(np.int64)
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return _bucket_groupby(prepped, "user_id", deltas)
+
+
+_SQL_USER_DELTAS = """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 10000.0) AS BIGINT) AS v
+           FROM events),
+w AS (SELECT event_id, user_id,
+             v - LAG(v) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta_e4
+      FROM e)
+SELECT event_id, user_id, CAST(delta_e4 AS BIGINT) AS delta_e4
+FROM w WHERE delta_e4 IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# NTILE — equi-depth binning of orders by price without a global sort:
+# the distributed row_number machinery of order_price_rank (bucket
+# histogram → broadcast exclusive prefix offsets → per-bucket local
+# sort) plus the exact NTILE split rule (first n % k tiles get
+# ceil(n/k) rows). The unique (price, orderkey) sort key makes
+# row_number — hence the tile — deterministic on both engines.
+# --------------------------------------------------------------------------
+
+_NTILE_K = 8
+
+
+def _ntile_of_rn(rn: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) of 0-based row_number ``rn`` over ``n`` rows: the
+    first n % k tiles hold ceil(n/k) rows, the rest floor(n/k)."""
+    big, small = n % k, n // k
+    cut = big * (small + 1)
+    return np.where(
+        rn < cut,
+        rn // max(small + 1, 1) + 1,
+        big + (rn - cut) // max(small, 1) + 1,
+    ).astype(np.int64)
+
+
+def q_ntile_orders(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "total_cents": pa.array(v),
+                "bucket": pa.array(v >> _RANK_SHIFT),
+            }
+        )
+
+    ds = od.map_batches(cents, batch_format="pyarrow")
+    hist = (
+        ds.map_batches(
+            _partial_groupby(["bucket"], [("bucket", "count", "cnt")]),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    hb = hist["bucket"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    below = np.concatenate([[0], cnts.cumsum()[:-1]])
+    n = int(cnts.sum())
+
+    def tile_in(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "total_cents": pd.Series([], dtype=np.int64),
+                    "tile": pd.Series([], dtype=np.int64),
+                }
+            )
+        ok = g["o_orderkey"].to_numpy(np.int64)
+        v = g["total_cents"].to_numpy(np.int64)
+        b = g["bucket"].to_numpy(np.int64)
+        order = np.lexsort((ok, v, b))
+        bs, vs, oks = b[order], v[order], ok[order]
+        seg_start = np.r_[True, bs[1:] != bs[:-1]]
+        idx = np.arange(len(bs), dtype=np.int64)
+        seg0 = idx[seg_start][np.cumsum(seg_start) - 1]
+        rn = below[np.searchsorted(hb, bs)] + (idx - seg0)  # 0-based row_number
+        tile = _ntile_of_rn(rn, n, _NTILE_K)
+        return pd.DataFrame(
+            {"o_orderkey": oks, "total_cents": vs, "tile": tile}
+        ).astype(np.int64)
+
+    return _bucket_groupby(ds, "bucket", tile_in)
+
+
+_SQL_NTILE = f"""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_cents,
+       CAST(NTILE({_NTILE_K}) OVER (
+         ORDER BY CAST(round(o_totalprice * 100.0) AS BIGINT), o_orderkey)
+         AS BIGINT) AS tile
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# IQR outlier screen — the quantile-based data-quality gate: exact
+# q25/q75 per return flag via the recursive bounded-pull histogram,
+# then one counting pass against half-IQR fences held exactly in
+# HALF-cents (2v vs 2q1 − IQR, no fractional arithmetic on either
+# engine). Output: one row per group with the quartiles and counts.
+# --------------------------------------------------------------------------
+
+
+def q_iqr_outlier_counts(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"], "v": pa.array(v)})
+
+    cents = li.map_batches(to_cents, batch_format="pyarrow")
+    resolved = _resolve_exact_quantiles(
+        cents, [25, 75], group_col="l_returnflag", shift0=_QBUCKET_SHIFT
+    )
+    q1 = {g: val for g, q, val in resolved if q == 25}
+    q3 = {g: val for g, q, val in resolved if q == 75}
+    groups = sorted(q1)
+    lo2 = {g: 2 * q1[g] - (q3[g] - q1[g]) for g in groups}
+    hi2 = {g: 2 * q3[g] + (q3[g] - q1[g]) for g in groups}
+
+    def count_out(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"]
+        v2 = 2 * batch["v"].to_numpy(zero_copy_only=False)
+        gs, ns, outs = [], [], []
+        for g in groups:
+            m = pc.equal(flags, g).to_numpy(zero_copy_only=False)
+            gs.append(g)
+            ns.append(int(m.sum()))
+            outs.append(int((m & ((v2 < lo2[g]) | (v2 > hi2[g]))).sum()))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(gs, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "n_outliers": pa.array(outs, pa.int64()),
+            }
+        )
+
+    agg = (
+        cents.map_batches(count_out, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_outliers", alias_name="n_outliers"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+    )
+    agg["q1_cents"] = agg["l_returnflag"].map(q1).astype(np.int64)
+    agg["q3_cents"] = agg["l_returnflag"].map(q3).astype(np.int64)
+    return agg.reset_index(drop=True).astype(
+        {"n_rows": np.int64, "n_outliers": np.int64}
+    )
+
+
+_SQL_IQR = """
+WITH c AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
+           FROM lineitem),
+r AS (SELECT l_returnflag, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM c),
+q AS (SELECT l_returnflag,
+             MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS q1,
+             MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN v END) AS q3
+      FROM r GROUP BY l_returnflag)
+SELECT c.l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN 2 * c.v < 2 * q.q1 - (q.q3 - q.q1)
+                       OR 2 * c.v > 2 * q.q3 + (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(q.q1) AS q1_cents,
+       MAX(q.q3) AS q3_cents
+FROM c JOIN q USING (l_returnflag)
+GROUP BY c.l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# numeric column profiling — the Deequ/ydata-style one-pass table
+# profile: per numeric column, row/null counts and exact fixed-point
+# min/max/sum. All metrics are mergeable partials (one 4-row table per
+# block through the exchange); a 100-TB profile costs one scan.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_numeric(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=_PROFILE_COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in _PROFILE_COLS:
+            col = t[c]
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            v = np.rint(
+                col.to_numpy(zero_copy_only=False).astype(np.float64) * 10000.0
+            ).astype(np.int64)[valid]
+            names.append(c)
+            ns.append(len(t))
+            nulls.append(int((~valid).sum()))
+            mins.append(int(v.min()) if len(v) else np.iinfo(np.int64).max)
+            maxs.append(int(v.max()) if len(v) else np.iinfo(np.int64).min)
+            sums.append(int(v.sum()))
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_e4": pa.array(mins, pa.int64()),
+                "max_e4": pa.array(maxs, pa.int64()),
+                "sum_e4": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_e4", alias_name="min_e4"),
+            Max("max_e4", alias_name="max_e4"),
+            Sum("sum_e4", alias_name="sum_e4"),
+        )
+    )
+
+
+_SQL_PROFILE = """
+SELECT * FROM (
+""" + "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(MIN(round({c} * 10000.0)) AS BIGINT) AS min_e4,
+       CAST(MAX(round({c} * 10000.0)) AS BIGINT) AS max_e4,
+       CAST(SUM(round({c} * 10000.0)) AS BIGINT) AS sum_e4
+FROM lineitem"""
+    for c in _PROFILE_COLS
+) + """
+)
+"""
+
+
+QUERIES.update(
+    {
+        "copurchase_pairs": q_copurchase_pairs,
+        "events_ohlc": q_events_ohlc,
+        "user_value_deltas": q_user_value_deltas,
+        "ntile_orders": q_ntile_orders,
+        "iqr_outlier_counts": q_iqr_outlier_counts,
+        "profile_numeric": q_profile_numeric,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "copurchase_pairs": _SQL_COPURCHASE,
+        "events_ohlc": _SQL_EVENTS_OHLC,
+        "user_value_deltas": _SQL_USER_DELTAS,
+        "ntile_orders": _SQL_NTILE,
+        "iqr_outlier_counts": _SQL_IQR,
+        "profile_numeric": _SQL_PROFILE,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# grouped covariance sufficient statistics — per label, the exact
+# upper-triangle second-moment matrix of the embeddings (what a
+# distributed PCA / LDA / GMM fit aggregates). Per block: one
+# (dim × n_label) int64 matmul per label present; the exchange carries
+# label × 2080 partial rows per block, never vectors. Fixed point is
+# the _EMB_SCALE floor convention, so sums are order-independent and
+# engine-exact (products are e8 units; 2^63 holds ~1e18 — fine to
+# ~1e9 rows per label at this scale; past that, split into (lo, hi)
+# limbs like table_checksum).
+# --------------------------------------------------------------------------
+
+
+def q_label_covariance(sf_dir: str):
+    emb = _t(sf_dir, "embeddings", columns=["embedding", "label"])
+    iu, ju = np.triu_indices(64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "di": pa.array([], pa.int64()),
+                    "dj": pa.array([], pa.int64()),
+                    "sum_xy_e8": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                }
+            )
+        emat = _emb_matrix_i64(t["embedding"])
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        out_l, out_s, out_n = [], [], []
+        for k, u in enumerate(uniq):
+            rows = emat[inv == k]
+            m = rows.T @ rows  # (64, 64) exact int64
+            out_l.append(np.full(len(iu), u, np.int64))
+            out_s.append(m[iu, ju])
+            out_n.append(np.full(len(iu), len(rows), np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(out_l)),
+                "di": pa.array(np.tile(iu.astype(np.int64), len(uniq))),
+                "dj": pa.array(np.tile(ju.astype(np.int64), len(uniq))),
+                "sum_xy_e8": pa.array(np.concatenate(out_s)),
+                "n_vecs": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "di", "dj"])
+        .aggregate(
+            Sum("sum_xy_e8", alias_name="sum_xy_e8"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+
+_SQL_LABEL_COV = f"""
+WITH e AS (SELECT label, vec_id,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                             * {int(_EMB_SCALE)}) AS BIGINT) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings)
+SELECT CAST(a.label AS BIGINT) AS label,
+       CAST(a.i - 1 AS BIGINT) AS di, CAST(b.i - 1 AS BIGINT) AS dj,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS sum_xy_e8,
+       COUNT(*) AS n_vecs
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# product-quantization encode — the vector-compression front half of
+# a PQ/IVF-PQ index: 4 subspaces × 16 dims, 16 seed centroids per
+# subspace (rows vec_id < 16, the kmeans_assign convention), each
+# vector's code packs its 4 nearest-centroid ids into 16 bits. The
+# centroid slices broadcast once via ray.put; per block the distance
+# expansion is 4 exact-int (n,16)@(16,16) matmuls. The SQL replays
+# every subspace argmin (dist, cid tiebreak) and the bit packing.
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_D = 4, 16, 16  # subspaces, centroids, dims per subspace
+
+
+def q_pq_codes(sf_dir: str):
+    import pyarrow.parquet as pq_
+    import ray
+
+    seed = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seed = seed.filter(pc.less(seed["vec_id"], _PQ_K))
+    seed = seed.take(pc.sort_indices(seed["vec_id"]))
+    cmat = _emb_matrix_i64(seed["embedding"])  # (K, 64)
+    cref = ray.put(cmat)
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "pq_code": pa.array([], pa.int64()),
+                    "dist_sum": pa.array([], pa.int64()),
+                }
+            )
+        cm = ray.get(cref)
+        emat = _emb_matrix_i64(t["embedding"])
+        code = np.zeros(len(emat), np.int64)
+        dsum = np.zeros(len(emat), np.int64)
+        for s in range(_PQ_M):
+            es = emat[:, s * _PQ_D : (s + 1) * _PQ_D]
+            cs = cm[:, s * _PQ_D : (s + 1) * _PQ_D]
+            d = (
+                np.einsum("ij,ij->i", es, es)[:, None]
+                + np.einsum("ij,ij->i", cs, cs)[None, :]
+                - 2 * (es @ cs.T)
+            )
+            a = np.argmin(d, axis=1)  # first min == smallest cid
+            code += a.astype(np.int64) << (4 * s)
+            dsum += d[np.arange(len(a)), a]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "pq_code": pa.array(code),
+                "dist_sum": pa.array(dsum),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+_SQL_PQ = f"""
+WITH pts AS (SELECT vec_id,
+                    CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                               * {int(_EMB_SCALE)}) AS BIGINT) AS ev,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings),
+cs AS (SELECT vec_id AS cid,
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                         * {int(_EMB_SCALE)}) AS BIGINT) AS cv,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id < {_PQ_K}),
+d AS (SELECT p.vec_id, (p.i - 1) // {_PQ_D} AS s, c.cid,
+             SUM((p.ev - c.cv) * (p.ev - c.cv)) AS dist
+      FROM pts p JOIN cs c USING (i)
+      GROUP BY 1, 2, 3),
+a AS (SELECT vec_id, s, cid, dist,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, cid) AS rn
+      FROM d)
+SELECT vec_id,
+       CAST(SUM(cid << (4 * s)) AS BIGINT) AS pq_code,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum
+FROM a WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# latest event per user — the CDC / SCD "current snapshot" shape:
+# arg_max by (ts, event_id) per user. Whole users co-locate per hash
+# bucket; one lexsort per bucket, take each user run's last row.
+# --------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "value_e4": pa.array(v),
+            }
+        )
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "last_event_id": pd.Series([], dtype=np.int64),
+                    "last_event_type": pd.Series([], dtype="object"),
+                    "last_value_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        last = np.flatnonzero(np.r_[u_s[1:] != u_s[:-1], True])
+        sel = order[last]
+        return pd.DataFrame(
+            {
+                "user_id": u[sel],
+                "last_event_id": eid[sel],
+                "last_event_type": g["event_type"].to_numpy()[sel],
+                "last_value_e4": g["value_e4"].to_numpy(np.int64)[sel],
+            }
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return _bucket_groupby(prepped, "user_id", latest)
+
+
+_SQL_LATEST_EVENT = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(round(value * 10000.0) AS BIGINT) AS last_value_e4
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+QUERIES.update(
+    {
+        "label_covariance": q_label_covariance,
+        "pq_codes": q_pq_codes,
+        "latest_event_per_user": q_latest_event_per_user,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "label_covariance": _SQL_LABEL_COV,
+        "pq_codes": _SQL_PQ,
+        "latest_event_per_user": _SQL_LATEST_EVENT,
+    }
+)
