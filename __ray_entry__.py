@@ -39,6 +39,10 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "supplier_revenue_by_nation",
+    "revenue_share_by_priority",
+    "event_gap_histogram",
+    "value_decile_lift",
     "label_covariance",
     "pq_codes",
     "latest_event_per_user",

@@ -5476,3 +5476,355 @@ ORACLE_SQL.update(
         "latest_event_per_user": _SQL_LATEST_EVENT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# supplier-side nation revenue — lineitem ⋈ supplier ⋈ nation with the
+# ENTIRE dimension side (supplier→nation name) broadcast as one sorted
+# searchsorted map: suppliers are 1e-4 of lineitem in TPC-H, the
+# canonical bounded build side. One lineitem scan, partial sums per
+# (block, nation), 25-row exchange. Completes the star-schema table
+# coverage (supplier was the one unused table).
+# --------------------------------------------------------------------------
+
+
+def q_supplier_revenue_by_nation(sf_dir: str):
+    import pyarrow.parquet as pq_
+    import ray
+
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    sk = np.asarray(sup["s_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+    sn = np.array(
+        [nmap[int(k)] for k in sup["s_nationkey"].to_pylist()], dtype=object
+    )
+    order = np.argsort(sk)
+    sref = ray.put((sk[order], sn[order]))
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        skeys, snames = ray.get(sref)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(skeys, lsk)
+        if len(lsk) and not (skeys[np.minimum(pos, len(skeys) - 1)] == lsk).all():
+            raise ValueError("lineitem references an unknown supplier")
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        uniq, inv = np.unique(pos, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # nations can repeat across suppliers — fold by name
+        names = snames[uniq]
+        nu, ni = np.unique(names.astype(str), return_inverse=True)
+        s2 = np.zeros(len(nu), np.int64)
+        c2 = np.zeros(len(nu), np.int64)
+        np.add.at(s2, ni, sums)
+        np.add.at(c2, ni, cnt)
+        return pa.table(
+            {
+                "n_name": pa.array(nu, pa.string()),
+                "revenue_e4": pa.array(s2),
+                "n_items": pa.array(c2),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
+_SQL_SUPP_REV = """
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# percent-of-total shares — revenue share per order priority in exact
+# parts-per-million (integer floor division; the grand total folds in
+# arbitrary-precision Python on the driver over ≤5 grouped rows, so no
+# int64 overflow at any scale; SQL mirrors in HUGEINT).
+# --------------------------------------------------------------------------
+
+
+def q_revenue_share_by_priority(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "total_c": pa.array(v)}
+        )
+
+    agg = (
+        od.map_batches(cents, batch_format="pyarrow")
+        .map_batches(
+            _partial_groupby(
+                ["o_orderpriority"],
+                [("total_c", "sum", "rev_cents"), ("total_c", "count", "n_orders")],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+    )
+    grand = int(agg["rev_cents"].sum())  # Python int — exact at any scale
+    agg["share_ppm"] = np.array(
+        [(int(r) * 1_000_000) // grand for r in agg["rev_cents"]], np.int64
+    )
+    return agg.reset_index(drop=True).astype(
+        {"rev_cents": np.int64, "n_orders": np.int64}
+    )
+
+
+_SQL_REV_SHARE = """
+WITH g AS (SELECT o_orderpriority,
+                  SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev_cents,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, CAST(rev_cents AS BIGINT) AS rev_cents, n_orders,
+       CAST(CAST(rev_cents AS HUGEINT) * 1000000
+            // SUM(CAST(rev_cents AS HUGEINT)) OVER () AS BIGINT) AS share_ppm
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# inter-event gap histogram — the arrival-process diagnostic of a
+# streaming pipeline: per user, consecutive (ts, event_id)-ordered
+# timestamp gaps, bucketed by floor(log2(gap_us)). The exponent comes
+# from np.frexp (exact for any gap < 2^53 — no libm log2 crossing
+# engines); SQL replays it with length(bin(gap)) - 1. Zero gaps
+# (simultaneous events) land in bucket -1.
+# --------------------------------------------------------------------------
+
+
+def q_event_gap_histogram(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "gap_bucket": pd.Series([], dtype=np.int64),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                }
+            )
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        cont = np.r_[False, u_s[1:] == u_s[:-1]]
+        gap = np.r_[np.int64(0), ts_s[1:] - ts_s[:-1]][cont]
+        bucket = np.frexp(gap.astype(np.float64))[1] - 1  # exact < 2^53
+        uniq, cnt = np.unique(bucket, return_counts=True)
+        return pd.DataFrame(
+            {
+                "gap_bucket": uniq.astype(np.int64),
+                "n_gaps": cnt.astype(np.int64),
+            }
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return (
+        _bucket_groupby(prepped, "user_id", gaps)
+        .groupby("gap_bucket")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"))
+    )
+
+
+_SQL_GAP_HIST = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+g AS (SELECT t - LAG(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS gap
+      FROM e),
+b AS (SELECT CASE WHEN gap = 0 THEN -1
+                  ELSE length(bin(gap)) - 1 END AS gap_bucket
+      FROM g WHERE gap IS NOT NULL)
+SELECT CAST(gap_bucket AS BIGINT) AS gap_bucket, COUNT(*) AS n_gaps
+FROM b GROUP BY gap_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# decile lift table — the model-evaluation shape (gains chart): users
+# ranked by total event value, split into NTILE(10) deciles, per
+# decile the converter count (any purchase event). Stage 1 computes
+# per-user (value sum, converted) inside user-hash buckets; stage 2
+# reuses the distributed row_number machinery (value-bucket histogram
+# → broadcast prefix offsets → local sort) and the exact NTILE split.
+# --------------------------------------------------------------------------
+
+
+def q_value_decile_lift(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        conv = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value_e4": pa.array(v),
+                "is_conv": pa.array(conv.astype(np.int64)),
+            }
+        )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "vsum": pd.Series([], dtype=np.int64),
+                    "conv": pd.Series([], dtype=np.int64),
+                    "vbucket": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = g.groupby("user_id", sort=False).agg(
+            vsum=("value_e4", "sum"), conv=("is_conv", "max")
+        )
+        out = out.reset_index().astype(np.int64)
+        out["vbucket"] = out["vsum"].to_numpy(np.int64) >> _RANK_SHIFT
+        return out
+
+    users = _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", per_user
+    )
+
+    hist = (
+        users.map_batches(
+            _partial_groupby(["vbucket"], [("vbucket", "count", "cnt")]),
+            batch_format="pyarrow",
+        )
+        .groupby("vbucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("vbucket")
+    )
+    hb = hist["vbucket"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    below = np.concatenate([[0], cnts.cumsum()[:-1]])
+    n = int(cnts.sum())
+
+    def decile_in(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "decile": pd.Series([], dtype=np.int64),
+                    "n_users": pd.Series([], dtype=np.int64),
+                    "n_converters": pd.Series([], dtype=np.int64),
+                    "sum_value_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        uid = g["user_id"].to_numpy(np.int64)
+        vs = g["vsum"].to_numpy(np.int64)
+        cv = g["conv"].to_numpy(np.int64)
+        b = g["vbucket"].to_numpy(np.int64)
+        order = np.lexsort((uid, vs, b))
+        bs = b[order]
+        seg_start = np.r_[True, bs[1:] != bs[:-1]]
+        idx = np.arange(len(bs), dtype=np.int64)
+        seg0 = idx[seg_start][np.cumsum(seg_start) - 1]
+        rn = below[np.searchsorted(hb, bs)] + (idx - seg0)
+        tile = _ntile_of_rn(rn, n, 10)
+        df = pd.DataFrame(
+            {"decile": tile, "conv": cv[order], "v": vs[order]}
+        )
+        out = df.groupby("decile", sort=False).agg(
+            n_users=("conv", "size"),
+            n_converters=("conv", "sum"),
+            sum_value_e4=("v", "sum"),
+        )
+        return out.reset_index().astype(np.int64)
+
+    return (
+        _bucket_groupby(users, "vbucket", decile_in)
+        .groupby("decile")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_converters", alias_name="n_converters"),
+            Sum("sum_value_e4", alias_name="sum_value_e4"),
+        )
+    )
+
+
+_SQL_DECILE_LIFT = """
+WITH u AS (SELECT user_id,
+                  SUM(CAST(round(value * 10000.0) AS BIGINT)) AS vsum,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+           FROM events GROUP BY user_id),
+t AS (SELECT vsum, conv,
+             NTILE(10) OVER (ORDER BY vsum, user_id) AS decile
+      FROM u)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_users,
+       CAST(SUM(conv) AS BIGINT) AS n_converters,
+       CAST(SUM(vsum) AS BIGINT) AS sum_value_e4
+FROM t GROUP BY decile
+"""
+
+
+QUERIES.update(
+    {
+        "supplier_revenue_by_nation": q_supplier_revenue_by_nation,
+        "revenue_share_by_priority": q_revenue_share_by_priority,
+        "event_gap_histogram": q_event_gap_histogram,
+        "value_decile_lift": q_value_decile_lift,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "supplier_revenue_by_nation": _SQL_SUPP_REV,
+        "revenue_share_by_priority": _SQL_REV_SHARE,
+        "event_gap_histogram": _SQL_GAP_HIST,
+        "value_decile_lift": _SQL_DECILE_LIFT,
+    }
+)

@@ -95,3 +95,17 @@ def test_within_order_pairs_match_brute_force(rows):
         if o1 == o2 and p1 < p2
     )
     assert got == exp
+
+
+def test_frexp_gap_bucket_matches_bit_length():
+    """floor(log2(gap)) via np.frexp must equal int.bit_length()-1 for
+    every gap < 2^53 (the event_gap_histogram bucket rule; SQL side is
+    length(bin(gap)) - 1)."""
+    gaps = np.array(
+        [1, 2, 3, 4, 7, 8, 1023, 1024, 1025, (1 << 40) - 1, 1 << 40,
+         (1 << 52) + 12345, 0],
+        np.int64,
+    )
+    got = np.frexp(gaps.astype(np.float64))[1] - 1
+    exp = np.array([int(g).bit_length() - 1 for g in gaps], np.int64)
+    assert got.tolist() == exp.tolist()
