@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "part_triangle_count",
+    "image_hamming_topk",
     "supplier_revenue_by_nation",
     "revenue_share_by_priority",
     "event_gap_histogram",

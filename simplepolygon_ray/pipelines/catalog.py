@@ -2862,3 +2862,64 @@ LIMIT {k}
 
 ANN_QUERIES["ann_filtered_topk"] = q_ann_filtered
 EXTRA_ORACLE_SQL["ann_filtered_topk"] = _ann_filtered_sql(10)
+
+
+# ---------------------------------------------------------- phash retrieval
+
+
+def q_image_hamming_topk(sf_dir: str):
+    """Query-by-image retrieval: top-20 nearest images to the img_key-0
+    probe by phash Hamming distance — the exact-rerank half of a
+    perceptual image search. Shares the persisted (img_key, phash)
+    corpus with the near-dup queries (one synth+decode per sweep); the
+    scan is a per-block XOR + LUT popcount with a block-local top-20
+    prefilter, so the driver merge sees ≤ 20 × blocks rows. The SQL
+    oracle replays the distance with bit_count(xor()) over the same
+    persisted table."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from ..images.neardup import popcount64
+
+    _phash_pairs_cached(sf_dir)  # ensures phash_tbl is persisted
+    tbl_dir = f"{_ORACLE_DIR}/phash_tbl"
+    probe = pds.dataset(tbl_dir).to_table(columns=["img_key", "phash"])
+    sel = pc.equal(probe["img_key"], 0)
+    qh = np.int64(probe.filter(sel)["phash"][0].as_py())
+
+    def score(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ham = popcount64(np.bitwise_xor(ph, qh))
+        k = t["img_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((k, ham))[:20]
+        return pa.table(
+            {"img_key": pa.array(k[sel]), "hamming": pa.array(ham[sel])}
+        )
+
+    agg = (
+        rd.read_parquet(tbl_dir)
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        agg.sort_values(["hamming", "img_key"], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+
+
+_IMAGE_HAMMING_SQL = f"""
+WITH p AS (SELECT img_key, phash
+           FROM read_parquet('{_ORACLE_DIR}/phash_tbl/*.parquet')),
+q AS (SELECT phash AS qh FROM p WHERE img_key = 0)
+SELECT img_key, CAST(bit_count(xor(phash, qh)) AS BIGINT) AS hamming
+FROM p, q
+ORDER BY hamming, img_key
+LIMIT 20
+"""
+
+
+GEO_QUERIES.update({"image_hamming_topk": q_image_hamming_topk})
+EXTRA_ORACLE_SQL["image_hamming_topk"] = _IMAGE_HAMMING_SQL

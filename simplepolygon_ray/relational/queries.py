@@ -4709,7 +4709,10 @@ ORACLE_SQL.update(
 # --------------------------------------------------------------------------
 
 
-def q_copurchase_pairs(sf_dir: str):
+def _copurchase_pair_counts(sf_dir: str):
+    """Distinct within-order part pairs (part_a < part_b) with order
+    counts — the co-purchase GRAPH shared by q_copurchase_pairs (edge
+    weights → top-k) and q_part_triangle_count (edges → triangles)."""
     from ..text.dedup import _pairs_in_runs
 
     li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -4742,7 +4745,7 @@ def q_copurchase_pairs(sf_dir: str):
         return t.astype({"part_a": np.int64, "part_b": np.int64, "n_orders": np.int64})
 
     per_bucket = _bucket_groupby(li, "l_orderkey", pairs)
-    counts = (
+    return (
         per_bucket.map_batches(
             _partial_groupby(
                 ["part_a", "part_b"], [("n_orders", "sum", "n_orders")]
@@ -4752,6 +4755,10 @@ def q_copurchase_pairs(sf_dir: str):
         .groupby(["part_a", "part_b"])
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
+
+
+def q_copurchase_pairs(sf_dir: str):
+    counts = _copurchase_pair_counts(sf_dir)
 
     def block_topk(t: pa.Table) -> pa.Table:
         # pair keys are complete after the groupby → block-local top-20
@@ -5828,3 +5835,127 @@ ORACLE_SQL.update(
         "value_decile_lift": _SQL_DECILE_LIFT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# triangle counting — exact triangles of the co-purchase graph (the
+# graph-analytics shape beyond connected components: clustering
+# coefficient numerators, community density). Wedges pivot at each
+# triangle's id-lowest vertex (each triangle counted exactly once):
+# edges bucket by the low endpoint, neighbor pairs emit via the
+# run-batched kernel, and the wedge⋈edge closing test is a packed-key
+# (v<<32|w) bucket merge — no adjacency structure ever materializes in
+# one place. Wedge volume is Σ C(high-deg(v), 2); on a hub-skewed
+# graph swap the pivot comparator to (degree, id) orientation — the
+# count is orientation-invariant, the oracle uses id order.
+# --------------------------------------------------------------------------
+
+
+def q_part_triangle_count(sf_dir: str):
+    from ..text.dedup import _pairs_in_runs
+
+    # materialize: the edge list feeds BOTH the wedge build and the
+    # closing test, and is the REDUCED graph (distinct pairs, orders of
+    # magnitude below lineitem) — caching it in the object store beats
+    # recomputing the pair-count shuffle twice. (Bounded-size rule: OK
+    # to materialize; the raw table never is.)
+    edges = _copurchase_pair_counts(sf_dir).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array((a << 32) | b),
+                "wcnt": pa.array(np.zeros(len(a), np.int64)),
+                "is_edge": pa.array(np.ones(len(a), np.int64)),
+                "part_a": t["part_a"],
+            }
+        )
+
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=np.int64),
+                    "wcnt": pd.Series([], dtype=np.int64),
+                    "is_edge": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = g["part_a"].to_numpy(np.int64)
+        b = g["part_b"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.r_[True, a[1:] != a[:-1]]
+        v, w = _pairs_in_runs(new, b)  # v < w (neighbors ascend in-run)
+        key = (v << 32) | w
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "key": uniq,
+                "wcnt": cnt.astype(np.int64),
+                "is_edge": np.zeros(len(uniq), np.int64),
+            }
+        )
+
+    wedges = _bucket_groupby(edges, "part_a", wedge_rows)
+    both = wedges.union(
+        edges.map_batches(edge_rows, batch_format="pyarrow").drop_columns(
+            ["part_a"]
+        )
+    )
+
+    def close_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype=np.int64),
+                    "n_edges": pd.Series([], dtype=np.int64),
+                    "n_wedges": pd.Series([], dtype=np.int64),
+                    "n_triangles": pd.Series([], dtype=np.int64),
+                }
+            )
+        key = g["key"].to_numpy(np.int64)
+        wc = g["wcnt"].to_numpy(np.int64)
+        ie = g["is_edge"].to_numpy(np.int64)
+        ek = np.unique(key[ie == 1])
+        closed = np.isin(key, ek)
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, np.int64),
+                "n_edges": np.array([ie.sum()], np.int64),
+                "n_wedges": np.array([wc.sum()], np.int64),
+                "n_triangles": np.array([wc[closed].sum()], np.int64),
+            }
+        )
+
+    agg = (
+        _bucket_groupby(both, "key", close_partial)
+        .groupby("k")
+        .aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Sum("n_wedges", alias_name="n_wedges"),
+            Sum("n_triangles", alias_name="n_triangles"),
+        )
+        .to_pandas()
+    )
+    return agg[["n_edges", "n_wedges", "n_triangles"]].astype(np.int64)
+
+
+_SQL_TRIANGLES = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+wg AS (SELECT e1.b AS wv, e2.b AS ww
+       FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM wg) AS n_wedges,
+       (SELECT COUNT(*) FROM wg JOIN e ON e.a = wg.wv AND e.b = wg.ww)
+         AS n_triangles
+"""
+
+
+QUERIES.update({"part_triangle_count": q_part_triangle_count})
+ORACLE_SQL.update({"part_triangle_count": _SQL_TRIANGLES})
