@@ -4709,10 +4709,18 @@ ORACLE_SQL.update(
 # --------------------------------------------------------------------------
 
 
+_COPURCHASE_CACHE: dict = {}
+
+
 def _copurchase_pair_counts(sf_dir: str):
     """Distinct within-order part pairs (part_a < part_b) with order
     counts — the co-purchase GRAPH shared by q_copurchase_pairs (edge
-    weights → top-k) and q_part_triangle_count (edges → triangles)."""
+    weights → top-k) and q_part_triangle_count (edges → triangles).
+    Materialized once per (process, sf_dir): the reduced graph is
+    bounded (≪ lineitem) and two catalog queries consume it, so a
+    sweep pays the pair-count shuffle once."""
+    if _COPURCHASE_CACHE.get("key") == sf_dir:
+        return _COPURCHASE_CACHE["ds"]
     from ..text.dedup import _pairs_in_runs
 
     li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -4745,7 +4753,7 @@ def _copurchase_pair_counts(sf_dir: str):
         return t.astype({"part_a": np.int64, "part_b": np.int64, "n_orders": np.int64})
 
     per_bucket = _bucket_groupby(li, "l_orderkey", pairs)
-    return (
+    ds = (
         per_bucket.map_batches(
             _partial_groupby(
                 ["part_a", "part_b"], [("n_orders", "sum", "n_orders")]
@@ -4754,7 +4762,11 @@ def _copurchase_pair_counts(sf_dir: str):
         )
         .groupby(["part_a", "part_b"])
         .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .materialize()
     )
+    _COPURCHASE_CACHE["key"] = sf_dir
+    _COPURCHASE_CACHE["ds"] = ds
+    return ds
 
 
 def q_copurchase_pairs(sf_dir: str):
@@ -5854,12 +5866,10 @@ ORACLE_SQL.update(
 def q_part_triangle_count(sf_dir: str):
     from ..text.dedup import _pairs_in_runs
 
-    # materialize: the edge list feeds BOTH the wedge build and the
-    # closing test, and is the REDUCED graph (distinct pairs, orders of
-    # magnitude below lineitem) — caching it in the object store beats
-    # recomputing the pair-count shuffle twice. (Bounded-size rule: OK
-    # to materialize; the raw table never is.)
-    edges = _copurchase_pair_counts(sf_dir).materialize()
+    # the shared graph arrives materialized (bounded reduced edge list;
+    # the raw table never is) — both the wedge build and the closing
+    # test read the same cached blocks.
+    edges = _copurchase_pair_counts(sf_dir)
 
     def edge_rows(t: pa.Table) -> pa.Table:
         a = t["part_a"].to_numpy(zero_copy_only=False)
