@@ -39,6 +39,7 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "concurrent_sessions_hourly",
     "part_triangle_count",
     "image_hamming_topk",
     "supplier_revenue_by_nation",

@@ -5969,3 +5969,137 @@ SELECT (SELECT COUNT(*) FROM e) AS n_edges,
 
 QUERIES.update({"part_triangle_count": q_part_triangle_count})
 ORACLE_SQL.update({"part_triangle_count": _SQL_TRIANGLES})
+
+
+# --------------------------------------------------------------------------
+# concurrent-sessions gauge — max simultaneous active sessions per
+# hour (the capacity-planning / load-curve shape): sessions are the
+# 30-min-gap runs of q_sessionize, each an inclusive [first_ts,
+# last_ts] interval; concurrency sweeps +1/-1 deltas with starts
+# ordered before ends at equal timestamps. Distribution is a
+# TWO-PHASE SEGMENTED SCAN: hours are contiguous under the global
+# (t, -delta) order, so each hour-hash bucket computes its hours'
+# (net_change, running_max_from_zero) locally, and the driver folds
+# base offsets across the BOUNDED hour list (one row per hour —
+# ~100k rows even at decades of 100-TB logs). The per-row prefix max
+# equals the max over RANGE-tie cumulative values (within a +1 run
+# the max sits at the run's end, within a -1 run at its start), so
+# the numpy scan and the SQL window (ORDER BY t, d DESC, RANGE
+# frame) agree exactly.
+# --------------------------------------------------------------------------
+
+
+def q_concurrent_sessions_hourly(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    def session_deltas(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "t": pd.Series([], dtype=np.int64),
+                    "d": pd.Series([], dtype=np.int64),
+                    "hour": pd.Series([], dtype=np.int64),
+                }
+            )
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        n = len(u_s)
+        new = np.ones(n, bool)
+        if n > 1:
+            new[1:] = (u_s[1:] != u_s[:-1]) | (
+                np.diff(ts_s) > _SESSION_GAP_US
+            )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n) - 1
+        a, b = ts_s[starts], ts_s[ends]
+        t = np.concatenate([a, b])
+        d = np.concatenate(
+            [np.ones(len(a), np.int64), -np.ones(len(b), np.int64)]
+        )
+        return pd.DataFrame(
+            {"t": t, "d": d, "hour": t // 3_600_000_000}
+        ).astype(np.int64)
+
+    deltas = _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", session_deltas
+    )
+
+    def hour_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "hour": pd.Series([], dtype=np.int64),
+                    "net": pd.Series([], dtype=np.int64),
+                    "rel_max": pd.Series([], dtype=np.int64),
+                }
+            )
+        h = g["hour"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((-d, t, h))  # starts before ends at equal t
+        h, d = h[order], d[order]
+        new = np.r_[True, h[1:] != h[:-1]]
+        seg = np.cumsum(new) - 1
+        run = np.cumsum(d)
+        base = np.concatenate([[0], run[np.flatnonzero(new)[1:] - 1]])
+        rel = run - base[seg]  # per-hour running sum from zero
+        hours = h[new]
+        net = np.add.reduceat(d, np.flatnonzero(new))
+        rel_max = np.maximum.reduceat(rel, np.flatnonzero(new))
+        return pd.DataFrame(
+            {"hour": hours, "net": net, "rel_max": rel_max}
+        ).astype(np.int64)
+
+    parts = (
+        _bucket_groupby(deltas, "hour", hour_partial)
+        .to_pandas()
+        .sort_values("hour")
+    )
+    nets = parts["net"].to_numpy(np.int64)
+    base = np.concatenate([[0], nets.cumsum()[:-1]])
+    return pd.DataFrame(
+        {
+            "hour": parts["hour"].to_numpy(np.int64),
+            "max_concurrent": base + parts["rel_max"].to_numpy(np.int64),
+        }
+    )
+
+
+_SQL_CONCURRENT = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+f AS (SELECT user_id, t, event_id,
+             CASE WHEN LAG(t) OVER w IS NULL
+                    OR t - LAG(t) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+g AS (SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+ses AS (SELECT user_id, sid, MIN(t) AS a, MAX(t) AS b
+        FROM g GROUP BY user_id, sid),
+del AS (SELECT a AS t, 1 AS d FROM ses
+        UNION ALL SELECT b AS t, -1 AS d FROM ses),
+r AS (SELECT t, d, SUM(d) OVER (ORDER BY t, d DESC) AS run FROM del)
+SELECT CAST(t // 3600000000 AS BIGINT) AS hour,
+       CAST(MAX(run) AS BIGINT) AS max_concurrent
+FROM r GROUP BY hour
+"""
+
+
+QUERIES.update(
+    {"concurrent_sessions_hourly": q_concurrent_sessions_hourly}
+)
+ORACLE_SQL.update({"concurrent_sessions_hourly": _SQL_CONCURRENT})
