@@ -39,6 +39,11 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "decontaminate_docs",
+    "denylist_scrub",
+    "doc_repetition",
+    "users_all_event_types",
+    "cust_order_count_dist",
     "concurrent_sessions_hourly",
     "part_triangle_count",
     "image_hamming_topk",

@@ -6103,3 +6103,372 @@ QUERIES.update(
     {"concurrent_sessions_hourly": q_concurrent_sessions_hourly}
 )
 ORACLE_SQL.update({"concurrent_sessions_hourly": _SQL_CONCURRENT})
+
+
+# --------------------------------------------------------------------------
+# round-5 batch 7 — LLM-data-pipeline text ops (decontamination,
+# denylist scrubbing, Gopher-style repetition stats) plus two
+# relational classics (division, TPC-H-Q13-shaped distribution).
+# Shared tokenizer: Arrow regex split to a flat token array + per-row
+# segment ids — zero Python loops, same contract as bigram_top.
+# --------------------------------------------------------------------------
+
+
+def _flat_tokens(text_col: pa.ChunkedArray):
+    """Lowercase whitespace tokenization of a string column, flattened.
+
+    Returns ``(flat, doc, n_rows)``: ``flat`` an Arrow StringArray of
+    all non-empty tokens, ``doc`` the int64 row index of each token
+    (non-decreasing), ``n_rows`` the batch row count.  All offset
+    arithmetic — no per-row Python.
+    """
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(text_col), pattern=r"\s+"
+    ).combine_chunks()
+    flat = toks.values
+    doc = np.repeat(
+        np.arange(len(toks), dtype=np.int64),
+        np.diff(np.asarray(toks.offsets).astype(np.int64)),
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), doc[keep], len(toks)
+
+
+def _gram_starts(doc: np.ndarray, n: int) -> np.ndarray:
+    """Start positions (into the flat token array) of every within-row
+    n-gram: position i starts a gram iff tokens i..i+n-1 share a row."""
+    if len(doc) < n:
+        return np.empty(0, np.int64)
+    return np.flatnonzero(doc[n - 1 :] == doc[: len(doc) - n + 1])
+
+
+_DECON_N = 3  # word-n-gram width (real decontamination uses 8-13; the
+# synthetic corpus vocabulary is ~50 words, so 3 gives a realistic hit
+# profile at test scale — the machinery is width-agnostic)
+_DECON_MOD = 97  # doc_id % 97 == 0 -> "held-out benchmark" split
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag training docs that share any
+    word-3-gram with a held-out benchmark split (doc_id % 97 == 0).
+
+    Scale shape: the benchmark side of a decontamination job is a
+    FIXED, small eval suite (bounded by construction, not by corpus
+    size), so its distinct-gram set is gathered once and broadcast via
+    ``ray.put`` — every task reads it zero-copy from the local object
+    store; the training side streams.  Output: one row per training
+    doc with its gram count and benchmark-hit count (zeros included,
+    so the result never loses schema at small sf).
+    """
+    import ray
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % _DECON_MOD == 0))
+        if len(sub) == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        flat, doc, _ = _flat_tokens(sub["text"])
+        start = _gram_starts(doc, _DECON_N)
+        parts = [flat.take(pa.array(start + j)) for j in range(_DECON_N)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        return pa.table({"gram": pc.unique(gram)})
+
+    bench = (
+        docs.map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["gram"]
+        .unique()
+    )
+    vs_ref = ray.put(pa.array(sorted(bench), pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % _DECON_MOD != 0))
+        flat, doc, nd = _flat_tokens(sub["text"])
+        n_tok = np.bincount(doc, minlength=nd).astype(np.int64)
+        start = _gram_starts(doc, _DECON_N)
+        if len(start):
+            parts = [flat.take(pa.array(start + j)) for j in range(_DECON_N)]
+            gram = pc.binary_join_element_wise(*parts, " ")
+            vs = ray.get(vs_ref)  # local object-store hit, zero-copy
+            hit = pc.is_in(gram, value_set=vs).to_numpy(zero_copy_only=False)
+            n_hits = np.bincount(doc[start][hit], minlength=nd).astype(np.int64)
+        else:
+            n_hits = np.zeros(nd, np.int64)
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_grams": pa.array(np.maximum(n_tok - (_DECON_N - 1), 0)),
+                "n_hits": pa.array(n_hits),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+_SQL_DECON = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS nh
+  FROM g d JOIN bench b USING (gram)
+  WHERE d.doc_id % {_DECON_MOD} <> 0
+  GROUP BY d.doc_id)
+SELECT t.doc_id,
+       CAST(GREATEST(len(t.t) - {_DECON_N - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits
+FROM toks t
+LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % {_DECON_MOD} <> 0
+"""
+
+
+# scrub rules applied IN ORDER to the progressively-redacted text; the
+# replacement tokens contain no digits / deny words, so later passes
+# never re-match earlier output.  RE2 syntax on both engines.
+_SCRUB_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>", "n_email"),
+    (r"[0-9]{3,}", "<NUM>", "n_num"),
+    (r"\b(customer|key|table)\b", "<TERM>", "n_deny"),
+]
+
+
+def q_denylist_scrub(sf_dir: str):
+    """PII / denylist scrubbing: count and redact email-shaped spans,
+    long digit runs, and deny-listed terms per document; emit the
+    per-rule match counts plus the length of the fully scrubbed text.
+    Pure Arrow regex kernels (RE2) — one pass per rule, no Python."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        cols: dict = {"doc_id": batch["doc_id"]}
+        for pat, rep, name in _SCRUB_RULES:
+            cols[name] = pc.cast(
+                pc.count_substring_regex(txt, pattern=pat), pa.int64()
+            )
+            txt = pc.replace_substring_regex(txt, pattern=pat, replacement=rep)
+        cols["scrubbed_chars"] = pc.cast(pc.utf8_length(txt), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_SCRUB = r"""
+WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       FROM s0),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t, '[0-9]{3,}')) AS n_num,
+              regexp_replace(t, '[0-9]{3,}', '<NUM>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_num,
+              len(regexp_extract_all(t, '\b(customer|key|table)\b')) AS n_deny,
+              regexp_replace(t, '\b(customer|key|table)\b', '<TERM>', 'g') AS t
+       FROM s2)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_num AS BIGINT) AS n_num, CAST(n_deny AS BIGINT) AS n_deny,
+       CAST(length(t) AS BIGINT) AS scrubbed_chars
+FROM s3
+"""
+
+
+def _repetition_block(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition stats, fully segmented: dictionary-encode the
+    flat token array once (zero-copy int codes), then every distinct /
+    multiplicity question is integer sort + reduceat — the Gopher
+    repetition-filter shape without per-doc Python."""
+    flat, doc, nd = _flat_tokens(batch["text"])
+    de = pc.dictionary_encode(flat)
+    codes = np.asarray(de.indices, dtype=np.int64)
+    v = max(len(de.dictionary), 1)
+    n_tokens = np.bincount(doc, minlength=nd).astype(np.int64)
+
+    def seg_stats(key: np.ndarray, pos_doc: np.ndarray):
+        """distinct-count and max-multiplicity per doc for (doc,key)."""
+        if len(key) == 0:
+            z = np.zeros(nd, np.int64)
+            return z, z.copy()
+        sk = np.sort(pos_doc * (key.max() + 1) + key)
+        new = np.r_[True, sk[1:] != sk[:-1]]
+        uk = sk[new]
+        runlen = np.diff(np.r_[np.flatnonzero(new), len(sk)]).astype(np.int64)
+        dof = uk // (key.max() + 1)
+        n_distinct = np.bincount(dof, minlength=nd).astype(np.int64)
+        docnew = np.r_[True, dof[1:] != dof[:-1]]
+        starts = np.flatnonzero(docnew)
+        top = np.zeros(nd, np.int64)
+        top[dof[starts]] = np.maximum.reduceat(runlen, starts)
+        return n_distinct, top
+
+    nd_tok, top_tok = seg_stats(codes, doc)
+    left = np.flatnonzero(doc[1:] == doc[:-1]) if len(doc) > 1 else np.empty(0, np.int64)
+    big = codes[left] * v + codes[left + 1]
+    n_bigrams = np.bincount(doc[left], minlength=nd).astype(np.int64)
+    nd_big, _ = seg_stats(big, doc[left])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct_tokens": pa.array(nd_tok),
+            "top_token_n": pa.array(top_tok),
+            "n_bigrams": pa.array(n_bigrams),
+            "n_distinct_bigrams": pa.array(nd_big),
+        }
+    )
+
+
+def q_doc_repetition(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_repetition_block, batch_format="pyarrow")
+
+
+_SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+ts AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct_tokens,
+              MAX(c) AS top_token_n
+       FROM tf GROUP BY doc_id),
+bf AS (SELECT doc_id, b, COUNT(*) AS c
+       FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+             FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks))
+       GROUP BY doc_id, b),
+bs AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct_bigrams
+       FROM bf GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(ts.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(ts.top_token_n, 0) AS BIGINT) AS top_token_n,
+       CAST(COALESCE(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(bs.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams
+FROM toks t
+LEFT JOIN ts USING (doc_id)
+LEFT JOIN bs USING (doc_id)
+"""
+
+
+def q_users_all_event_types(sf_dir: str):
+    """Relational division: users whose events cover EVERY distinct
+    event type.  Block-local distinct pairs shrink the exchange to the
+    (user x type) domain; the per-user distinct count runs inside a
+    hash-bucket groupby (whole users co-located, one frame per bucket);
+    the global type count is a tiny separate scan."""
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = ev.map_batches(block_pairs, batch_format="pyarrow")
+    types = (
+        _t(sf_dir, "events", columns=["event_type"])
+        .map_batches(
+            lambda t: t.group_by(["event_type"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["event_type"]
+        .nunique()
+    )
+    n_types = int(types)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["event_type"].nunique()
+        g = g[g == n_types]
+        return pd.DataFrame(
+            {
+                "user_id": g.index.to_numpy(np.int64),
+                "n_types": np.full(len(g), n_types, np.int64),
+            }
+        )
+
+    return _bucket_groupby(pairs, "user_id", per_bucket)
+
+
+_SQL_DIVISION = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+HAVING COUNT(DISTINCT event_type) =
+       (SELECT COUNT(DISTINCT event_type) FROM events)
+"""
+
+
+def q_cust_order_count_dist(sf_dir: str):
+    """TPC-H Q13-shaped: distribution of per-customer order counts,
+    WITHOUT the customer join — per-block partial counts shrink the
+    o_custkey exchange, the count-of-counts domain is tiny (bounded by
+    max orders per customer), and the zero-order bucket is the row
+    count complement (customer cardinality comes from parquet
+    metadata, not a scan)."""
+    orders = _t(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"], "n": g["count_all"]})
+
+    per = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        c = t["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = np.bincount(c)
+        nz = np.flatnonzero(bc)
+        return pa.table(
+            {"c_count": pa.array(nz.astype(np.int64)), "custdist": pa.array(bc[nz].astype(np.int64))}
+        )
+
+    parts = per.map_batches(dist_partial, batch_format="pyarrow").to_pandas()
+    dist = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    n_cust = _t(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = int(n_cust) - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [pd.DataFrame({"c_count": [0], "custdist": [zero]}), dist],
+            ignore_index=True,
+        )
+    return dist.sort_values("c_count").reset_index(drop=True).astype(np.int64)
+
+
+_SQL_CUSTDIST = """
+WITH cnt AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM cnt GROUP BY c_count
+"""
+
+
+QUERIES.update(
+    {
+        "decontaminate_docs": q_decontaminate_docs,
+        "denylist_scrub": q_denylist_scrub,
+        "doc_repetition": q_doc_repetition,
+        "users_all_event_types": q_users_all_event_types,
+        "cust_order_count_dist": q_cust_order_count_dist,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "decontaminate_docs": _SQL_DECON,
+        "denylist_scrub": _SQL_SCRUB,
+        "doc_repetition": _SQL_REPETITION,
+        "users_all_event_types": _SQL_DIVISION,
+        "cust_order_count_dist": _SQL_CUSTDIST,
+    }
+)
