@@ -39,6 +39,10 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "volume_shipping_pairs",
+    "acctbal_gini_by_nation",
+    "vocab_growth",
+    "above_avg_balance_by_nation",
     "decontaminate_docs",
     "denylist_scrub",
     "doc_repetition",

@@ -6472,3 +6472,408 @@ ORACLE_SQL.update(
         "cust_order_count_dist": _SQL_CUSTDIST,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 batch 8 — TPC-H-shaped multi-join analytics (Q7 volume
+# shipping, Q22-style decorrelated scalar subquery), an exact-integer
+# Gini concentration index, and the Heaps-law vocabulary-growth curve.
+# --------------------------------------------------------------------------
+
+
+def _nation_name_map(sf_dir: str) -> dict[int, str]:
+    """Full n_nationkey -> n_name map (bounded: 25 rows in TPC-H)."""
+    import pyarrow.parquet as pq_
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    return {
+        int(k): str(n)
+        for k, n in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    }
+
+
+def q_volume_shipping_pairs(sf_dir: str):
+    """TPC-H Q7-shaped: revenue by (customer nation, supplier nation)
+    pair.  Supplier->nation attaches via a broadcast sorted-key lookup
+    (the dim side, `ray.put` once); customer->nation rides the same
+    two-stage orderkey bucket join as `revenue_by_nation` (customer is
+    NOT bounded at scale, so it shuffles).  Both exchanges carry
+    COMPACT nation ids, never strings — names attach on the <=625-row
+    nation-pair result.  The bucket count scales with the probe-side
+    row count (~8k rows/bucket, capped at 4096 buckets) so tiny inputs
+    don't pay 512 near-empty reduce groups and huge ones still fan
+    out."""
+    import ray
+
+    nmap = _nation_name_map(sf_dir)
+    nk = np.fromiter(sorted(nmap.keys()), dtype=np.int64)
+    nv = np.array([nmap[int(k)] for k in nk], dtype=object)
+
+    import pyarrow.parquet as pq_
+
+    sup = pq_.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(sup["s_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+    snat = np.searchsorted(
+        nk, np.asarray(sup["s_nationkey"].to_numpy(zero_copy_only=False), np.int64)
+    )
+    order = np.argsort(sk)
+    sref = ray.put((sk[order], snat[order].astype(np.int64)))
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        natk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nk, natk).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "k": pa.array(ck),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "cn": pa.array(pos),
+                "sn": pa.array(np.zeros(n, np.int64)),
+                "ival": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "k": t["o_custkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64)),
+                "cn": z,
+                "sn": z,
+                "ival": t["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    _EMPTY_STAGE = {
+        "k": pd.Series([], dtype=np.int64),
+        "side": pd.Series([], dtype=np.int64),
+        "cn": pd.Series([], dtype=np.int64),
+        "sn": pd.Series([], dtype=np.int64),
+        "rev_e4": pd.Series([], dtype=np.int64),
+    }
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(_EMPTY_STAGE)
+        m = right[["k", "ival"]].merge(left[["k", "cn"]], on="k")
+        n = len(m)
+        return pd.DataFrame(
+            {
+                "k": m["ival"].to_numpy(np.int64),  # orderkey for stage 2
+                "side": np.zeros(n, np.int64),
+                "cn": m["cn"].to_numpy(np.int64),
+                "sn": np.zeros(n, np.int64),
+                "rev_e4": np.zeros(n, np.int64),
+            }
+        )
+
+    n_orders = orders.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_orders // 8000)))
+
+    order_nations = _bucket_groupby(
+        cust.map_batches(cust_side, batch_format="pyarrow").union(
+            orders.map_batches(order_side, batch_format="pyarrow")
+        ),
+        "k",
+        join_cust,
+        n_buckets=nb,
+    )
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_side(t: pa.Table) -> pa.Table:
+        skeys, snat_pos = ray.get(sref)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(skeys, lsk)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        part = (
+            pa.table(
+                {
+                    "k": t["l_orderkey"],
+                    "sn": pa.array(snat_pos[pos]),
+                    "rev_e4": pa.array(
+                        np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["k", "sn"])
+            .aggregate([("rev_e4", "sum")])
+        )
+        n = len(part)
+        return pa.table(
+            {
+                "k": part["k"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64)),
+                "cn": pa.array(np.zeros(n, np.int64)),
+                "sn": part["sn"],
+                "rev_e4": part["rev_e4_sum"],
+            }
+        )
+
+    def join_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "cn": pd.Series([], dtype=np.int64),
+                    "sn": pd.Series([], dtype=np.int64),
+                    "revenue_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = right[["k", "sn", "rev_e4"]].merge(left[["k", "cn"]], on="k")
+        part = m.groupby(["cn", "sn"], as_index=False)["rev_e4"].sum()
+        return pd.DataFrame(
+            {
+                "cn": part["cn"].to_numpy(np.int64),
+                "sn": part["sn"].to_numpy(np.int64),
+                "revenue_e4": part["rev_e4"].to_numpy(np.int64),
+            }
+        )
+
+    joined = _bucket_groupby(
+        order_nations.union(li.map_batches(rev_side, batch_format="pyarrow")),
+        "k",
+        join_pairs,
+        n_buckets=nb,
+    )
+    pairs = (
+        joined.groupby(["cn", "sn"])
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .to_pandas()
+    )  # <=625 rows: the bounded nation-pair domain
+    return pd.DataFrame(
+        {
+            "cust_nation": nv[pairs["cn"].to_numpy(np.int64)],
+            "supp_nation": nv[pairs["sn"].to_numpy(np.int64)],
+            "revenue_e4": pairs["revenue_e4"].to_numpy(np.int64),
+        }
+    )
+
+
+_SQL_Q7_PAIRS = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY cust_nation, supp_nation
+"""
+
+
+def q_acctbal_gini_by_nation(sf_dir: str):
+    """Exact-integer Gini concentration of customer account balances
+    per nation: emit the rank-weighted numerator
+    2*sum(i*x_i) - (n+1)*sum(x) over cents sorted ascending (the sum
+    is invariant under tie order, so no tie-break is needed) — no
+    division, so both engines agree bit-exactly.  Nations are a
+    bounded key domain (25), so the per-nation sort runs one
+    hash-bucket frame per nation; at larger key domains the
+    distributed-sort + offset machinery of the quantile queries is the
+    scale path."""
+    nmap = _nation_name_map(sf_dir)
+    nk = np.fromiter(sorted(nmap.keys()), dtype=np.int64)
+    nv = np.array([nmap[int(k)] for k in nk], dtype=object)
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        natk = df["c_nationkey"].to_numpy(np.int64)
+        order = np.lexsort((v, natk))
+        natk, v = natk[order], v[order]
+        new = np.r_[True, natk[1:] != natk[:-1]]
+        starts = np.flatnonzero(new)
+        n_per = np.diff(np.r_[starts, len(natk)]).astype(np.int64)
+        i = np.arange(len(natk), dtype=np.int64) - np.repeat(starts, n_per) + 1
+        sum_ix = np.add.reduceat(i * v, starts)
+        sum_x = np.add.reduceat(v, starts)
+        pos = np.searchsorted(nk, natk[starts])
+        # plain object strings: map_groups only sees non-empty frames,
+        # so no Arrow-null inference hazard, and the driver compare
+        # expects object dtype
+        return pd.DataFrame(
+            {
+                "n_name": nv[pos],
+                "n_cust": n_per,
+                "sum_cents": sum_x,
+                "gini_num": 2 * sum_ix - (n_per + 1) * sum_x,
+            }
+        )
+
+    return _bucket_groupby(cust, "c_nationkey", per_bucket)
+
+
+_SQL_GINI = """
+WITH r AS (
+  SELECT n.n_name, CAST(round(c_acctbal * 100.0) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY round(c_acctbal * 100.0)) AS i,
+         COUNT(*) OVER (PARTITION BY c.c_nationkey) AS n
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey)
+SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_cust,
+       CAST(SUM(x) AS BIGINT) AS sum_cents,
+       CAST(2 * SUM(i * x) - (MAX(n) + 1) * SUM(x) AS BIGINT) AS gini_num
+FROM r GROUP BY n_name
+"""
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: for each document (in doc_id
+    order), how many tokens appear for the FIRST time in the corpus.
+    token -> min(doc_id) is a vocab-bounded exchange (block partials
+    first); the per-doc fold is a bincount over the token-min table.
+    Docs introducing zero tokens emit no row — identical on both
+    engines."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc, _ = _flat_tokens(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            pa.table({"token": flat, "doc_id": pa.array(ids[doc])})
+            .group_by(["token"])
+            .aggregate([("doc_id", "min")])
+        )
+        return pa.table({"token": part["token"], "doc_id": part["doc_id_min"]})
+
+    firsts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = t["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(u), "n_new_tokens": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        firsts.map_batches(fold, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_new_tokens", alias_name="n_new_tokens"))
+    )
+
+
+_SQL_VOCAB_GROWTH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+f AS (SELECT w, MIN(doc_id) AS d
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY w)
+SELECT d AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+FROM f GROUP BY d
+"""
+
+
+def q_above_avg_balance_by_nation(sf_dir: str):
+    """TPC-H Q22-shaped decorrelated scalar subquery: customers whose
+    balance exceeds the global average positive balance, aggregated by
+    nation.  The average never materializes as a float — the filter
+    cross-multiplies (x * n_pos > sum_pos) in exact int64 on both
+    engines.  Pass 1 is a two-scalar aggregate; pass 2 streams with
+    the broadcast nation map."""
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        v = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        p = v[v > 0]
+        return pa.table(
+            {
+                "sum_pos": pa.array([int(p.sum())], pa.int64()),
+                "n_pos": pa.array([len(p)], pa.int64()),
+            }
+        )
+
+    tot = (
+        cust.map_batches(pos_partial, batch_format="pyarrow")
+        .sum(["sum_pos", "n_pos"])
+    )
+    sum_pos, n_pos = int(tot["sum(sum_pos)"]), int(tot["sum(n_pos)"])
+
+    nmap = _nation_name_map(sf_dir)
+    nk = np.fromiter(sorted(nmap.keys()), dtype=np.int64)
+    nv = np.array([nmap[int(k)] for k in nk], dtype=object)
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        keep = v * n_pos > sum_pos
+        natk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        v = v[keep]
+        u, inv = np.unique(natk, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, v)
+        c = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        pos = np.searchsorted(nk, u)
+        return pa.table(
+            {
+                "n_name": pa.array(nv[pos], pa.string()),
+                "n_cust": pa.array(c),
+                "sum_cents": pa.array(s),
+            }
+        )
+
+    return (
+        cust.map_batches(pick, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+_SQL_ABOVE_AVG = """
+WITH c2 AS (SELECT c_nationkey, CAST(round(c_acctbal * 100.0) AS BIGINT) AS x
+            FROM customer),
+s AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS nx
+      FROM c2 WHERE x > 0)
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(x) AS BIGINT) AS sum_cents
+FROM c2 JOIN nation n ON n.n_nationkey = c2.c_nationkey, s
+WHERE x * s.nx > s.sx
+GROUP BY n.n_name
+"""
+
+
+QUERIES.update(
+    {
+        "volume_shipping_pairs": q_volume_shipping_pairs,
+        "acctbal_gini_by_nation": q_acctbal_gini_by_nation,
+        "vocab_growth": q_vocab_growth,
+        "above_avg_balance_by_nation": q_above_avg_balance_by_nation,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "volume_shipping_pairs": _SQL_Q7_PAIRS,
+        "acctbal_gini_by_nation": _SQL_GINI,
+        "vocab_growth": _SQL_VOCAB_GROWTH,
+        "above_avg_balance_by_nation": _SQL_ABOVE_AVG,
+    }
+)

@@ -1,0 +1,65 @@
+"""Kernel property tests for the eighth round-5 batch: the exact
+integer Gini numerator (tie-order invariance) and the cross-multiplied
+above-average predicate."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _gini_num_naive(x):
+    xs = sorted(x)
+    n = len(xs)
+    return 2 * sum((i + 1) * v for i, v in enumerate(xs)) - (n + 1) * sum(xs)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-500, 500)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_gini_bucket_kernel_matches_naive_and_is_order_invariant(rows):
+    from simplepolygon_ray.relational.queries import q_acctbal_gini_by_nation  # noqa: F401
+
+    # replicate the per-bucket kernel body on a shuffled frame
+    df = pd.DataFrame(
+        {
+            "c_nationkey": [r[0] for r in rows],
+            "c_acctbal": [r[1] / 100.0 for r in rows],
+        }
+    ).sample(frac=1.0, random_state=7)
+    v = np.rint(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+    natk = df["c_nationkey"].to_numpy(np.int64)
+    order = np.lexsort((v, natk))
+    natk, v = natk[order], v[order]
+    new = np.r_[True, natk[1:] != natk[:-1]]
+    starts = np.flatnonzero(new)
+    n_per = np.diff(np.r_[starts, len(natk)]).astype(np.int64)
+    i = np.arange(len(natk), dtype=np.int64) - np.repeat(starts, n_per) + 1
+    sum_ix = np.add.reduceat(i * v, starts)
+    sum_x = np.add.reduceat(v, starts)
+    got = dict(zip(natk[starts].tolist(), (2 * sum_ix - (n_per + 1) * sum_x).tolist()))
+    want = {
+        k: _gini_num_naive([r[1] for r in rows if r[0] == k])
+        for k in {r[0] for r in rows}
+    }
+    assert got == want
+
+
+@given(st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=100))
+@settings(max_examples=60, deadline=None)
+def test_cross_multiplied_above_avg_equals_float_filter(cents):
+    x = np.array(cents, np.int64)
+    pos = x[x > 0]
+    if len(pos) == 0:
+        return
+    keep = x * len(pos) > pos.sum()
+    # exact rational comparison, no float avg anywhere
+    from fractions import Fraction
+
+    avg = Fraction(int(pos.sum()), len(pos))
+    assert keep.tolist() == [Fraction(int(v)) > avg for v in x]
