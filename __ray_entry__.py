@@ -39,6 +39,7 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "geo_centroid_moments",
     "volume_shipping_pairs",
     "acctbal_gini_by_nation",
     "vocab_growth",

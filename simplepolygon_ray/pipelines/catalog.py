@@ -2923,3 +2923,128 @@ LIMIT 20
 
 GEO_QUERIES.update({"image_hamming_topk": q_image_hamming_topk})
 EXTRA_ORACLE_SQL["image_hamming_topk"] = _IMAGE_HAMMING_SQL
+
+
+# ------------------------------------------------------------ centroid moments
+
+
+def _centroid_batch(t: pa.Table) -> pa.Table:
+    """simple-ring rows → the exact quantized centroid per ring.
+
+    Moments run RELATIVE to the ring's integer min corner (centroid =
+    corner + M/(3·A2) by translation).  cr terms fit int64 at e5, but
+    the Σ(dx_i+dx_{i+1})·cr_i numerators can exceed 2^63 on wide
+    rings, so the numerator fold runs in arbitrary-precision Python
+    ints via object-dtype ``reduceat`` (the SQL replay uses HUGEINT —
+    a production path would carry a two-word int128).  The emitted
+    centroid is the exact floor quotient M // (3·|A2|) with the sign
+    canonicalized first: relative coords are >= 0, so numerator and
+    denominator are both non-negative and floor == truncate on both
+    engines.  area2 on relative coords equals the absolute shoelace
+    (translation invariance) — a cross-check against
+    `geo_ring_stats`."""
+    from ..cells.grid import _rl_arange
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "abs_area2_e10": pa.array([], type=pa.int64()),
+            "cx_e5": pa.array([], type=pa.int64()),
+            "cy_e5": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    if (olen <= 0).any():
+        raise ValueError("degenerate ring in centroid input")
+    if olen.max(initial=0) > 900:
+        raise ValueError("ring too long for exact int64 cross terms at e5")
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    # floor, not round — same .5-safety rule as _ring_stats_batch
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    minx = np.minimum.reduceat(xi, ostart)
+    miny = np.minimum.reduceat(yi, ostart)
+    dx = xi - np.repeat(minx, olen)
+    dy = yi - np.repeat(miny, olen)
+    nxt = np.arange(len(oc), dtype=np.int64) + 1
+    nxt[ostart + olen - 1] = ostart
+    cr = dx * dy[nxt] - dx[nxt] * dy  # |cr| <= 2E^2: int64-safe at e5
+    a2 = np.add.reduceat(cr, ostart)
+    if (a2 == 0).any():
+        raise ValueError("zero-area ring in centroid input")
+    cro = cr.astype(object)
+    mxs = np.add.reduceat((dx + dx[nxt]).astype(object) * cro, ostart)
+    mys = np.add.reduceat((dy + dy[nxt]).astype(object) * cro, ostart)
+    neg = a2 < 0
+    a2abs = np.where(neg, -a2, a2)
+    mxs = np.where(neg, -mxs, mxs)
+    mys = np.where(neg, -mys, mys)
+    cx = minx + (mxs // (3 * a2abs.astype(object))).astype(np.int64)
+    cy = miny + (mys // (3 * a2abs.astype(object))).astype(np.int64)
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "abs_area2_e10": pa.array(a2abs.astype(np.int64)),
+            "cx_e5": pa.array(cx),
+            "cy_e5": pa.array(cy),
+        }
+    )
+
+
+def q_geo_centroid_moments(sf_dir: str):
+    """Exact centroid moment sums over the decompose output; the open
+    vertex table persists so SQL replays the relative-corner moment
+    arithmetic op-for-op."""
+    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
+    simple = decompose_dataset(polygons)
+    _persist(
+        simple.map_batches(_verts_batch, batch_format="pyarrow"), "centroid_verts"
+    )
+    return simple.map_batches(_centroid_batch, batch_format="pyarrow")
+
+
+_CENTROID_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/centroid_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m, MIN(xi) AS mx, MIN(yi) AS my
+      FROM v GROUP BY geom_id, ring_seq),
+d AS (SELECT v.geom_id, v.ring_seq, v.vidx,
+             v.xi - n.mx AS dx, v.yi - n.my AS dy, n.m, n.mx, n.my
+      FROM v JOIN n ON n.geom_id = v.geom_id AND n.ring_seq = v.ring_seq),
+e AS (SELECT a.geom_id, a.ring_seq, a.mx, a.my,
+             a.dx * b.dy - b.dx * a.dy AS cr,
+             a.dx + b.dx AS sx, a.dy + b.dy AS sy
+      FROM d a
+      JOIN d b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+              AND b.vidx = (a.vidx + 1) % a.m),
+agg AS (SELECT geom_id, ring_seq, MIN(mx) AS mx, MIN(my) AS my,
+               SUM(CAST(cr AS HUGEINT)) AS a2,
+               SUM(CAST(sx AS HUGEINT) * CAST(cr AS HUGEINT)) AS mxs,
+               SUM(CAST(sy AS HUGEINT) * CAST(cr AS HUGEINT)) AS mys
+        FROM e GROUP BY geom_id, ring_seq)
+SELECT geom_id, ring_seq,
+       CAST(abs(a2) AS BIGINT) AS abs_area2_e10,
+       CAST(mx + (CASE WHEN a2 < 0 THEN -mxs ELSE mxs END) // (3 * abs(a2))
+            AS BIGINT) AS cx_e5,
+       CAST(my + (CASE WHEN a2 < 0 THEN -mys ELSE mys END) // (3 * abs(a2))
+            AS BIGINT) AS cy_e5
+FROM agg
+"""
+
+
+GEO_QUERIES.update({"geo_centroid_moments": q_geo_centroid_moments})
+EXTRA_ORACLE_SQL["geo_centroid_moments"] = _CENTROID_SQL

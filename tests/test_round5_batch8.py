@@ -63,3 +63,51 @@ def test_cross_multiplied_above_avg_equals_float_filter(cents):
 
     avg = Fraction(int(pos.sum()), len(pos))
     assert keep.tolist() == [Fraction(int(v)) > avg for v in x]
+
+
+def test_centroid_batch_exact_and_orientation_invariant():
+    import pyarrow as pa
+
+    from simplepolygon_ray.pipelines.catalog import _centroid_batch
+
+    # unit square at (2,3)..(3,4): centroid (2.5, 3.5) -> floor e5 ints
+    sq = [[2.0, 3.0], [3.0, 3.0], [3.0, 4.0], [2.0, 4.0], [2.0, 3.0]]
+    sq_cw = sq[::-1]
+    # triangle (0,0)(3,0)(0,3): centroid (1,1); area2 = 9 -> 9e10 at e5
+    tri = [[0.0, 0.0], [3.0, 0.0], [0.0, 3.0], [0.0, 0.0]]
+    t = pa.table(
+        {
+            "geom_id": pa.array(["a", "b", "c"], pa.string()),
+            "ring_seq": pa.array([0, 0, 0], pa.int32()),
+            "ring": pa.array([sq, sq_cw, tri], pa.list_(pa.list_(pa.float64(), 2))),
+        }
+    )
+    out = _centroid_batch(t).to_pydict()
+    assert out["abs_area2_e10"] == [2 * 10**10, 2 * 10**10, 9 * 10**10]
+    assert out["cx_e5"][0] == out["cx_e5"][1] == 250000
+    assert out["cy_e5"][0] == out["cy_e5"][1] == 350000
+    assert (out["cx_e5"][2], out["cy_e5"][2]) == (100000, 100000)
+
+
+def test_centroid_batch_wide_ring_numerator_exceeds_int64():
+    """A ring wide enough that the moment numerator overflows int64
+    must still produce the exact quotient (the object-dtype fold)."""
+    import pyarrow as pa
+
+    from simplepolygon_ray.pipelines.catalog import _centroid_batch
+
+    # 300-degree-wide sliver: E = 3e7 at e5; numerator ~ E^3 >> 2^63
+    w = 300.0
+    ring = [[0.0, 0.0], [w, 0.0], [w, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    t = pa.table(
+        {
+            "geom_id": pa.array(["w"], pa.string()),
+            "ring_seq": pa.array([0], pa.int32()),
+            "ring": pa.array([ring], pa.list_(pa.list_(pa.float64(), 2))),
+        }
+    )
+    out = _centroid_batch(t).to_pydict()
+    E = 30_000_000
+    assert out["abs_area2_e10"] == [2 * E * 100_000]
+    assert out["cx_e5"] == [E // 2]
+    assert out["cy_e5"] == [100_000 // 2]
