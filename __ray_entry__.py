@@ -39,6 +39,11 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "lineitem_unpivot",
+    "first_event_per_user_hour",
+    "benford_first_digit",
+    "copurchase_jaccard",
+    "geo_ring_convexity",
     "geo_centroid_moments",
     "volume_shipping_pairs",
     "acctbal_gini_by_nation",

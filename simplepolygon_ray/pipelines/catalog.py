@@ -3048,3 +3048,105 @@ FROM agg
 
 GEO_QUERIES.update({"geo_centroid_moments": q_geo_centroid_moments})
 EXTRA_ORACLE_SQL["geo_centroid_moments"] = _CENTROID_SQL
+
+
+# ------------------------------------------------------------ ring convexity
+
+
+def _convexity_batch(t: pa.Table) -> pa.Table:
+    """simple-ring rows → per-ring turn census on e5 integer coords:
+    left / right / collinear turn counts at every open vertex (cross
+    product of the incoming and outgoing edge vectors) and the
+    orientation-agnostic convexity flag (all turns one way, collinear
+    allowed).  Edge-vector cross terms are ≤ (2·3.6e7)² ≈ 5e15 —
+    int64-safe at any geographic extent."""
+    from ..cells.grid import _rl_arange
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "n_left": pa.array([], type=pa.int64()),
+            "n_right": pa.array([], type=pa.int64()),
+            "n_straight": pa.array([], type=pa.int64()),
+            "is_convex": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    if (olen <= 0).any():
+        raise ValueError("degenerate ring in convexity input")
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    idx = np.arange(len(oc), dtype=np.int64)
+    nxt = idx + 1
+    nxt[ostart + olen - 1] = ostart
+    prv = idx - 1
+    prv[ostart] = ostart + olen - 1
+    cr = (xi - xi[prv]) * (yi[nxt] - yi) - (xi[nxt] - xi) * (yi - yi[prv])
+    n_left = np.add.reduceat((cr > 0).astype(np.int64), ostart)
+    n_right = np.add.reduceat((cr < 0).astype(np.int64), ostart)
+    n_straight = np.add.reduceat((cr == 0).astype(np.int64), ostart)
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "n_left": pa.array(n_left),
+            "n_right": pa.array(n_right),
+            "n_straight": pa.array(n_straight),
+            "is_convex": pa.array(
+                ((n_left == 0) | (n_right == 0)).astype(np.int64)
+            ),
+        }
+    )
+
+
+def q_geo_ring_convexity(sf_dir: str):
+    """Per-ring turn census + convexity flag over the decompose
+    output; the open vertex table persists so SQL replays the
+    cross-product census from the ordered vertices."""
+    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
+    simple = decompose_dataset(polygons)
+    _persist(
+        simple.map_batches(_verts_batch, batch_format="pyarrow"), "convexity_verts"
+    )
+    return simple.map_batches(_convexity_batch, batch_format="pyarrow")
+
+
+_CONVEXITY_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/convexity_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+e AS (SELECT c.geom_id, c.ring_seq,
+             (c.xi - p.xi) * (x.yi - c.yi) - (x.xi - c.xi) * (c.yi - p.yi) AS cr
+      FROM v c
+      JOIN n ON n.geom_id = c.geom_id AND n.ring_seq = c.ring_seq
+      JOIN v p ON p.geom_id = c.geom_id AND p.ring_seq = c.ring_seq
+              AND p.vidx = (c.vidx + n.m - 1) % n.m
+      JOIN v x ON x.geom_id = c.geom_id AND x.ring_seq = c.ring_seq
+              AND x.vidx = (c.vidx + 1) % n.m)
+SELECT geom_id, ring_seq,
+       CAST(SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+       CAST(SUM(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+       CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straight,
+       CAST(CASE WHEN SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) = 0
+                   OR SUM(CASE WHEN cr < 0 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_convex
+FROM e GROUP BY geom_id, ring_seq
+"""
+
+
+GEO_QUERIES.update({"geo_ring_convexity": q_geo_ring_convexity})
+EXTRA_ORACLE_SQL["geo_ring_convexity"] = _CONVEXITY_SQL

@@ -6877,3 +6877,265 @@ ORACLE_SQL.update(
         "above_avg_balance_by_nation": _SQL_ABOVE_AVG,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 batch 9 — reshape (UNPIVOT), windowed dedup/rate-limit,
+# Benford profiling, and per-edge graph similarity over the cached
+# co-purchase graph.
+# --------------------------------------------------------------------------
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT/melt: the four lineitem measures reshape to long form
+    (metric name column + e4 fixed-point value) inside each block — a
+    pure width-to-length transform with zero shuffle — then a bounded
+    (returnflag, linestatus, metric) groupby proves every melted row
+    landed exactly once."""
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus"] + _UNPIVOT_METRICS,
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        # one stacked sub-table per metric: flag/status columns reuse
+        # the block's chunked arrays zero-copy
+        stack = [
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "metric": pa.array(np.full(n, m, dtype=object), pa.string()),
+                    "v": pa.array(
+                        np.rint(
+                            t[m].to_numpy(zero_copy_only=False) * 10000.0
+                        ).astype(np.int64)
+                    ),
+                }
+            )
+            for m in _UNPIVOT_METRICS
+        ]
+        part = (
+            pa.concat_tables(stack)
+            .group_by(["l_returnflag", "l_linestatus", "metric"])
+            .aggregate([("v", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "l_returnflag": part["l_returnflag"],
+                "l_linestatus": part["l_linestatus"],
+                "metric": part["metric"],
+                "sum_e4": part["v_sum"],
+                "n": part["count_all"],
+            }
+        )
+
+    return (
+        li.map_batches(melt, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus", "metric"])
+        .aggregate(Sum("sum_e4", alias_name="sum_e4"), Sum("n", alias_name="n"))
+    )
+
+
+_SQL_UNPIVOT = """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus, metric,
+         CAST(round(value * 10000.0) AS BIGINT) AS v
+  FROM lineitem
+  UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+SELECT l_returnflag, l_linestatus, metric,
+       CAST(SUM(v) AS BIGINT) AS sum_e4, CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY l_returnflag, l_linestatus, metric
+"""
+
+
+def q_first_event_per_user_hour(sf_dir: str):
+    """Windowed dedup / rate-limit: keep the FIRST event per (user,
+    hour), ties on timestamp broken by event_id.  Whole users
+    co-locate in one hash-bucket frame; within it one lexsort + run
+    detection picks every winner — no per-group Python."""
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pa.array(us),
+                "hour": pa.array(us // 3_600_000_000),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        h = df["hour"].to_numpy(np.int64)
+        order = np.lexsort((eid, t, h, uid))
+        uid, h, t, eid = uid[order], h[order], t[order], eid[order]
+        first = np.r_[True, (uid[1:] != uid[:-1]) | (h[1:] != h[:-1])]
+        return pd.DataFrame(
+            {
+                "user_id": uid[first],
+                "hour": h[first],
+                "event_id": eid[first],
+                "ts_us": t[first],
+            }
+        )
+
+    return _bucket_groupby(
+        ev.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_FIRST_PER_HOUR = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  epoch_us(ts) // 3600000000 AS hour
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id, hour
+                                   ORDER BY ts_us, event_id) AS rn
+      FROM e)
+SELECT user_id, CAST(hour AS BIGINT) AS hour, event_id, ts_us
+FROM r WHERE rn = 1
+"""
+
+
+def q_benford_first_digit(sf_dir: str):
+    """Benford profiling: distribution of the first decimal digit of
+    the positive order totals (in cents).  The digit extracts by
+    vectorized repeated integer division (≤ log10 passes per block);
+    the oracle takes the first character of the decimal string — the
+    same function on positive ints."""
+    od = _t(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        d = c[c > 0]
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        bc = np.bincount(d, minlength=10)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(bc[1:10].astype(np.int64)),
+            }
+        )
+
+    return (
+        od.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_SQL_BENFORD = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v FROM orders),
+d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c WHERE v > 0)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+"""
+
+
+def q_copurchase_jaccard(sf_dir: str):
+    """Per-edge neighborhood similarity for the top-20 co-purchase
+    edges: common-neighbor count and both degrees (the exact integer
+    Jaccard pieces |N(a)∩N(b)|, |N(a)|, |N(b)| — no division).  The
+    probe set is bounded (20 edges → ≤40 parts), so their
+    neighborhoods gather from the cached bounded graph and the
+    intersection folds in numpy — a broadcast-probe pattern, never an
+    all-pairs join."""
+    edges = _copurchase_pair_counts(sf_dir)
+    top = q_copurchase_pairs(sf_dir)  # ≤20 rows, reuses the same cache
+    probe = set(
+        map(int, np.r_[top["part_a"].to_numpy(np.int64), top["part_b"].to_numpy(np.int64)])
+    )
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    def nbrs(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.is_in(t["part_a"], value_set=probe_arr),
+            pc.is_in(t["part_b"], value_set=probe_arr),
+        )
+        sub = t.filter(m)
+        return pa.table({"part_a": sub["part_a"], "part_b": sub["part_b"]})
+
+    sub = edges.map_batches(nbrs, batch_format="pyarrow").to_pandas()
+    a = sub["part_a"].to_numpy(np.int64)
+    b = sub["part_b"].to_numpy(np.int64)
+    u = np.r_[a, b]
+    v = np.r_[b, a]
+    # full degrees of probe parts need the probe-incident edges only
+    deg: dict[int, int] = {}
+    nbr: dict[int, np.ndarray] = {}
+    for p in probe:
+        vs = np.sort(v[u == p])
+        nbr[p] = vs
+        deg[p] = len(vs)
+    pa_, pb_ = top["part_a"].to_numpy(np.int64), top["part_b"].to_numpy(np.int64)
+    common = np.array(
+        [len(np.intersect1d(nbr[int(x)], nbr[int(y)], assume_unique=True))
+         for x, y in zip(pa_, pb_)],
+        np.int64,
+    )
+    return pd.DataFrame(
+        {
+            "part_a": pa_,
+            "part_b": pb_,
+            "n_common": common,
+            "deg_a": np.array([deg[int(x)] for x in pa_], np.int64),
+            "deg_b": np.array([deg[int(x)] for x in pb_], np.int64),
+        }
+    )
+
+
+_SQL_COPURCHASE_JACCARD = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+top AS (SELECT part_a, part_b FROM p
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 20),
+sym AS (SELECT part_a AS u, part_b AS v FROM p
+        UNION ALL SELECT part_b, part_a FROM p),
+deg AS (SELECT u, COUNT(*) AS dg FROM sym GROUP BY u),
+com AS (SELECT t.part_a, t.part_b, COUNT(*) AS n_common
+        FROM top t
+        JOIN sym s1 ON s1.u = t.part_a
+        JOIN sym s2 ON s2.u = t.part_b AND s2.v = s1.v
+        GROUP BY t.part_a, t.part_b)
+SELECT t.part_a, t.part_b,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(da.dg AS BIGINT) AS deg_a, CAST(db.dg AS BIGINT) AS deg_b
+FROM top t
+LEFT JOIN com c ON c.part_a = t.part_a AND c.part_b = t.part_b
+JOIN deg da ON da.u = t.part_a
+JOIN deg db ON db.u = t.part_b
+"""
+
+
+QUERIES.update(
+    {
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "first_event_per_user_hour": q_first_event_per_user_hour,
+        "benford_first_digit": q_benford_first_digit,
+        "copurchase_jaccard": q_copurchase_jaccard,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "lineitem_unpivot": _SQL_UNPIVOT,
+        "first_event_per_user_hour": _SQL_FIRST_PER_HOUR,
+        "benford_first_digit": _SQL_BENFORD,
+        "copurchase_jaccard": _SQL_COPURCHASE_JACCARD,
+    }
+)

@@ -111,3 +111,34 @@ def test_centroid_batch_wide_ring_numerator_exceeds_int64():
     assert out["abs_area2_e10"] == [2 * E * 100_000]
     assert out["cx_e5"] == [E // 2]
     assert out["cy_e5"] == [100_000 // 2]
+
+
+def test_convexity_batch_census():
+    import pyarrow as pa
+
+    from simplepolygon_ray.pipelines.catalog import _convexity_batch
+
+    sq = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]  # CCW convex
+    sq_cw = sq[::-1]  # CW convex
+    # L-shape: one reflex vertex -> not convex (CCW)
+    ell = [
+        [0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0],
+        [1.0, 2.0], [0.0, 2.0], [0.0, 0.0],
+    ]
+    # square with a collinear midpoint on the bottom edge: convex with
+    # one straight vertex
+    sqc = [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+    t = pa.table(
+        {
+            "geom_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "ring_seq": pa.array([0, 0, 0, 0], pa.int32()),
+            "ring": pa.array(
+                [sq, sq_cw, ell, sqc], pa.list_(pa.list_(pa.float64(), 2))
+            ),
+        }
+    )
+    out = _convexity_batch(t).to_pydict()
+    assert out["n_left"] == [4, 0, 5, 4]
+    assert out["n_right"] == [0, 4, 1, 0]
+    assert out["n_straight"] == [0, 0, 0, 1]
+    assert out["is_convex"] == [1, 1, 0, 1]
