@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "fk_orphan_audit",
+    "purchase_click_full_outer",
+    "time_to_convert_histogram",
     "lineitem_unpivot",
     "first_event_per_user_hour",
     "benford_first_digit",

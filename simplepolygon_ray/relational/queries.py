@@ -7139,3 +7139,307 @@ ORACLE_SQL.update(
         "copurchase_jaccard": _SQL_COPURCHASE_JACCARD,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 batch 10 — pipeline-health + join-type coverage: a one-shuffle
+# multi-pair referential-integrity audit, a FULL OUTER join, and the
+# funnel-latency histogram.
+# --------------------------------------------------------------------------
+
+_FK_PAIRS = [
+    # (pair label, child table, child key, parent table, parent key)
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit across every FK relationship in the
+    schema, in ONE shuffle: each side emits (pair_id, key) rows —
+    child sides pre-aggregated to block-local distinct keys with row
+    counts — bucketed on a composite (key, pair) hash so all evidence
+    for a key meets in one frame.  Emits per relationship the child
+    row count, distinct child key count, and orphan key count."""
+    # table-centric emission: each table reads ONCE and emits all its
+    # child/parent evidence rows in one map_batches (lineitem carries
+    # three FKs; nation parents two relationships), so the union fans
+    # over 7 sources, not 14
+    roles: dict[str, list[tuple[int, str, int]]] = {}
+    for pid, (_, child, ck, parent, pk) in enumerate(_FK_PAIRS):
+        roles.setdefault(child, []).append((pid, ck, 0))
+        roles.setdefault(parent, []).append((pid, pk, 1))
+
+    def make_emit(table_roles):
+        def emit(t: pa.Table) -> pa.Table:
+            bks, pids, sds, nrs = [], [], [], []
+            for pid_, col, side_ in table_roles:
+                if side_ == 0:
+                    g = t.group_by([col]).aggregate([([], "count_all")])
+                    k = g[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                    nr = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+                else:
+                    k = np.unique(
+                        t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                    )
+                    nr = np.zeros(len(k), np.int64)
+                bks.append(k * 7 + pid_)
+                pids.append(np.full(len(k), pid_, np.int64))
+                sds.append(np.full(len(k), side_, np.int64))
+                nrs.append(nr)
+            return pa.table(
+                {
+                    "bk": pa.array(np.concatenate(bks)),
+                    "pair_id": pa.array(np.concatenate(pids)),
+                    "side": pa.array(np.concatenate(sds)),
+                    "n_rows": pa.array(np.concatenate(nrs)),
+                }
+            )
+
+        return emit
+
+    sides = []
+    total_rows = 0
+    for table, table_roles in roles.items():
+        cols = sorted({c for _, c, _ in table_roles})
+        ds = _t(sf_dir, table, columns=cols)
+        total_rows += ds.count()  # parquet metadata
+        sides.append(ds.map_batches(make_emit(table_roles), batch_format="pyarrow"))
+
+    allrows = sides[0]
+    for s in sides[1:]:
+        allrows = allrows.union(s)
+    nb = int(min(4096, max(16, total_rows // 8000)))
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "pair_id": pd.Series([], dtype=np.int64),
+                    "n_child_rows": pd.Series([], dtype=np.int64),
+                    "n_child_keys": pd.Series([], dtype=np.int64),
+                    "n_orphan_keys": pd.Series([], dtype=np.int64),
+                }
+            )
+        bk = g["bk"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        nr = g["n_rows"].to_numpy(np.int64)
+        pid = g["pair_id"].to_numpy(np.int64)
+        order = np.lexsort((side, bk))
+        bk, side, nr, pid = bk[order], side[order], nr[order], pid[order]
+        new = np.r_[True, bk[1:] != bk[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        has_parent = np.zeros(len(starts), bool)
+        np.maximum.at(has_parent, seg, side == 1)
+        child_rows = np.zeros(len(starts), np.int64)
+        np.add.at(child_rows, seg, np.where(side == 0, nr, 0))
+        is_child = child_rows > 0
+        kpid = pid[starts]
+        out = []
+        for p in np.unique(kpid):
+            m = kpid == p
+            out.append(
+                (
+                    int(p),
+                    int(child_rows[m].sum()),
+                    int(is_child[m].sum()),
+                    int((is_child[m] & ~has_parent[m]).sum()),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["pair_id", "n_child_rows", "n_child_keys", "n_orphan_keys"]
+        ).astype(np.int64)
+
+    agg = (
+        _bucket_groupby(allrows, "bk", audit, n_buckets=nb)
+        .groupby("pair_id")
+        .aggregate(
+            Sum("n_child_rows", alias_name="n_child_rows"),
+            Sum("n_child_keys", alias_name="n_child_keys"),
+            Sum("n_orphan_keys", alias_name="n_orphan_keys"),
+        )
+        .to_pandas()
+        .sort_values("pair_id")
+    )
+    labels = np.array([p[0] for p in _FK_PAIRS], dtype=object)
+    return pd.DataFrame(
+        {
+            "relationship": labels[agg["pair_id"].to_numpy(np.int64)],
+            "n_child_rows": agg["n_child_rows"].to_numpy(np.int64),
+            "n_child_keys": agg["n_child_keys"].to_numpy(np.int64),
+            "n_orphan_keys": agg["n_orphan_keys"].to_numpy(np.int64),
+        }
+    )
+
+
+_SQL_FK_AUDIT = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS relationship,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+       (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {child}) AS n_child_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {ck} AS k FROM {child}) c
+        WHERE c.k NOT IN (SELECT {pk} FROM {parent})) AS n_orphan_keys"""
+    for label, child, ck, parent, pk in _FK_PAIRS
+)
+
+
+def q_purchase_click_full_outer(sf_dir: str):
+    """FULL OUTER join of two per-user aggregates (purchase counts ⋈
+    click counts): tagged block partials union into one user-hash
+    bucket shuffle; each frame emits the union of users with
+    zero-filled missing sides — left-only, right-only and matched rows
+    all surface, unlike the semi/anti/left joins elsewhere in the
+    catalog."""
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"], value_set=pa.array(["purchase", "click"], pa.string())
+        )
+        sub = t.filter(m)
+        g = sub.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        side = pc.equal(g["event_type"], "click").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "side": pa.array(side.astype(np.int64)),
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def outer(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        u = np.unique(uid)
+        pos = np.searchsorted(u, uid)
+        np_ = np.zeros(len(u), np.int64)
+        nc = np.zeros(len(u), np.int64)
+        np.add.at(np_, pos[side == 0], n[side == 0])
+        np.add.at(nc, pos[side == 1], n[side == 1])
+        return pd.DataFrame({"user_id": u, "n_purchase": np_, "n_click": nc})
+
+    return _bucket_groupby(
+        ev.map_batches(partial, batch_format="pyarrow"), "user_id", outer
+    )
+
+
+_SQL_FULL_OUTER = """
+WITH p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchase
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id)
+SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       COALESCE(p.n_purchase, 0) AS n_purchase,
+       COALESCE(c.n_click, 0) AS n_click
+FROM p FULL OUTER JOIN c ON c.user_id = p.user_id
+"""
+
+
+def q_time_to_convert_histogram(sf_dir: str):
+    """Funnel latency: days from a user's first signup to their first
+    subsequent purchase, histogrammed; signup users who never convert
+    land in bucket -1.  Whole users co-locate per bucket frame; the
+    min-fold is one lexsort + reduceat."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"], value_set=pa.array(["signup", "purchase"], pa.string())
+        )
+        sub = t.filter(m)
+        us = sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(us),
+                "is_purchase": pa.array(
+                    pc.equal(sub["event_type"], "purchase")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        isp = df["is_purchase"].to_numpy(np.int64)
+        order = np.lexsort((t, uid))
+        uid, t, isp = uid[order], t[order], isp[order]
+        # first signup per user: rows are (uid, t)-sorted, so the first
+        # occurrence in the signup subset IS the min
+        sgm = isp == 0
+        us_, first = np.unique(uid[sgm], return_index=True)
+        s0 = t[sgm][first]
+        # first purchase at/after the user's first signup
+        pm = isp == 1
+        pu_, pt_ = uid[pm], t[pm]
+        pos = np.searchsorted(us_, pu_)
+        cpos = np.minimum(pos, max(len(us_) - 1, 0))
+        qual = (
+            (len(us_) > 0)
+            & (us_[cpos] == pu_)
+            & (pt_ >= s0[cpos])
+        )
+        qu, qi = np.unique(pu_[qual], return_index=True)
+        lat = pt_[qual][qi] - s0[np.searchsorted(us_, qu)]
+        conv = lat // 86_400_000_000
+        n_nc = len(us_) - len(qu)
+        buckets = np.r_[conv, np.full(n_nc, -1, np.int64)]
+        if len(buckets) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket_days": pd.Series([], dtype=np.int64),
+                    "n_users": pd.Series([], dtype=np.int64),
+                }
+            )
+        u, c = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({"bucket_days": u, "n_users": c.astype(np.int64)})
+
+    return (
+        _bucket_groupby(
+            ev.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_bucket
+        )
+        .groupby("bucket_days")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+_SQL_TIME_TO_CONVERT = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM events e JOIN s ON s.user_id = e.user_id
+                  AND epoch_us(e.ts) >= s.t0
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+b AS (SELECT s.user_id,
+             CASE WHEN p.t1 IS NULL THEN -1
+                  ELSE (p.t1 - s.t0) // 86400000000 END AS bucket_days
+      FROM s LEFT JOIN p ON p.user_id = s.user_id)
+SELECT CAST(bucket_days AS BIGINT) AS bucket_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM b GROUP BY bucket_days
+"""
+
+
+QUERIES.update(
+    {
+        "fk_orphan_audit": q_fk_orphan_audit,
+        "purchase_click_full_outer": q_purchase_click_full_outer,
+        "time_to_convert_histogram": q_time_to_convert_histogram,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "fk_orphan_audit": _SQL_FK_AUDIT,
+        "purchase_click_full_outer": _SQL_FULL_OUTER,
+        "time_to_convert_histogram": _SQL_TIME_TO_CONVERT,
+    }
+)
