@@ -3150,3 +3150,100 @@ FROM e GROUP BY geom_id, ring_seq
 
 GEO_QUERIES.update({"geo_ring_convexity": q_geo_ring_convexity})
 EXTRA_ORACLE_SQL["geo_ring_convexity"] = _CONVEXITY_SQL
+
+
+# --------------------------------------------------------- cover area error
+
+# doubled cell area at level 8 in e10 units: 2 * (36000000/256) *
+# (18000000/256) = 2 * 140625 * 70312.5 — exact integer because the
+# area2 convention already carries the factor 2
+_CELL_AREA2_E10_L8 = 19_775_390_625
+
+
+def _cover_area_batch(t: pa.Table) -> pa.Table:
+    """simple-ring rows → per-ring covering-vs-exact area comparison:
+    cell count at level 8, the covering's doubled area in exact e10
+    ints (count × the constant doubled cell area), and the ring's
+    exact |shoelace|.  One vectorized covering pass + one reduceat
+    shoelace per block — no join between derived datasets needed
+    because both quantities fall out of the same ring rows."""
+    from ..cells.grid import _rl_arange, cover_rings_flat
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "n_cells": pa.array([], type=pa.int64()),
+            "cover_area2_e10": pa.array([], type=pa.int64()),
+            "abs_area2_e10": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    ring_row, _cells = cover_rings_flat(coords, offs, 8)
+    n_cells = np.bincount(ring_row, minlength=len(t)).astype(np.int64)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    nxt = np.arange(len(oc), dtype=np.int64) + 1
+    nxt[ostart + olen - 1] = ostart
+    cross = xi * yi[nxt] - xi[nxt] * yi
+    a2 = np.add.reduceat(cross, ostart)
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "n_cells": pa.array(n_cells),
+            "cover_area2_e10": pa.array(n_cells * _CELL_AREA2_E10_L8),
+            "abs_area2_e10": pa.array(np.abs(a2)),
+        }
+    )
+
+
+def q_cover_area_error(sf_dir: str):
+    """Covering-approximation error audit: per ring, the level-8 cell
+    cover's doubled area (exact int) beside the exact |shoelace| —
+    the cover is a superset of the ring, so cover_area2 >= abs_area2
+    always (asserted by a test).  Edge and vertex tables persist so
+    SQL replays BOTH the covering and the shoelace and joins them."""
+    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
+    simple = decompose_dataset(polygons)
+    _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "cae_edges")
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "cae_verts")
+    return simple.map_batches(_cover_area_batch, batch_format="pyarrow")
+
+
+_COVER_AREA_SQL = f"""
+WITH cov AS ({_cover_sql(f"{_ORACLE_DIR}/cae_edges")}),
+cnt AS (SELECT geom_id, ring_seq, CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cov GROUP BY geom_id, ring_seq),
+v AS (SELECT geom_id, ring_seq, vidx,
+             CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+             CAST(floor(y * 100000.0) AS BIGINT) AS yi
+      FROM read_parquet('{_ORACLE_DIR}/cae_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+e AS (SELECT a.geom_id, a.ring_seq, a.xi * b.yi - b.xi * a.yi AS cr
+      FROM v a
+      JOIN n ON n.geom_id = a.geom_id AND n.ring_seq = a.ring_seq
+      JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+              AND b.vidx = (a.vidx + 1) % n.m),
+ar AS (SELECT geom_id, ring_seq, CAST(abs(SUM(cr)) AS BIGINT) AS abs_area2_e10
+       FROM e GROUP BY geom_id, ring_seq)
+SELECT c.geom_id, c.ring_seq, c.n_cells,
+       CAST(c.n_cells * {_CELL_AREA2_E10_L8} AS BIGINT) AS cover_area2_e10,
+       ar.abs_area2_e10
+FROM cnt c JOIN ar ON ar.geom_id = c.geom_id AND ar.ring_seq = c.ring_seq
+"""
+
+
+GEO_QUERIES.update({"cover_area_error": q_cover_area_error})
+EXTRA_ORACLE_SQL["cover_area_error"] = _COVER_AREA_SQL

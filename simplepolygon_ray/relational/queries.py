@@ -7443,3 +7443,122 @@ ORACLE_SQL.update(
         "time_to_convert_histogram": _SQL_TIME_TO_CONVERT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# calendar-month rollup + Gini-Simpson diversity — the two remaining
+# aggregate flavors: calendar-aware (not fixed-width) time buckets,
+# and an exact integer diversity index.
+# --------------------------------------------------------------------------
+
+
+def q_orders_by_month(sf_dir: str):
+    """Orders per CALENDAR month (leap-aware, unlike the fixed-width
+    hour/day buckets elsewhere): numpy datetime64[M] arithmetic on the
+    Ray side, year*12+month on the SQL side — the same integer month
+    index."""
+    od = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        month_idx = m + 1970 * 12  # epoch months -> absolute year*12+month0
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(month_idx, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        c = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "month_idx": pa.array(u),
+                "n_orders": pa.array(c),
+                "sum_cents": pa.array(s),
+            }
+        )
+
+    return (
+        od.map_batches(partial, batch_format="pyarrow")
+        .groupby("month_idx")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+_SQL_BY_MONTH = """
+SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+         AS month_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders GROUP BY month_idx
+"""
+
+
+def q_mktsegment_simpson_by_nation(sf_dir: str):
+    """Gini-Simpson diversity pieces of the market-segment mix per
+    nation: n_cust and Σ count(segment)² as exact ints (diversity =
+    1 - Σp² derives downstream without any engine float).  Segment ×
+    nation is a bounded domain, so block partials pre-aggregate and
+    the square fold happens on the ≤125-row grouped table."""
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey", "c_mktsegment"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"].cast(pa.int64()),
+                "c_mktsegment": g["c_mktsegment"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    grouped = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |nations| x |segments|
+    nmap = _nation_name_map(sf_dir)
+    nk = grouped["c_nationkey"].to_numpy(np.int64)
+    n = grouped["n"].to_numpy(np.int64)
+    u = np.unique(nk)
+    pos = np.searchsorted(u, nk)
+    tot = np.zeros(len(u), np.int64)
+    sq = np.zeros(len(u), np.int64)
+    np.add.at(tot, pos, n)
+    np.add.at(sq, pos, n * n)
+    return pd.DataFrame(
+        {
+            "n_name": np.array([nmap[int(k)] for k in u], dtype=object),
+            "n_cust": tot,
+            "sum_sq": sq,
+        }
+    )
+
+
+_SQL_SIMPSON = """
+WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+           FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT nn.n_name, CAST(SUM(g.n) AS BIGINT) AS n_cust,
+       CAST(SUM(g.n * g.n) AS BIGINT) AS sum_sq
+FROM g JOIN nation nn ON nn.n_nationkey = g.c_nationkey
+GROUP BY nn.n_name
+"""
+
+
+QUERIES.update(
+    {
+        "orders_by_month": q_orders_by_month,
+        "mktsegment_simpson_by_nation": q_mktsegment_simpson_by_nation,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "orders_by_month": _SQL_BY_MONTH,
+        "mktsegment_simpson_by_nation": _SQL_SIMPSON,
+    }
+)

@@ -142,3 +142,29 @@ def test_convexity_batch_census():
     assert out["n_right"] == [0, 4, 1, 0]
     assert out["n_straight"] == [0, 0, 0, 1]
     assert out["is_convex"] == [1, 1, 0, 1]
+
+
+def test_cover_area_is_superset_of_exact_area():
+    """The level-8 covering contains the ring, so its doubled area must
+    dominate the exact |shoelace| for every ring."""
+    import pyarrow as pa
+
+    from simplepolygon_ray.pipelines.catalog import _cover_area_batch
+
+    rings = [
+        [[0.0, 0.0], [3.0, 0.0], [3.0, 2.0], [0.0, 2.0], [0.0, 0.0]],
+        [[10.0, 10.0], [10.4, 10.0], [10.4, 10.9], [10.0, 10.9], [10.0, 10.0]],
+        [[-5.0, -5.0], [-4.0, -5.0], [-4.5, -4.0], [-5.0, -5.0]],
+    ]
+    t = pa.table(
+        {
+            "geom_id": pa.array(["a", "b", "c"], pa.string()),
+            "ring_seq": pa.array([0, 0, 0], pa.int32()),
+            "ring": pa.array(rings, pa.list_(pa.list_(pa.float64(), 2))),
+        }
+    )
+    out = _cover_area_batch(t).to_pydict()
+    for nc, ca, aa in zip(out["n_cells"], out["cover_area2_e10"], out["abs_area2_e10"]):
+        assert nc > 0 and ca >= aa
+    # exact shoelace check for the first rectangle: 2*3*2 deg^2 at e10
+    assert out["abs_area2_e10"][0] == 12 * 10**10
