@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "user_active_coverage",
+    "user_clamped_balance",
+    "dedup_merge_fields",
     "cover_area_error",
     "orders_by_month",
     "mktsegment_simpson_by_nation",

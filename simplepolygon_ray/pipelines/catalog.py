@@ -3247,3 +3247,158 @@ FROM cnt c JOIN ar ON ar.geom_id = c.geom_id AND ar.ring_seq = c.ring_seq
 
 GEO_QUERIES.update({"cover_area_error": q_cover_area_error})
 EXTRA_ORACLE_SQL["cover_area_error"] = _COVER_AREA_SQL
+
+
+# ------------------------------------------------------ survivorship merge
+
+
+def q_dedup_merge_fields(sf_dir: str):
+    """Survivorship MERGE over near-dup groups: instead of keeping one
+    winner (q_dedup_keep_best), fuse each group into a golden record —
+    canonical min id, member count, longest text length, and the
+    distinct language/source counts (the classic MDM field-merge
+    policy).  Same scale shape as keep_best: member metadata is
+    bounded by the near-dup graph, broadcast once, searchsorted
+    attach, one lexsort fold per 256-way group-hash bucket."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..text.dedup import _i64, connected_components
+
+    pairs = _minhash_pairs_cached(sf_dir)
+    labs = connected_components(pairs).materialize()
+
+    @ray.remote
+    def _member_ids(*blocks):
+        ids = [
+            t["doc_id"].to_numpy(zero_copy_only=False)
+            for t in blocks
+            if t.num_columns > 0 and t.num_rows > 0
+        ]
+        return np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+
+    ids_ref = _member_ids.remote(*labs.to_arrow_refs())
+
+    meta = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang", "source"]
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        return t.filter(pc.is_in(t["doc_id"], value_set=pa.array(ids)))
+
+    @ray.remote
+    def _collect(*blocks) -> pa.Table:
+        ts = [t for t in blocks if t.num_columns > 0 and t.num_rows > 0]
+        if not ts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(ts)
+
+    meta_ref = _collect.remote(
+        *meta.map_batches(filt, batch_format="pyarrow").to_arrow_refs()
+    )
+    _cache: dict = {}
+
+    def attach(t: pa.Table) -> pa.Table:
+        if "ids" not in _cache:
+            tb = ray.get(meta_ref)
+            ids = _i64(tb["doc_id"])
+            order = np.argsort(ids, kind="stable")
+            _cache["ids"] = ids[order]
+            _cache["nc"] = _i64(tb["n_chars"])[order]
+            # dictionary codes for distinct counting (values irrelevant)
+            lang = pc.dictionary_encode(tb["lang"].combine_chunks())
+            src = pc.dictionary_encode(tb["source"].combine_chunks())
+            _cache["lang"] = np.asarray(lang.indices, np.int64)[order]
+            _cache["src"] = np.asarray(src.indices, np.int64)[order]
+        did = _i64(t["doc_id"])
+        gid = _i64(t["group_id"])
+        pos = np.searchsorted(_cache["ids"], did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "group_id": pa.array(gid),
+                "n_chars": pa.array(_cache["nc"][pos]),
+                "lang_c": pa.array(_cache["lang"][pos]),
+                "src_c": pa.array(_cache["src"][pos]),
+                "_gb": pa.array(gid % 256),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        gid = _i64(g["group_id"])
+        did = _i64(g["doc_id"])
+        nc = _i64(g["n_chars"])
+        order = np.argsort(gid, kind="stable")
+        sg = gid[order]
+        new = np.ones(len(sg), bool)
+        new[1:] = sg[1:] != sg[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        n_seg = len(starts)
+        cnt = np.diff(np.append(starts, len(sg))).astype(np.int64)
+        mn = np.full(n_seg, np.iinfo(np.int64).max)
+        np.minimum.at(mn, seg, did[order])
+        mx = np.zeros(n_seg, np.int64)
+        np.maximum.at(mx, seg, nc[order])
+
+        def n_distinct(codes: np.ndarray) -> np.ndarray:
+            key = sg * (codes.max() + 1) + codes[order] if len(codes) else sg
+            sk = np.sort(key)
+            nw = np.r_[True, sk[1:] != sk[:-1]]
+            return np.bincount(
+                np.searchsorted(sg[starts], sk[nw] // (codes.max() + 1)),
+                minlength=n_seg,
+            ).astype(np.int64)
+
+        return pa.table(
+            {
+                "group_id": pa.array(sg[starts]),
+                "canonical_doc_id": pa.array(mn),
+                "n_members": pa.array(cnt),
+                "max_chars": pa.array(mx),
+                "n_langs": pa.array(n_distinct(_i64(g["lang_c"]))),
+                "n_sources": pa.array(n_distinct(_i64(g["src_c"]))),
+            }
+        )
+
+    return (
+        labs.map_batches(attach, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+_MERGE_FIELDS_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+),
+lab AS (SELECT v AS doc_id, MIN(l) AS group_id FROM reach GROUP BY v),
+m AS (SELECT l.group_id, d.doc_id, d.n_chars, d.lang, d.source
+      FROM lab l JOIN documents d USING (doc_id))
+SELECT group_id, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM m GROUP BY group_id
+"""
+
+
+GEO_QUERIES.update({"dedup_merge_fields": q_dedup_merge_fields})
+EXTRA_ORACLE_SQL["dedup_merge_fields"] = _MERGE_FIELDS_SQL

@@ -7562,3 +7562,188 @@ ORACLE_SQL.update(
         "mktsegment_simpson_by_nation": _SQL_SIMPSON,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# interval algebra + clamped scan — two per-user sequential folds the
+# engine can still parallelize: interval-union length (sweep algebra)
+# and a clamp-at-zero running balance (associative via the max-plus
+# prefix identity b_n = S_n - min(0, min_k S_k)).
+# --------------------------------------------------------------------------
+
+
+def q_user_active_coverage(sf_dir: str):
+    """Active-time coverage: each event opens a 30-min activity
+    interval; the per-user UNION length of those (overlapping)
+    intervals in seconds.  +1/-1 sweep per user frame: length sums
+    over gaps where depth > 0 — pure vectorized interval algebra,
+    unlike sessionize (which counts gap-split groups) or the
+    concurrency gauge (which maximizes depth)."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(np.r_[uid, uid]),
+                "t": pa.array(np.r_[us, us + _SESSION_GAP_US]),
+                "d": pa.array(
+                    np.r_[np.ones(len(us), np.int64), -np.ones(len(us), np.int64)]
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        order = np.lexsort((-d, t, uid))  # opens before closes at ties
+        uid, t, d = uid[order], t[order], d[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(new) - 1
+        run = np.cumsum(d)
+        base = np.concatenate([[0], run[np.flatnonzero(new)[1:] - 1]])
+        depth = run - base[seg]
+        gap = np.r_[np.diff(t), 0]
+        gap[np.flatnonzero(new[1:])] = 0  # no gap across users
+        covered = np.where(depth > 0, gap, 0)
+        tot = np.zeros(int(seg[-1]) + 1, np.int64)
+        np.add.at(tot, seg, covered)
+        return pd.DataFrame(
+            {
+                "user_id": uid[np.flatnonzero(new)],
+                "covered_sec": tot // 1_000_000,
+            }
+        )
+
+    return _bucket_groupby(
+        ev.map_batches(deltas, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_ACTIVE_COVERAGE = f"""
+WITH dl AS (
+  SELECT user_id, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(ts) + {_SESSION_GAP_US}, -1 FROM events),
+r AS (SELECT user_id, t, d,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS depth,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, d DESC) AS nt
+      FROM dl)
+SELECT user_id,
+       CAST(SUM(CASE WHEN depth > 0 AND nt IS NOT NULL THEN nt - t ELSE 0 END)
+            // 1000000 AS BIGINT) AS covered_sec
+FROM r GROUP BY user_id
+"""
+
+
+def q_user_clamped_balance(sf_dir: str):
+    """Clamp-at-zero running balance (credits from purchases, debits
+    from errors; balance can never go negative): the scan LOOKS
+    non-associative, but b_n = S_n - min(0, min_k S_k) makes it a
+    plain prefix fold — one cumsum + running min per user frame, and
+    at larger-than-frame scale the (sum, min-prefix) pair combines
+    associatively across chunks.  Emits final balance + the clamp
+    count (how often the floor engaged at a prefix minimum)."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def to_signed(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "error"], pa.string()))
+        sub = t.filter(keep)
+        v = np.rint(sub["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(
+            np.int64
+        )
+        sign = np.where(
+            pc.equal(sub["event_type"], "purchase").to_numpy(zero_copy_only=False),
+            1,
+            -1,
+        )
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)),
+                "event_id": sub["event_id"],
+                "x": pa.array(sign * v),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        order = np.lexsort((eid, t, uid))
+        uid, x = uid[order], x[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(new) - 1
+        run = np.cumsum(x)
+        base = np.concatenate([[0], run[np.flatnonzero(new)[1:] - 1]])
+        s = run - base[seg]  # per-user prefix sums
+        # segment-aware running min: offset each user's prefix sums so
+        # one global accumulate never crosses users
+        big = (np.abs(s).max() + 1) if len(s) else 1
+        off = seg * (2 * big)
+        mn = np.minimum.accumulate(s + off) - off
+        ends = np.r_[np.flatnonzero(new)[1:] - 1, len(s) - 1]
+        bal = s[ends] - np.minimum(mn[ends], 0)
+        # a clamp engages wherever the prefix min strictly decreases
+        # below zero (incl. a user's first row going negative)
+        prev_mn = np.r_[0, mn[:-1]]
+        dec = (mn < 0) & (new | (mn < prev_mn))
+        n_clamp = np.zeros(int(seg[-1]) + 1, np.int64)
+        np.add.at(n_clamp, seg, dec.astype(np.int64))
+        return pd.DataFrame(
+            {
+                "user_id": uid[np.flatnonzero(new)],
+                "balance_e4": bal,
+                "n_clamps": n_clamp,
+            }
+        )
+
+    return _bucket_groupby(
+        ev.map_batches(to_signed, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_CLAMPED = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                  * CAST(round(value * 10000.0) AS BIGINT) AS x
+           FROM events WHERE event_type IN ('purchase', 'error')),
+s1 AS (SELECT user_id, t, event_id,
+              SUM(x) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s
+       FROM e),
+s2 AS (SELECT user_id, t, event_id, s,
+              MIN(s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS mn
+       FROM s1),
+f AS (SELECT user_id, s, mn,
+             LAG(mn) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pmn,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t DESC, event_id DESC) AS rn
+      FROM s2)
+SELECT user_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN s - least(mn, 0) END) AS BIGINT)
+         AS balance_e4,
+       CAST(SUM(CASE WHEN mn < 0 AND (pmn IS NULL OR mn < pmn) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamps
+FROM f GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "user_active_coverage": q_user_active_coverage,
+        "user_clamped_balance": q_user_clamped_balance,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "user_active_coverage": _SQL_ACTIVE_COVERAGE,
+        "user_clamped_balance": _SQL_CLAMPED,
+    }
+)

@@ -168,3 +168,50 @@ def test_cover_area_is_superset_of_exact_area():
         assert nc > 0 and ca >= aa
     # exact shoelace check for the first rectangle: 2*3*2 deg^2 at e10
     assert out["abs_area2_e10"][0] == 12 * 10**10
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+)
+@settings(max_examples=80, deadline=None)
+def test_clamped_balance_identity_matches_sequential_loop(xs):
+    """b_n = S_n - min(0, min_k S_k) equals the sequential clamp loop,
+    and the strict-decrease-below-zero count equals the number of
+    steps where the loop actually clamped to a new floor."""
+    x = np.array(xs, np.int64)
+    s = np.cumsum(x)
+    mn = np.minimum.accumulate(s)
+    bal = s[-1] - min(0, mn.min())
+    b = 0
+    clamps = 0
+    for v in xs:
+        b = b + v
+        if b < 0:
+            clamps += 1
+            b = 0
+    assert bal == b
+    prev = np.r_[0, mn[:-1]]
+    dec = (mn < 0) & (np.r_[True, mn[1:] < prev[1:]])
+    assert int(dec.sum()) == clamps
+
+
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=30),
+    st.integers(5, 50),
+)
+@settings(max_examples=60, deadline=None)
+def test_interval_union_sweep_matches_naive(starts, width):
+    """+1/-1 sweep coverage equals the brute-force union of
+    [t, t+width) intervals."""
+    t = np.sort(np.array(starts, np.int64))
+    pts = np.r_[t, t + width]
+    d = np.r_[np.ones(len(t), np.int64), -np.ones(len(t), np.int64)]
+    order = np.lexsort((-d, pts))
+    pts, d = pts[order], d[order]
+    depth = np.cumsum(d)
+    gap = np.r_[np.diff(pts), 0]
+    got = int(np.where(depth > 0, gap, 0).sum())
+    covered = set()
+    for a in starts:
+        covered.update(range(a, a + width))
+    assert got == len(covered)
