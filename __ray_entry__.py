@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "systematic_sample_orders",
+    "embedding_dim_stats",
+    "events_dow_hour_heatmap",
     "user_active_coverage",
     "user_clamped_balance",
     "dedup_merge_fields",

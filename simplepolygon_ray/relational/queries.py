@@ -7747,3 +7747,187 @@ ORACLE_SQL.update(
         "user_clamped_balance": _SQL_CLAMPED,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# global-rank systematic sampling, vector-column profiling, and the
+# day-of-week × hour seasonality heatmap.
+# --------------------------------------------------------------------------
+
+
+def q_systematic_sample_orders(sf_dir: str):
+    """Systematic (every-100th-by-rank) sample under the GLOBAL total
+    order (o_totalprice cents, o_orderkey): the distributed-rank
+    pattern — a bounded value-bucket histogram (cents >> 12) exchanges
+    per-bucket counts, the driver folds prefix offsets over the ~1e4
+    bucket rows, and each bucket frame sorts locally and adds its
+    offset to get exact global ranks.  No full sort, no driver
+    materialization of rows — only the bucket histogram."""
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pa.array(c),
+                "vb": pa.array(c >> _QBUCKET_SHIFT),
+            }
+        )
+
+    cents = od.map_batches(to_cents, batch_format="pyarrow")
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["vb"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"vb": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    hist = (
+        cents.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("vb")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("vb")
+    )  # bounded by the value-bucket domain, not the row count
+    vb_sorted = hist["vb"].to_numpy(np.int64)
+    offs = np.concatenate([[0], np.cumsum(hist["n"].to_numpy(np.int64))[:-1]])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        # one frame per vb bucket-hash group; may hold several vb values
+        c = g["cents"].to_numpy(np.int64)
+        k = g["o_orderkey"].to_numpy(np.int64)
+        vb = g["vb"].to_numpy(np.int64)
+        order = np.lexsort((k, c, vb))
+        c, k, vb = c[order], k[order], vb[order]
+        new = np.r_[True, vb[1:] != vb[:-1]]
+        local = np.arange(len(vb), dtype=np.int64) - np.repeat(
+            np.flatnonzero(new), np.diff(np.r_[np.flatnonzero(new), len(vb)])
+        )
+        base = offs[np.searchsorted(vb_sorted, vb)]
+        rank = base + local + 1  # 1-based global rank
+        keep = (rank - 1) % 100 == 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": k[keep],
+                "cents": c[keep],
+                "global_rank": rank[keep],
+            }
+        )
+
+    return _bucket_groupby(cents, "vb", pick)
+
+
+_SQL_SYSTEMATIC = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT o_orderkey, cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS global_rank
+      FROM c)
+SELECT o_orderkey, cents, CAST(global_rank AS BIGINT) AS global_rank
+FROM r WHERE (global_rank - 1) % 100 = 0
+"""
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Vector-column profiling: per embedding dimension, count / sum /
+    min / max at e6 fixed point.  floor, not round: float32 values CAN
+    land exactly on .5 at e6 scale (dyadic v = a/2^7 gives v*1e6 =
+    x.5 exactly), where numpy rint (half-even) and SQL round
+    (half-away) disagree — the CLAUDE.md .5 rule.  Per-block column
+    fold over the zero-copy (rows × dims) matrix, then a 64-row
+    groupby."""
+    emb = _t(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        width = len(col[0]) if len(col) else 0
+        m = np.asarray(col.values, dtype=np.float64).reshape(-1, width)
+        q = np.floor(m * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(width, dtype=np.int64)),
+                "n": pa.array(np.full(width, len(m), np.int64)),
+                "sum_e6": pa.array(q.sum(axis=0)),
+                "min_e6": pa.array(q.min(axis=0)),
+                "max_e6": pa.array(q.max(axis=0)),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_e6", alias_name="sum_e6"),
+            Min("min_e6", alias_name="min_e6"),
+            Max("max_e6", alias_name="max_e6"),
+        )
+    )
+
+
+_SQL_DIM_STATS = """
+WITH u AS (SELECT unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+q AS (SELECT dim, CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS e
+      FROM u)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e) AS BIGINT) AS sum_e6,
+       CAST(MIN(e) AS BIGINT) AS min_e6, CAST(MAX(e) AS BIGINT) AS max_e6
+FROM q GROUP BY dim
+"""
+
+
+def q_events_dow_hour_heatmap(sf_dir: str):
+    """Seasonality heatmap: event counts by (day-of-week, hour-of-day),
+    both derived with pure epoch integer arithmetic (epoch day 0 was a
+    Thursday → dow = (days + 4) % 7) so neither engine touches a
+    timezone or calendar library."""
+    ev = _t(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        key = dow * 24 + hour
+        bc = np.bincount(key, minlength=168)
+        nz = np.flatnonzero(bc)
+        return pa.table(
+            {
+                "dow": pa.array(nz // 24),
+                "hour": pa.array(nz % 24),
+                "n": pa.array(bc[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_SQL_DOW_HOUR = """
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY dow, hour
+"""
+
+
+QUERIES.update(
+    {
+        "systematic_sample_orders": q_systematic_sample_orders,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "systematic_sample_orders": _SQL_SYSTEMATIC,
+        "embedding_dim_stats": _SQL_DIM_STATS,
+        "events_dow_hour_heatmap": _SQL_DOW_HOUR,
+    }
+)
