@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "bpe_first_merges",
+    "signup_to_order_latency",
+    "null_audit",
     "systematic_sample_orders",
     "embedding_dim_stats",
     "events_dow_hour_heatmap",

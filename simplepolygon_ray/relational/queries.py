@@ -7931,3 +7931,255 @@ ORACLE_SQL.update(
         "events_dow_hour_heatmap": _SQL_DOW_HOUR,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# BPE first-merge counting, a cross-domain funnel, and the null audit.
+# --------------------------------------------------------------------------
+
+
+def q_bpe_first_merges(sf_dir: str):
+    """One BPE tokenizer-training step: the top-10 adjacent CHARACTER
+    pairs inside words across the corpus (the pair a first merge would
+    fuse).  Char pairs extract zero-copy from the Arrow string data
+    buffer — codes = byte[i]*256 + byte[i+1] masked at token
+    boundaries, one bincount per block — no per-token Python.  ASCII
+    corpus (lowercased), so byte == character."""
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat, _doc, _ = _flat_tokens(batch["text"])
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        if len(flat) == 0:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        # StringArray layout: buffers()[1] = int32 offsets (honoring the
+        # array's logical offset), buffers()[2] = character data
+        offs = np.frombuffer(flat.buffers()[1], np.int32)[
+            flat.offset : flat.offset + len(flat) + 1
+        ].astype(np.int64)
+        buf = np.frombuffer(flat.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        if len(buf) < 2:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        valid = np.ones(len(buf) - 1, bool)
+        valid[offs[1:-1] - 1] = False  # a pair can't straddle tokens
+        codes = (
+            buf[:-1].astype(np.int64) * 256 + buf[1:].astype(np.int64)
+        )[valid]
+        bc = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(bc)
+        return pa.table(
+            {"code": pa.array(nz.astype(np.int64)), "n": pa.array(bc[nz].astype(np.int64))}
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= 10:
+            return t
+        n = t["n"].to_numpy(zero_copy_only=False)
+        c = t["code"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((c, -n))[:10]
+        return t.take(pa.array(sel))
+
+    agg = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "code"], ascending=[False, True], kind="mergesort").head(
+        10
+    )
+    codes = agg["code"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "pair": np.array(
+                [chr(c >> 8) + chr(c & 255) for c in codes], dtype=object
+            ),
+            "n": agg["n"].to_numpy(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+_SQL_BPE = r"""
+WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS t
+           FROM documents),
+p AS (SELECT substr(t, i, 2) AS pair
+      FROM (SELECT t, unnest(range(1, length(t))) AS i FROM w))
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 10
+"""
+
+
+def q_signup_to_order_latency(sf_dir: str):
+    """Cross-domain funnel: events.user_id bridges to
+    customer/orders.o_custkey — per signed-up user who is also a
+    customer, days from first signup to first order (negative when the
+    order predates the signup).  Signup minima and order minima are
+    both tiny keyed aggregates; the final attach is a bucket join on
+    the shared id."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def signup_min(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["event_type"], "signup"))
+        us = sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = sub["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, idx = np.unique(uid, return_index=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(mn, np.searchsorted(u, uid), us)
+        return pa.table(
+            {
+                "k": pa.array(u),
+                "side": pa.array(np.zeros(len(u), np.int64)),
+                "t": pa.array(mn),
+            }
+        )
+
+    od = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def order_min(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(ck)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(mn, np.searchsorted(u, ck), us)
+        return pa.table(
+            {
+                "k": pa.array(u),
+                "side": pa.array(np.ones(len(u), np.int64)),
+                "t": pa.array(mn),
+            }
+        )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        order = np.lexsort((side, k))
+        k, side, t = k[order], side[order], t[order]
+        # fold duplicate partials (same key+side across blocks) by min
+        u, inv = np.unique(k * 2 + side, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, t)
+        uk, uside = u // 2, u % 2
+        su = uk[uside == 0]
+        st = mn[uside == 0]
+        ou = uk[uside == 1]
+        ot = mn[uside == 1]
+        pos = np.searchsorted(ou, su)
+        cpos = np.minimum(pos, max(len(ou) - 1, 0))
+        hit = (len(ou) > 0) & (ou[cpos] == su)
+        lat = (ot[cpos] - st) // 86_400_000_000
+        return pd.DataFrame(
+            {
+                "user_id": su[hit],
+                "latency_days": lat[hit],
+            }
+        )
+
+    both = ev.map_batches(signup_min, batch_format="pyarrow").union(
+        od.map_batches(order_min, batch_format="pyarrow")
+    )
+    return _bucket_groupby(both, "k", join)
+
+
+_SQL_SIGNUP_ORDER = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+o AS (SELECT o_custkey, MIN(epoch_us(o_orderdate)) AS t1 FROM orders
+      GROUP BY o_custkey)
+SELECT s.user_id,
+       -- FLOOR division (numpy // semantics): DuckDB // truncates
+       -- toward zero, which differs on negative latencies
+       CAST(CASE WHEN o.t1 >= s.t0
+                 THEN (o.t1 - s.t0) // 86400000000
+                 ELSE -((s.t0 - o.t1 + 86400000000 - 1) // 86400000000)
+            END AS BIGINT) AS latency_days
+FROM s JOIN o ON o.o_custkey = s.user_id
+"""
+
+
+_TABLE_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def q_null_audit(sf_dir: str):
+    """Data-quality null audit over every column of every table: one
+    streaming pass per table summing Arrow validity-bitmap null counts
+    per block (zero value bytes touched).  Emits (table, column,
+    n_rows, n_nulls) for all 44 columns."""
+
+    def make_fold(tbl, cols):
+        def fold(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "tbl": pa.array(np.full(len(cols), tbl, dtype=object), pa.string()),
+                    "col": pa.array(np.array(cols, dtype=object), pa.string()),
+                    "n_rows": pa.array(np.full(len(cols), len(t), np.int64)),
+                    "n_nulls": pa.array(
+                        np.array([t[c].null_count for c in cols], np.int64)
+                    ),
+                }
+            )
+
+        return fold
+
+    parts = [
+        _t(sf_dir, tbl, columns=cols).map_batches(
+            make_fold(tbl, cols), batch_format="pyarrow"
+        )
+        for tbl, cols in _TABLE_COLUMNS.items()
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    return allp.groupby(["tbl", "col"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"), Sum("n_nulls", alias_name="n_nulls")
+    )
+
+
+_SQL_NULL_AUDIT = "\nUNION ALL\n".join(
+    f"SELECT '{tbl}' AS tbl, '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls FROM {tbl}"
+    for tbl, cols in _TABLE_COLUMNS.items()
+    for col in cols
+)
+
+
+QUERIES.update(
+    {
+        "bpe_first_merges": q_bpe_first_merges,
+        "signup_to_order_latency": q_signup_to_order_latency,
+        "null_audit": q_null_audit,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "bpe_first_merges": _SQL_BPE,
+        "signup_to_order_latency": _SQL_SIGNUP_ORDER,
+        "null_audit": _SQL_NULL_AUDIT,
+    }
+)
