@@ -8183,3 +8183,256 @@ ORACLE_SQL.update(
         "null_audit": _SQL_NULL_AUDIT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands, the distributed Pareto point, and an exact 2-sigma
+# outlier filter (variance comparison fully cross-multiplied in ints).
+# --------------------------------------------------------------------------
+
+
+def q_user_longest_streak(sf_dir: str):
+    """Longest run of CONSECUTIVE active days per user — the canonical
+    gaps-and-islands shape (island key = day − rank).  Distinct days
+    fold block-locally; whole users co-locate per bucket frame where
+    one sort + run-length detection finds every island."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = us // 86_400_000_000
+        key = uid * 1_000_000 + d  # day fits well under 1e6
+        u = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(u // 1_000_000),
+                "day": pa.array(u % 1_000_000),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        key = np.unique(uid * 1_000_000 + d)  # re-distinct across blocks
+        uid = key // 1_000_000
+        d = key % 1_000_000
+        newu = np.r_[True, uid[1:] != uid[:-1]]
+        # island break: new user OR day gap > 1
+        brk = newu | np.r_[True, d[1:] != d[:-1] + 1]
+        island = np.cumsum(brk) - 1
+        ilen = np.bincount(island).astype(np.int64)
+        iuser = uid[np.flatnonzero(brk)]
+        u, pos = np.unique(iuser, return_inverse=True)
+        best = np.zeros(len(u), np.int64)
+        np.maximum.at(best, pos, ilen)
+        n_days = np.bincount(np.searchsorted(u, uid), minlength=len(u)).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": u, "n_active_days": n_days, "longest_streak": best}
+        )
+
+    return _bucket_groupby(
+        ev.map_batches(days, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_STREAK = """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d),
+i AS (SELECT user_id, island, COUNT(*) AS ilen FROM r GROUP BY user_id, island)
+SELECT user_id, CAST(SUM(ilen) AS BIGINT) AS n_active_days,
+       CAST(MAX(ilen) AS BIGINT) AS longest_streak
+FROM i GROUP BY user_id
+"""
+
+
+_PARETO_SHIFT = 16  # revenue-bucket width for the histogram phase
+
+
+def q_pareto_point_parts(sf_dir: str):
+    """Distributed Pareto point: the smallest k such that the top-k
+    parts by revenue carry >= 80% of total revenue.  No global sort:
+    a (rev_e4 >> 16) histogram of per-part revenues exchanges
+    (bucket, count, sum) rows, the driver folds prefix sums downward,
+    and only the single threshold bucket's parts are pulled for the
+    in-bucket refinement (cap-guarded, same discipline as the quantile
+    recursion).  The 80% comparison is 5*cum >= 4*total — exact
+    ints."""
+    li = _t(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        g = pa.table({"l_partkey": t["l_partkey"], "rev_e4": pa.array(rev)})
+        g = g.group_by(["l_partkey"]).aggregate([("rev_e4", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"], "rev_e4": g["rev_e4_sum"]})
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .materialize()
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        r = t["rev_e4"].to_numpy(zero_copy_only=False)
+        b = r >> _PARETO_SHIFT
+        u, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, r)
+        return pa.table(
+            {
+                "vb": pa.array(u),
+                "n": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "s": pa.array(s),
+            }
+        )
+
+    h = (
+        per_part.map_batches(hist, batch_format="pyarrow")
+        .groupby("vb")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .sort_values("vb", ascending=False)  # fold from the TOP down
+    )
+    total = int(h["s"].sum())
+    cum_n = h["n"].to_numpy(np.int64).cumsum()
+    cum_s = h["s"].to_numpy(np.int64).cumsum()
+    # first (from top) bucket index where 5*cum >= 4*total
+    idx = int(np.flatnonzero(5 * cum_s >= 4 * total)[0])
+    tb = int(h["vb"].to_numpy(np.int64)[idx])
+    base_n = int(cum_n[idx - 1]) if idx > 0 else 0
+    base_s = int(cum_s[idx - 1]) if idx > 0 else 0
+    # pull ONLY the threshold bucket's part revenues (cap-guarded)
+    picked = (
+        per_part.map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    (t["rev_e4"].to_numpy(zero_copy_only=False) >> _PARETO_SHIFT) == tb
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    cap = int(os.environ.get("GRAFT_PARETO_PULL_CAP", "2000000"))
+    if len(picked) > cap:
+        raise ValueError(
+            f"pareto threshold bucket holds {len(picked)} parts (> cap {cap}); "
+            "recurse the histogram into the bucket as q_exact_quantiles does"
+        )
+    pr = np.sort(picked["rev_e4"].to_numpy(np.int64))[::-1]
+    pk = picked["l_partkey"].to_numpy(np.int64)[
+        np.argsort(-picked["rev_e4"].to_numpy(np.int64), kind="stable")
+    ]
+    del pk  # rank only needs revenues; ties within equal revenue are interchangeable
+    cums = base_s + pr.cumsum()
+    j = int(np.flatnonzero(5 * cums >= 4 * total)[0])
+    return pd.DataFrame(
+        {
+            "k_parts": np.array([base_n + j + 1], np.int64),
+            "cum_rev_e4": np.array([int(cums[j])], np.int64),
+            "total_rev_e4": np.array([total], np.int64),
+        }
+    )
+
+
+_SQL_PARETO = """
+WITH p AS (SELECT l_partkey,
+                  SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                           AS BIGINT)) AS rev
+           FROM lineitem GROUP BY l_partkey),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC) AS rk,
+             SUM(rev) OVER (ORDER BY rev DESC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM p),
+t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM p)
+SELECT CAST(MIN(rk) AS BIGINT) AS k_parts,
+       CAST(MIN(cum) AS BIGINT) AS cum_rev_e4,
+       CAST(MIN(t.total) AS BIGINT) AS total_rev_e4
+FROM r, t WHERE 5 * cum >= 4 * t.total
+"""
+
+
+def q_anomalous_days_by_type(sf_dir: str):
+    """Days whose event count deviates more than 2 sigma from that
+    type's daily mean — with the WHOLE comparison cross-multiplied
+    into exact integers ((n*x - S)^2 > 4*(n*Q - S^2), the population
+    2-sigma test scaled by n^2), so no float ever decides a row.
+    Daily counts are a bounded (type × day) exchange."""
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pa.array(us // 86_400_000_000),
+            }
+        ).group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(daily, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |types| x |days|
+    et = counts["event_type"].to_numpy()
+    x = counts["n"].to_numpy(np.int64)
+    u, inv = np.unique(et.astype(str), return_inverse=True)
+    n = np.bincount(inv).astype(np.int64)
+    S = np.zeros(len(u), np.int64)
+    Q = np.zeros(len(u), np.int64)
+    np.add.at(S, inv, x)
+    np.add.at(Q, inv, x * x)
+    lhs = (n[inv] * x - S[inv]) ** 2
+    rhs = 4 * (n[inv] * Q[inv] - S[inv] ** 2)
+    keep = lhs > rhs
+    out = counts[keep].copy()
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"].to_numpy(),
+            "day": out["day"].to_numpy(np.int64),
+            "n": out["n"].to_numpy(np.int64),
+        }
+    ).sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+_SQL_ANOMALOUS = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, day),
+s AS (SELECT event_type, COUNT(*) AS cnt, SUM(n) AS sm, SUM(n * n) AS qm
+      FROM d GROUP BY event_type)
+SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.n
+FROM d JOIN s USING (event_type)
+WHERE (s.cnt * d.n - s.sm) * (s.cnt * d.n - s.sm)
+      > 4 * (s.cnt * s.qm - s.sm * s.sm)
+"""
+
+
+QUERIES.update(
+    {
+        "user_longest_streak": q_user_longest_streak,
+        "pareto_point_parts": q_pareto_point_parts,
+        "anomalous_days_by_type": q_anomalous_days_by_type,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "user_longest_streak": _SQL_STREAK,
+        "pareto_point_parts": _SQL_PARETO,
+        "anomalous_days_by_type": _SQL_ANOMALOUS,
+    }
+)
