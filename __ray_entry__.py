@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "strict_funnel_3step",
+    "seasonal_naive_error",
+    "weighted_median_price",
     "user_longest_streak",
     "pareto_point_parts",
     "anomalous_days_by_type",

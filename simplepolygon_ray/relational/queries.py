@@ -8436,3 +8436,283 @@ ORACLE_SQL.update(
         "anomalous_days_by_type": _SQL_ANOMALOUS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# strict multi-step funnel, seasonal-naive forecast error, and the
+# weighted exact median — three analytics shapes the catalog lacked.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEP_US = 7 * 86_400_000_000  # each step must follow within 7 days
+
+
+def q_strict_funnel_3step(sf_dir: str):
+    """Strict ordered funnel signup → click → purchase where each step
+    must occur within 7 days of the previous one, earliest-qualifying
+    semantics (first signup, then the FIRST click after it, then the
+    first purchase after that click).  Whole users co-locate per
+    bucket frame; each step is a sorted searchsorted against the
+    user's own event arrays — no per-user Python loop."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["signup", "click", "purchase"], pa.string()),
+        )
+        sub = t.filter(m)
+        code = np.zeros(len(sub), np.int64)
+        code[pc.equal(sub["event_type"], "click").to_numpy(zero_copy_only=False)] = 1
+        code[
+            pc.equal(sub["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        ] = 2
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(
+                    sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "step": pa.array(code),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        stp = df["step"].to_numpy(np.int64)
+        order = np.lexsort((t, stp, uid))
+        uid, t, stp = uid[order], t[order], stp[order]
+
+        def first_after(users, times, ev_uid, ev_t):
+            """for each (user, t0) find min ev_t with ev_t >= t0 for
+            that user — fully vectorized: tag queries into the event
+            stream, sort once (queries before events at equal t), and
+            a segment-offset suffix-min yields each query's next event
+            index.  No per-user Python."""
+            nq, ne = len(users), len(ev_uid)
+            au = np.r_[ev_uid, users]
+            at = np.r_[ev_t, times]
+            isq = np.r_[np.zeros(ne, np.int64), np.ones(nq, np.int64)]
+            order = np.lexsort((1 - isq, at, au))
+            au_s, isq_s = au[order], isq[order]
+            # index of each EVENT row, +inf for queries; suffix-min per
+            # uid segment via the big-offset trick
+            n_all = ne + nq
+            big = n_all + 1
+            seg = np.unique(au_s, return_inverse=True)[1]
+            idx = np.where(isq_s == 0, np.arange(n_all, dtype=np.int64), big)
+            key = seg * (2 * big) + idx
+            sfx = np.minimum.accumulate(key[::-1])[::-1]
+            nxt_seg, nxt_idx = sfx // (2 * big), sfx % (2 * big)
+            qpos = np.flatnonzero(isq_s == 1)
+            ok_s = (nxt_seg[qpos] == seg[qpos]) & (nxt_idx[qpos] < big)
+            res_t = np.full(n_all, -1, np.int64)
+            res_t[qpos[ok_s]] = at[order][nxt_idx[qpos[ok_s]].astype(np.int64)]
+            # map back to the original query order
+            qorig = order[qpos] - ne  # position in `users`
+            out = np.full(nq, -1, np.int64)
+            okq = np.zeros(nq, bool)
+            out[qorig] = res_t[qpos]
+            okq[qorig] = ok_s
+            return out, okq
+
+        sm = stp == 0
+        su, sidx = np.unique(uid[sm], return_index=True)
+        s0 = t[sm][sidx]
+        cu, ct = uid[stp == 1], t[stp == 1]
+        pu, pt = uid[stp == 2], t[stp == 2]
+        c1, ok1 = first_after(su, s0, cu, ct)
+        ok1 &= (c1 - s0) <= _FUNNEL_STEP_US
+        p1, ok2 = first_after(su[ok1], c1[ok1], pu, pt)
+        ok2 &= (p1 - c1[ok1]) <= _FUNNEL_STEP_US
+        done = su[ok1][ok2]
+        lat = (p1[ok2] - s0[ok1][ok2]) // 86_400_000_000
+        return pd.DataFrame({"user_id": done, "total_days": lat})
+
+    return _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_FUNNEL3 = f"""
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT s.user_id, s.t0, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'click' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id, s.t0),
+cq AS (SELECT * FROM c WHERE t1 - t0 <= {_FUNNEL_STEP_US}),
+p AS (SELECT cq.user_id, cq.t0, cq.t1, MIN(epoch_us(e.ts)) AS t2
+      FROM cq JOIN events e ON e.user_id = cq.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= cq.t1
+      GROUP BY cq.user_id, cq.t0, cq.t1)
+SELECT user_id, CAST((t2 - t0) // 86400000000 AS BIGINT) AS total_days
+FROM p WHERE t2 - t1 <= {_FUNNEL_STEP_US}
+"""
+
+
+def q_seasonal_naive_error(sf_dir: str):
+    """Seasonal-naive forecast audit: predict each day's event count
+    by the SAME TYPE's count 7 days earlier; report per type the
+    number of scored days and the exact integer sum of |error|.  The
+    lag join is a self-merge of the bounded (type, day) count table —
+    packed-key sort + searchsorted, no shuffle beyond the count
+    exchange."""
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "day": pa.array(us // 86_400_000_000),
+                }
+            )
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(daily, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |types| x |days|
+    et = counts["event_type"].to_numpy().astype(str)
+    day = counts["day"].to_numpy(np.int64)
+    n = counts["n"].to_numpy(np.int64)
+    u, code = np.unique(et, return_inverse=True)
+    key = code * 1_000_000 + day
+    order = np.argsort(key, kind="stable")
+    key_s, n_s = key[order], n[order]
+    want = key - 7  # same type, 7 days earlier
+    pos = np.searchsorted(key_s, want)
+    cpos = np.minimum(pos, len(key_s) - 1)
+    hit = key_s[cpos] == want
+    err = np.abs(n[hit] - n_s[cpos[hit]])
+    scored = np.bincount(code[hit], minlength=len(u)).astype(np.int64)
+    sae = np.zeros(len(u), np.int64)
+    np.add.at(sae, code[hit], err)
+    return pd.DataFrame(
+        {
+            "event_type": u.astype(object),
+            "n_scored_days": scored,
+            "sum_abs_err": sae,
+        }
+    )
+
+
+_SQL_SEASONAL = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, day)
+SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+       CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS sum_abs_err
+FROM d a JOIN d b ON b.event_type = a.event_type AND b.day = a.day - 7
+GROUP BY a.event_type
+"""
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Exact WEIGHTED median of l_extendedprice (cents) with
+    l_quantity as integer weight: two-phase like the exact quantiles —
+    a (cents >> 12) histogram exchanges per-bucket weight sums, the
+    driver locates the crossing bucket (2·cumW >= W exactly, no
+    float), and only that bucket's rows pull for refinement.  Emits
+    the median cents and the total weight."""
+    li = _t(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def to_wc(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        w = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"cents": pa.array(c), "w": pa.array(w)})
+
+    wc = li.map_batches(to_wc, batch_format="pyarrow")
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        b = c >> _QBUCKET_SHIFT
+        u, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, w)
+        return pa.table({"vb": pa.array(u), "ws": pa.array(s)})
+
+    h = (
+        wc.map_batches(hist, batch_format="pyarrow")
+        .groupby("vb")
+        .aggregate(Sum("ws", alias_name="ws"))
+        .to_pandas()
+        .sort_values("vb")
+    )
+    W = int(h["ws"].sum())
+    cum = h["ws"].to_numpy(np.int64).cumsum()
+    idx = int(np.flatnonzero(2 * cum >= W)[0])
+    tb = int(h["vb"].to_numpy(np.int64)[idx])
+    base = int(cum[idx - 1]) if idx > 0 else 0
+    picked = wc.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                (t["cents"].to_numpy(zero_copy_only=False) >> _QBUCKET_SHIFT) == tb
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cap = int(os.environ.get("GRAFT_QUANTILE_PULL_CAP", "2000000"))
+    if len(picked) > cap:
+        raise ValueError(
+            f"weighted-median bucket holds {len(picked)} rows (> cap {cap}); "
+            "recurse the histogram as q_exact_quantiles does"
+        )
+    # fold to per-distinct-cents weights, ascending
+    pc_ = picked.groupby("cents", as_index=False)["w"].sum().sort_values("cents")
+    c2 = pc_["cents"].to_numpy(np.int64)
+    cw = base + pc_["w"].to_numpy(np.int64).cumsum()
+    j = int(np.flatnonzero(2 * cw >= W)[0])
+    return pd.DataFrame(
+        {
+            "median_cents": np.array([int(c2[j])], np.int64),
+            "total_weight": np.array([W], np.int64),
+        }
+    )
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH wc AS (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+                   CAST(round(l_quantity) AS BIGINT) AS w
+            FROM lineitem),
+g AS (SELECT cents, SUM(w) AS w FROM wc GROUP BY cents),
+r AS (SELECT cents, SUM(w) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS cw
+      FROM g),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM wc)
+SELECT CAST(MIN(cents) AS BIGINT) AS median_cents,
+       CAST(MIN(t.W) AS BIGINT) AS total_weight
+FROM r, t WHERE 2 * cw >= t.W
+"""
+
+
+QUERIES.update(
+    {
+        "strict_funnel_3step": q_strict_funnel_3step,
+        "seasonal_naive_error": q_seasonal_naive_error,
+        "weighted_median_price": q_weighted_median_price,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "strict_funnel_3step": _SQL_FUNNEL3,
+        "seasonal_naive_error": _SQL_SEASONAL,
+        "weighted_median_price": _SQL_WEIGHTED_MEDIAN,
+    }
+)
