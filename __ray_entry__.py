@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "blocking_candidates",
+    "daily_value_forward_fill",
     "strict_funnel_3step",
     "seasonal_naive_error",
     "weighted_median_price",

@@ -8716,3 +8716,214 @@ ORACLE_SQL.update(
         "weighted_median_price": _SQL_WEIGHTED_MEDIAN,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# entity-resolution blocking stats + time-series forward fill.
+# --------------------------------------------------------------------------
+
+_BLOCK_BAND_CENTS = 50_000  # $500 balance bands
+
+
+def q_blocking_candidates(sf_dir: str):
+    """Record-linkage BLOCKING audit: customers × suppliers blocked on
+    (nationkey, acctbal band).  Per block key emit both side counts
+    and the candidate-pair product — the quantity an ER pipeline
+    inspects before choosing blocking keys (total candidates vs the
+    n·m full cross product).  Each side pre-aggregates block-locally;
+    the exchange carries only (block, count) rows."""
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    supp = _t(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def side(nat_col, bal_col, out_col):
+        def f(t: pa.Table) -> pa.Table:
+            nk = t[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.rint(
+                t[bal_col].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            # floor-div bands (negative balances land in negative bands)
+            band = cents // _BLOCK_BAND_CENTS
+            key = nk * 100_000 + band + 50_000  # shift keeps keys positive
+            u, c = np.unique(key, return_counts=True)
+            cols = {
+                "bkey": pa.array(u),
+                "n_cust": pa.array(np.zeros(len(u), np.int64)),
+                "n_supp": pa.array(np.zeros(len(u), np.int64)),
+            }
+            cols[out_col] = pa.array(c.astype(np.int64))
+            return pa.table(cols)
+
+        return f
+
+    both = cust.map_batches(
+        side("c_nationkey", "c_acctbal", "n_cust"), batch_format="pyarrow"
+    ).union(
+        supp.map_batches(
+            side("s_nationkey", "s_acctbal", "n_supp"), batch_format="pyarrow"
+        )
+    )
+    agg = (
+        both.groupby("bkey")
+        .aggregate(Sum("n_cust", alias_name="n_cust"), Sum("n_supp", alias_name="n_supp"))
+        .to_pandas()
+    )  # bounded: nations x bands
+    agg = agg[(agg["n_cust"] > 0) & (agg["n_supp"] > 0)].copy()
+    key = agg["bkey"].to_numpy(np.int64)
+    return (
+        pd.DataFrame(
+            {
+                "nationkey": key // 100_000,
+                "band": key % 100_000 - 50_000,
+                "n_cust": agg["n_cust"].to_numpy(np.int64),
+                "n_supp": agg["n_supp"].to_numpy(np.int64),
+                "n_candidates": agg["n_cust"].to_numpy(np.int64)
+                * agg["n_supp"].to_numpy(np.int64),
+            }
+        )
+        .sort_values(["nationkey", "band"])
+        .reset_index(drop=True)
+    )
+
+
+_SQL_BLOCKING = f"""
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents
+           FROM customer),
+s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+             CAST(round(s_acctbal * 100.0) AS BIGINT) AS cents
+      FROM supplier),
+cb AS (SELECT nationkey,
+              CASE WHEN cents >= 0 THEN cents // {_BLOCK_BAND_CENTS}
+                   ELSE -((-cents + {_BLOCK_BAND_CENTS} - 1) // {_BLOCK_BAND_CENTS})
+              END AS band, COUNT(*) AS n
+       FROM c GROUP BY 1, 2),
+sb AS (SELECT nationkey,
+              CASE WHEN cents >= 0 THEN cents // {_BLOCK_BAND_CENTS}
+                   ELSE -((-cents + {_BLOCK_BAND_CENTS} - 1) // {_BLOCK_BAND_CENTS})
+              END AS band, COUNT(*) AS n
+       FROM s GROUP BY 1, 2)
+SELECT cb.nationkey, CAST(cb.band AS BIGINT) AS band,
+       CAST(cb.n AS BIGINT) AS n_cust, CAST(sb.n AS BIGINT) AS n_supp,
+       CAST(cb.n * sb.n AS BIGINT) AS n_candidates
+FROM cb JOIN sb ON sb.nationkey = cb.nationkey AND sb.band = cb.band
+"""
+
+
+def q_daily_value_forward_fill(sf_dir: str):
+    """Gap-filled daily snapshot (forward fill / LOCF): for every user
+    and every day of the corpus period, the value of the user's LAST
+    event at or before that day's end (ties at equal ts to the larger
+    event_id); days before a user's first event emit nothing.  The
+    spine is users × the bounded day range; per frame the
+    last-event-before lookup is the tagged-merge prefix-max — queries
+    sorted after events at equal t, one segment-offset accumulate, no
+    per-user Python."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "t": pa.array(us),
+                "event_id": t["event_id"],
+                "v": pa.array(
+                    np.rint(
+                        t["value"].to_numpy(zero_copy_only=False) * 10000.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    cols = ev.map_batches(to_cols, batch_format="pyarrow")
+    # global day range: tiny per-block min/max fold
+    mm = (
+        cols.map_batches(
+            lambda t: pa.table(
+                {
+                    "lo": pa.array([int(t["t"].to_numpy(zero_copy_only=False).min())]),
+                    "hi": pa.array([int(t["t"].to_numpy(zero_copy_only=False).max())]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    d0 = int(mm["lo"].min()) // 86_400_000_000
+    d1 = int(mm["hi"].max()) // 86_400_000_000
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        users = np.unique(uid)
+        nq = len(users) * len(days)
+        q_uid = np.repeat(users, len(days))
+        q_day = np.tile(days, len(users))
+        q_t = (q_day + 1) * 86_400_000_000 - 1
+        ne = len(uid)
+        au = np.r_[uid, q_uid]
+        at = np.r_[t, q_t]
+        # events before queries at equal t (inclusive <=); among events
+        # at equal t the LAST in (t, event_id) order wins, so pre-sort
+        # events by event_id as the inner key
+        isq = np.r_[np.zeros(ne, np.int64), np.ones(nq, np.int64)]
+        inner = np.r_[eid, np.zeros(nq, np.int64)]
+        order = np.lexsort((isq, inner, at, au))
+        au_s, isq_s = au[order], isq[order]
+        n_all = ne + nq
+        seg = np.unique(au_s, return_inverse=True)[1]
+        idx = np.where(isq_s == 0, np.arange(n_all, dtype=np.int64), -1)
+        key = seg * (n_all + 1) + idx  # -1 keeps "no event yet" below any real
+        pfx = np.maximum.accumulate(key)
+        hit_seg, hit_idx = pfx // (n_all + 1), pfx % (n_all + 1)
+        qpos = np.flatnonzero(isq_s == 1)
+        ok = (hit_seg[qpos] == seg[qpos]) & (hit_idx[qpos] <= n_all - 1)
+        # positions where no event preceded in this segment: pfx came
+        # from a previous segment or the -1 wrap — the seg equality
+        # check rejects the former; the -1 wrap maps to (seg-1, n_all)
+        # and is rejected by BOTH checks
+        vals = np.r_[v, np.zeros(nq, np.int64)][order]
+        out_v = vals[hit_idx[qpos[ok]].astype(np.int64)]
+        qorig = order[qpos] - ne
+        res_u = q_uid[qorig[ok]]
+        res_d = q_day[qorig[ok]]
+        return pd.DataFrame(
+            {"user_id": res_u, "day": res_d, "value_e4": out_v}
+        )
+
+    return _bucket_groupby(cols, "user_id", per_bucket)
+
+
+_SQL_FORWARD_FILL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  CAST(round(value * 10000.0) AS BIGINT) AS v
+           FROM events),
+b AS (SELECT MIN(t) // 86400000000 AS d0, MAX(t) // 86400000000 AS d1 FROM e),
+days AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+u AS (SELECT DISTINCT user_id FROM e),
+spine AS (SELECT u.user_id, d.day FROM u CROSS JOIN days d),
+j AS (SELECT s.user_id, s.day, e.v,
+             row_number() OVER (PARTITION BY s.user_id, s.day
+                                ORDER BY e.t DESC, e.event_id DESC) AS rn
+      FROM spine s JOIN e ON e.user_id = s.user_id
+       AND e.t <= (s.day + 1) * 86400000000 - 1)
+SELECT user_id, CAST(day AS BIGINT) AS day, CAST(v AS BIGINT) AS value_e4
+FROM j WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "blocking_candidates": q_blocking_candidates,
+        "daily_value_forward_fill": q_daily_value_forward_fill,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "blocking_candidates": _SQL_BLOCKING,
+        "daily_value_forward_fill": _SQL_FORWARD_FILL,
+    }
+)
