@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "bbox_overlap_area",
+    "top_orders_with_ties",
+    "hash_rep_per_type",
     "blocking_candidates",
     "daily_value_forward_fill",
     "strict_funnel_3step",

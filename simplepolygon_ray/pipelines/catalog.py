@@ -3402,3 +3402,87 @@ FROM m GROUP BY group_id
 
 GEO_QUERIES.update({"dedup_merge_fields": q_dedup_merge_fields})
 EXTRA_ORACLE_SQL["dedup_merge_fields"] = _MERGE_FIELDS_SQL
+
+
+# --------------------------------------------------------- bbox overlap area
+
+
+def q_bbox_overlap_area(sf_dir: str):
+    """Spatial join with a COMPUTED measure: per ring, the summed
+    exact intersection-rectangle area (e10 ints) against the 64
+    deterministic query boxes, plus the positive-overlap count.  Same
+    broadcast-small shape as `geo_bbox_join`, but the pair predicate
+    and measure run entirely in the integer domain (floor-e5 bounds;
+    box coords are dyadic-exact, so both engines floor identically)."""
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "bboxa_verts")
+    _bid, blon0, blat0, blon1, blat1 = _query_boxes()
+    bx0 = np.floor(blon0 * 1e5).astype(np.int64)
+    by0 = np.floor(blat0 * 1e5).astype(np.int64)
+    bx1 = np.floor(blon1 * 1e5).astype(np.int64)
+    by1 = np.floor(blat1 * 1e5).astype(np.int64)
+
+    def join(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "geom_id": pa.array([], pa.string()),
+                    "ring_seq": pa.array([], pa.int32()),
+                    "n_boxes": pa.array([], pa.int64()),
+                    "overlap_area_e10": pa.array([], pa.int64()),
+                }
+            )
+        col = t["ring"].combine_chunks()
+        offs = np.asarray(col.offsets).astype(np.int64)
+        coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+        starts = offs[:-1]
+        gx0 = np.floor(np.minimum.reduceat(coords[:, 0], starts) * 1e5).astype(np.int64)
+        gx1 = np.floor(np.maximum.reduceat(coords[:, 0], starts) * 1e5).astype(np.int64)
+        gy0 = np.floor(np.minimum.reduceat(coords[:, 1], starts) * 1e5).astype(np.int64)
+        gy1 = np.floor(np.maximum.reduceat(coords[:, 1], starts) * 1e5).astype(np.int64)
+        w = np.minimum(gx1[:, None], bx1[None, :]) - np.maximum(gx0[:, None], bx0[None, :])
+        h = np.minimum(gy1[:, None], by1[None, :]) - np.maximum(gy0[:, None], by0[None, :])
+        pos = (w > 0) & (h > 0)
+        area = np.where(pos, w * h, 0)
+        return pa.table(
+            {
+                "geom_id": t["geom_id"],
+                "ring_seq": t["ring_seq"],
+                "n_boxes": pa.array(pos.sum(axis=1).astype(np.int64)),
+                "overlap_area_e10": pa.array(area.sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return simple.map_batches(join, batch_format="pyarrow")
+
+
+_BBOX_AREA_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq,
+                  CAST(floor(min(x) * 100000.0) AS BIGINT) AS gx0,
+                  CAST(floor(max(x) * 100000.0) AS BIGINT) AS gx1,
+                  CAST(floor(min(y) * 100000.0) AS BIGINT) AS gy0,
+                  CAST(floor(max(y) * 100000.0) AS BIGINT) AS gy1
+           FROM read_parquet('{_ORACLE_DIR}/bboxa_verts/*.parquet')
+           GROUP BY geom_id, ring_seq),
+b AS (SELECT CAST(floor((-180.0 + (i % 8) * 45.0 + (i % 7)) * 100000.0) AS BIGINT) AS bx0,
+             CAST(floor((-90.0 + (i // 8) * 22.5 + (i % 5)) * 100000.0) AS BIGINT) AS by0,
+             CAST(floor((-180.0 + (i % 8) * 45.0 + (i % 7) + 20.0 + (i % 11)) * 100000.0) AS BIGINT) AS bx1,
+             CAST(floor((-90.0 + (i // 8) * 22.5 + (i % 5) + 10.0 + (i % 3)) * 100000.0) AS BIGINT) AS by1
+      FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+p AS (SELECT v.geom_id, v.ring_seq,
+             least(v.gx1, b.bx1) - greatest(v.gx0, b.bx0) AS w,
+             least(v.gy1, b.by1) - greatest(v.gy0, b.by0) AS h
+      FROM v CROSS JOIN b)
+SELECT geom_id, ring_seq,
+       CAST(SUM(CASE WHEN w > 0 AND h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boxes,
+       CAST(SUM(CASE WHEN w > 0 AND h > 0 THEN w * h ELSE 0 END) AS BIGINT)
+         AS overlap_area_e10
+FROM p GROUP BY geom_id, ring_seq
+"""
+
+
+GEO_QUERIES.update({"bbox_overlap_area": q_bbox_overlap_area})
+EXTRA_ORACLE_SQL["bbox_overlap_area"] = _BBOX_AREA_SQL

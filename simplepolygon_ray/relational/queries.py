@@ -8927,3 +8927,132 @@ ORACLE_SQL.update(
         "daily_value_forward_fill": _SQL_FORWARD_FILL,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# WITH TIES top-k + deterministic hash representative per group.
+# --------------------------------------------------------------------------
+
+
+def q_top_orders_with_ties(sf_dir: str):
+    """Top-10 order totals WITH TIES (dense-rank semantics): every
+    order whose total sits among the 10 highest DISTINCT cent values.
+    The threshold derives from per-block distinct top-10s (the global
+    top-10 distinct set is contained in the union of block top-10
+    distinct sets), merged on ≤10×blocks rows; the filter then streams
+    with the broadcast value list."""
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table({"o_orderkey": t["o_orderkey"], "cents": pa.array(c)})
+
+    cents = od.map_batches(to_cents, batch_format="pyarrow")
+
+    def block_top(t: pa.Table) -> pa.Table:
+        u = np.unique(t["cents"].to_numpy(zero_copy_only=False))[::-1][:10]
+        return pa.table({"cents": pa.array(u)})
+
+    tops = cents.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    top_vals = np.unique(tops["cents"].to_numpy(np.int64))[::-1][:10]
+
+    def pick(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        keep = c >= top_vals[-1]
+        c = c[keep]
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        # dense rank: position of the value in the descending top list
+        dr = np.searchsorted(-top_vals, -c) + 1
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k.astype(np.int64)),
+                "cents": pa.array(c),
+                "dense_rank": pa.array(dr.astype(np.int64)),
+            }
+        )
+
+    return cents.map_batches(pick, batch_format="pyarrow")
+
+
+_SQL_TOP_TIES = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT o_orderkey, cents,
+             dense_rank() OVER (ORDER BY cents DESC) AS dense_rank
+      FROM c)
+SELECT o_orderkey, cents, CAST(dense_rank AS BIGINT) AS dense_rank
+FROM r WHERE dense_rank <= 10
+"""
+
+
+def q_hash_rep_per_type(sf_dir: str):
+    """Deterministic uniform representative per event type: the event
+    with the MINIMUM splitmix64(event_id) — a one-element hash
+    reservoir whose pick is order-independent and mergeable (splitmix
+    is a bijection, so the argmin is unique).  Per-block argmin rows
+    shrink the exchange to |types| × blocks."""
+    ev = _t(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(eid)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        u, inv = np.unique(et, return_inverse=True)
+        best = np.full(len(u), np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(best, inv, h)
+        arg = np.zeros(len(u), np.int64)
+        for i in range(len(u)):
+            m = (inv == i) & (h == best[i])
+            arg[i] = eid[m][0]
+        return pa.table(
+            {
+                "event_type": pa.array(u.astype(object), pa.string()),
+                "h": pa.array(best.astype(np.int64)),  # bit pattern
+                "rep_event_id": pa.array(arg),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # fold blocks: unsigned compare on the stored bit pattern
+    hu = parts["h"].to_numpy(np.int64).astype(np.uint64)
+    et = parts["event_type"].to_numpy().astype(str)
+    u, inv = np.unique(et, return_inverse=True)
+    best = np.full(len(u), np.iinfo(np.uint64).max, np.uint64)
+    np.minimum.at(best, inv, hu)
+    rep = np.zeros(len(u), np.int64)
+    eid = parts["rep_event_id"].to_numpy(np.int64)
+    for i in range(len(u)):
+        m = (inv == i) & (hu == best[i])
+        rep[i] = eid[m][0]
+    return pd.DataFrame({"event_type": u.astype(object), "rep_event_id": rep})
+
+
+_SQL_HASH_REP = f"""
+WITH h0 AS (SELECT event_id, event_type,
+                   (CAST(event_id AS HUGEINT) + {0x9E3779B97F4A7C15}) % {_T64} AS x
+            FROM events),
+h1 AS (SELECT event_id, event_type,
+              {_mulmod_sql("xor(x, x >> 30)", 0xBF58476D1CE4E5B9)} AS x FROM h0),
+h2 AS (SELECT event_id, event_type,
+              {_mulmod_sql("xor(x, x >> 27)", 0x94D049BB133111EB)} AS x FROM h1),
+h3 AS (SELECT event_id, event_type, xor(x, x >> 31) AS h FROM h2)
+SELECT event_type, CAST(arg_min(event_id, h) AS BIGINT) AS rep_event_id
+FROM h3 GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "top_orders_with_ties": q_top_orders_with_ties,
+        "hash_rep_per_type": q_hash_rep_per_type,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "top_orders_with_ties": _SQL_TOP_TIES,
+        "hash_rep_per_type": _SQL_HASH_REP,
+    }
+)
