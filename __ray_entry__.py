@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "hll_incremental_merge",
+    "ab_experiment_metrics",
     "bbox_overlap_area",
     "top_orders_with_ties",
     "hash_rep_per_type",

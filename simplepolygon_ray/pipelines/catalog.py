@@ -3486,3 +3486,60 @@ FROM p GROUP BY geom_id, ring_seq
 
 GEO_QUERIES.update({"bbox_overlap_area": q_bbox_overlap_area})
 EXTRA_ORACLE_SQL["bbox_overlap_area"] = _BBOX_AREA_SQL
+
+
+# ------------------------------------------------------ incremental HLL merge
+
+
+def q_hll_incremental_merge(sf_dir: str):
+    """Incremental-computation demonstration: the corpus splits into a
+    'base' batch (event_id % 10 < 8) and an 'increment' (the rest);
+    each builds its own HLL sketch INDEPENDENTLY and the driver merges
+    registers (register max is associative/commutative/idempotent), so
+    the merged estimate is BIT-IDENTICAL to a from-scratch build —
+    which is exactly what the oracle computes (the full-corpus SQL HLL
+    replay).  This is the mergeable-state contract a streaming
+    pipeline needs: update without recompute."""
+    import ray.data as rd
+
+    from ..relational.sketches import HyperLogLog, _hash64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def sketch_split(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["event_id"].to_numpy(np.int64) % 10) < 8
+        uid = batch["user_id"].to_numpy(np.int64)
+        out = []
+        for name, sel in (("base", m), ("inc", ~m), ("full", np.ones(len(m), bool))):
+            h = HyperLogLog(12)
+            h.add_hashed(_hash64(uid[sel]))
+            out.append((name, h.to_bytes()))
+        return pd.DataFrame(
+            {"split": [o[0] for o in out], "sketch": [o[1] for o in out]}
+        )
+
+    parts = ev.map_batches(sketch_split, batch_format="pandas").to_pandas()
+    acc = {
+        "base": HyperLogLog(12),
+        "inc": HyperLogLog(12),
+        "full": HyperLogLog(12),
+    }
+    for _, row in parts.iterrows():
+        acc[row["split"]] = acc[row["split"]].merge(
+            HyperLogLog.from_bytes(row["sketch"], 12)
+        )
+    merged = acc["base"].merge(acc["inc"])
+    # incremental merge MUST equal the from-scratch unsplit build
+    assert merged.to_bytes() == acc["full"].to_bytes()
+    return pd.DataFrame({"merged_estimate": [float(round(merged.estimate(), 1))]})
+
+
+_HLL_MERGE_SQL = (
+    "SELECT approx_distinct_users AS merged_estimate FROM ("
+    + _hll_sql(p=12)
+    + ")"
+)
+
+
+GEO_QUERIES.update({"hll_incremental_merge": q_hll_incremental_merge})
+EXTRA_ORACLE_SQL["hll_incremental_merge"] = _HLL_MERGE_SQL

@@ -9056,3 +9056,97 @@ ORACLE_SQL.update(
         "hash_rep_per_type": _SQL_HASH_REP,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# deterministic A/B experiment readout.
+# --------------------------------------------------------------------------
+
+
+def q_ab_experiment_metrics(sf_dir: str):
+    """Experiment analysis with deterministic assignment (variant =
+    user_id % 2): per variant, distinct users, converted users
+    (signup followed at-or-after by a purchase), and total purchase
+    value — all exact ints so the rate fractions derive downstream
+    without any engine float.  Per-user facts fold inside user-hash
+    bucket frames; the exchange ends at two rows."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        is_s = pc.equal(et, "signup").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(us),
+                "kind": pa.array(
+                    np.where(is_s, 1, np.where(is_p, 2, 0)).astype(np.int64)
+                ),
+                "v": pa.array(np.where(is_p, v, 0)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        kind = df["kind"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        u = np.unique(uid)
+        pos = np.searchsorted(u, uid)
+        smin = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(smin, pos[kind == 1], t[kind == 1])
+        pmax = np.full(len(u), np.iinfo(np.int64).min)
+        np.maximum.at(pmax, pos[kind == 2], t[kind == 2])
+        psum = np.zeros(len(u), np.int64)
+        np.add.at(psum, pos[kind == 2], v[kind == 2])
+        conv = (smin < np.iinfo(np.int64).max) & (pmax >= smin)
+        var = u % 2
+        out = []
+        for vv in (0, 1):
+            m = var == vv
+            out.append(
+                (vv, int(m.sum()), int(conv[m].sum()), int(psum[m].sum()))
+            )
+        return pd.DataFrame(
+            out, columns=["variant", "n_users", "n_converted", "sum_purchase_e4"]
+        ).astype(np.int64)
+
+    return (
+        _bucket_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket
+        )
+        .groupby("variant")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_converted", alias_name="n_converted"),
+            Sum("sum_purchase_e4", alias_name="sum_purchase_e4"),
+        )
+    )
+
+
+_SQL_AB = """
+WITH pu AS (SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS smin,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS pmax,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 10000.0) AS BIGINT) END), 0)
+                        AS BIGINT) AS psum
+            FROM events GROUP BY user_id)
+SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN smin IS NOT NULL AND pmax >= smin
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(psum) AS BIGINT) AS sum_purchase_e4
+FROM pu GROUP BY variant
+"""
+
+
+QUERIES.update({"ab_experiment_metrics": q_ab_experiment_metrics})
+ORACLE_SQL.update({"ab_experiment_metrics": _SQL_AB})
