@@ -39,6 +39,10 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "pingpong_transitions",
+    "clean_conversion_users",
+    "nation_rank_shift",
+    "same_day_repeat_orders",
     "hll_incremental_merge",
     "ab_experiment_metrics",
     "bbox_overlap_area",

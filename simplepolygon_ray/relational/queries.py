@@ -9150,3 +9150,354 @@ FROM pu GROUP BY variant
 
 QUERIES.update({"ab_experiment_metrics": q_ab_experiment_metrics})
 ORACLE_SQL.update({"ab_experiment_metrics": _SQL_AB})
+
+
+# --------------------------------------------------------------------------
+# sequence patterns (MATCH_RECOGNIZE-lite), absence constraints, rank
+# shift between periods, and an iceberg self-duplicate check.
+# --------------------------------------------------------------------------
+
+
+def q_pingpong_transitions(sf_dir: str):
+    """Sequence-pattern mining: per ordered type pair (a, b), how many
+    a→b→a "ping-pong" triples occur in user event streams (consecutive
+    events, both transitions within the same user).  Per-user frames
+    sort once; the triple test is two shifted comparisons — the
+    MATCH_RECOGNIZE-lite shape without per-user Python."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        de = pc.dictionary_encode(t["event_type"].combine_chunks())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "event_id": t["event_id"],
+                "etype": pa.array(np.asarray(de.indices, np.int64)),
+                "ename": de.dictionary.take(de.indices),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        name = df["ename"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, name = uid[order], name[order]
+        if len(uid) < 3:
+            return pd.DataFrame(
+                {
+                    "type_a": pd.Series([], dtype=object),
+                    "type_b": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        same_user = (uid[2:] == uid[:-2]) & (uid[1:-1] == uid[:-2])
+        pp = same_user & (name[2:] == name[:-2]) & (name[1:-1] != name[:-2])
+        a = name[:-2][pp]
+        b = name[1:-1][pp]
+        key = pd.DataFrame({"type_a": a, "type_b": b})
+        g = key.groupby(["type_a", "type_b"], sort=False).size().rename("n").reset_index()
+        return g.astype({"n": np.int64})
+
+    return (
+        _bucket_groupby(
+            ev.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_bucket
+        )
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_SQL_PINGPONG = """
+WITH s AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER w AS t1,
+                  LEAD(event_type, 2) OVER w AS t2,
+                  LEAD(user_id) OVER w AS u1,
+                  LEAD(user_id, 2) OVER w AS u2
+           FROM events
+           WINDOW w AS (ORDER BY user_id, epoch_us(ts), event_id))
+SELECT event_type AS type_a, t1 AS type_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM s
+WHERE u1 = user_id AND u2 = user_id
+  AND t2 = event_type AND t1 <> event_type
+GROUP BY type_a, type_b
+"""
+
+
+def q_clean_conversion_users(sf_dir: str):
+    """Absence-constrained funnel (the NOT EXISTS shape): users whose
+    first signup is followed by a purchase with NO error event
+    strictly between the two timestamps.  Per-user frames: first
+    signup, first purchase at-or-after it, then an error-count
+    interval test via two searchsorted bounds — all segment-
+    vectorized."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        m = pc.is_in(
+            et, value_set=pa.array(["signup", "purchase", "error"], pa.string())
+        )
+        sub = t.filter(m)
+        code = np.zeros(len(sub), np.int64)
+        code[pc.equal(sub["event_type"], "purchase").to_numpy(zero_copy_only=False)] = 1
+        code[pc.equal(sub["event_type"], "error").to_numpy(zero_copy_only=False)] = 2
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(
+                    sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "kind": pa.array(code),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        kind = df["kind"].to_numpy(np.int64)
+        order = np.lexsort((t, uid))
+        uid, t, kind = uid[order], t[order], kind[order]
+        sm = kind == 0
+        su, sidx = np.unique(uid[sm], return_index=True)
+        s0 = t[sm][sidx]
+        pm = kind == 1
+        pu, pt = uid[pm], t[pm]
+        lo = np.searchsorted(pu, su)
+        hi = np.searchsorted(pu, su, side="right")
+        # first purchase >= s0 per signup user: within [lo,hi) pt is
+        # ascending — vectorized inner searchsorted via global trick
+        # (pt ascending only within user; use cumcount offsets)
+        p1 = np.full(len(su), -1, np.int64)
+        # segment-vectorized first-purchase-at-or-after: normalize times
+        # to the frame min so rank*span + t packs without overflow
+        # (corpus durations are ~2^43 us; span 2^48 leaves rank room
+        # for 2^15 users per frame, asserted)
+        tmin = int(t.min()) if len(t) else 0
+        span = np.int64(1) << 48
+        if len(su) >= (1 << 15) or (len(t) and int(t.max()) - tmin >= span):
+            raise ValueError(
+                "clean_conversion frame exceeds packing headroom; "
+                "raise _bucket_groupby n_buckets"
+            )
+        ranks = np.searchsorted(su, pu)
+        packed = ranks * span + (pt - tmin)
+        want = np.arange(len(su), dtype=np.int64) * span + (s0 - tmin)
+        if len(packed):
+            pos = np.searchsorted(packed, want)
+            ok = (pos < len(packed)) & (
+                ranks[np.minimum(pos, len(packed) - 1)]
+                == np.arange(len(su), dtype=np.int64)
+            )
+            p1[ok] = pt[pos[ok]]
+        else:
+            ok = np.zeros(len(su), bool)
+        em = kind == 2
+        eu, et_ = uid[em], t[em]
+        eranks = np.searchsorted(su, eu)
+        epacked = eranks * span + (et_ - tmin)
+        if len(epacked):
+            base_keys = np.arange(len(su), dtype=np.int64) * span
+            a = np.searchsorted(epacked, base_keys + (s0 - tmin), side="right")
+            b = np.searchsorted(
+                epacked, base_keys + (np.where(ok, p1, s0) - tmin), side="left"
+            )
+            n_err_between = b - a
+        else:
+            n_err_between = np.zeros(len(su), np.int64)
+        clean = ok & (n_err_between == 0)
+        return pd.DataFrame(
+            {
+                "user_id": su[clean],
+                "signup_us": s0[clean],
+                "purchase_us": p1[clean],
+            }
+        )
+
+    return _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_CLEAN_CONV = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, s.t0, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id, s.t0)
+SELECT p.user_id, CAST(p.t0 AS BIGINT) AS signup_us,
+       CAST(p.t1 AS BIGINT) AS purchase_us
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.user_id = p.user_id AND x.event_type = 'error'
+    AND epoch_us(x.ts) > p.t0 AND epoch_us(x.ts) < p.t1)
+"""
+
+
+_RANK_SPLIT_KEY = 1009  # order half assignment: o_orderkey % 2
+
+
+def q_nation_rank_shift(sf_dir: str):
+    """Rank-shift analysis: nations ranked by customer-side revenue in
+    two deterministic halves of the order stream (o_orderkey parity);
+    emits both revenue sums and both dense ranks (rev desc, name asc
+    tie-break).  The per-half exchange is the bounded nation domain,
+    reusing the broadcast customer→nation attach of
+    `above_avg_balance_by_nation` — o_custkey → nation via the
+    two-stage bucket join would also work but the totals only need
+    order rows joined to customers, which `volume_shipping_pairs`
+    already demonstrates; here the cheaper path joins orders to the
+    broadcast customer nation map gathered per task from the bounded
+    nation domain side."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    cust = pq_.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ck = np.asarray(cust["c_custkey"].to_numpy(zero_copy_only=False), np.int64)
+    cn = np.asarray(cust["c_nationkey"].to_numpy(zero_copy_only=False), np.int64)
+    order = np.argsort(ck)
+    cref = ray.put((ck[order], cn[order]))
+    # NOTE scale shape: the customer->nation map is O(customers) — at
+    # 100 TB this side exceeds a broadcast and the two-stage orderkey
+    # bucket join of volume_shipping_pairs is the path; the broadcast
+    # here mirrors the documented GRAFT_BROADCAST_* crossover pattern.
+
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cks, cns = ray.get(cref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        nat = cns[np.searchsorted(cks, oc)]
+        half = ok % 2
+        key = nat * 2 + half
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"k": pa.array(u), "cents": pa.array(s)})
+
+    agg = (
+        od.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )  # bounded: 2 x nations
+    k = agg["k"].to_numpy(np.int64)
+    cents = agg["cents"].to_numpy(np.int64)
+    nmap = _nation_name_map(sf_dir)
+    nats = np.unique(k // 2)
+    names = np.array([nmap[int(n)] for n in nats], dtype=object)
+    rev = np.zeros((len(nats), 2), np.int64)
+    pos = np.searchsorted(nats, k // 2)
+    rev[pos, k % 2] = cents
+
+    def ranks(col):
+        o = np.lexsort((names, -col))
+        r = np.empty(len(col), np.int64)
+        r[o] = np.arange(1, len(col) + 1)
+        return r
+
+    r0, r1 = ranks(rev[:, 0]), ranks(rev[:, 1])
+    return pd.DataFrame(
+        {
+            "n_name": names,
+            "rev_early_cents": rev[:, 0],
+            "rev_late_cents": rev[:, 1],
+            "rank_early": r0,
+            "rank_late": r1,
+        }
+    )
+
+
+_SQL_RANK_SHIFT = """
+WITH o2 AS (SELECT o_orderkey % 2 AS half, c.c_nationkey,
+                   CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+g AS (SELECT n.n_name, o2.half, CAST(SUM(o2.cents) AS BIGINT) AS rev
+      FROM o2 JOIN nation n ON n.n_nationkey = o2.c_nationkey
+      GROUP BY n.n_name, o2.half),
+w AS (SELECT n_name,
+             MAX(CASE WHEN half = 0 THEN rev ELSE 0 END) AS rev_early_cents,
+             MAX(CASE WHEN half = 1 THEN rev ELSE 0 END) AS rev_late_cents
+      FROM g GROUP BY n_name)
+SELECT n_name, rev_early_cents, rev_late_cents,
+       CAST(row_number() OVER (ORDER BY rev_early_cents DESC, n_name)
+            AS BIGINT) AS rank_early,
+       CAST(row_number() OVER (ORDER BY rev_late_cents DESC, n_name)
+            AS BIGINT) AS rank_late
+FROM w
+"""
+
+
+def q_same_day_repeat_orders(sf_dir: str):
+    """Iceberg self-duplicate check: (customer, day) pairs with more
+    than one order — block partials shrink the exchange to keys that
+    might cross the threshold, the classic HAVING COUNT > 1 shape."""
+    od = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "day": pa.array(us // 86_400_000_000),
+                }
+            )
+            .group_by(["o_custkey", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "day": g["day"],
+                "n_orders": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        od.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_custkey", "day"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pa.array(t["n_orders"].to_numpy(zero_copy_only=False) > 1)
+        )
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+_SQL_SAME_DAY = """
+SELECT o_custkey, CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey, day HAVING COUNT(*) > 1
+"""
+
+
+QUERIES.update(
+    {
+        "pingpong_transitions": q_pingpong_transitions,
+        "clean_conversion_users": q_clean_conversion_users,
+        "nation_rank_shift": q_nation_rank_shift,
+        "same_day_repeat_orders": q_same_day_repeat_orders,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "pingpong_transitions": _SQL_PINGPONG,
+        "clean_conversion_users": _SQL_CLEAN_CONV,
+        "nation_rank_shift": _SQL_RANK_SHIFT,
+        "same_day_repeat_orders": _SQL_SAME_DAY,
+    }
+)
