@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "partitioned_sink_audit",
+    "cdc_upsert_apply",
     "pingpong_transitions",
     "clean_conversion_users",
     "nation_rank_shift",

@@ -9501,3 +9501,169 @@ ORACLE_SQL.update(
         "same_day_repeat_orders": _SQL_SAME_DAY,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# partitioned-sink audit + CDC upsert apply — the storage-layout side
+# of the engine surface.
+# --------------------------------------------------------------------------
+
+
+def q_partitioned_sink_audit(sf_dir: str):
+    """Partitioned-write round trip: customers write to hive-style
+    `c_nationkey=<k>/` parquet partitions (the resumable layout the
+    north rule asks for — a failed run skips finished partitions),
+    then the partition dirs read BACK and the per-partition row count
+    and balance checksum must match the source aggregate.  The
+    readback is the audited value; the oracle recomputes from the
+    source table."""
+    import shutil
+
+    import ray.data as rd
+
+    out = "/tmp/simplepolygon_ray/part_sink_audit"
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.rint(
+                        t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    cust.map_batches(to_cents, batch_format="pyarrow").write_parquet(
+        out, partition_cols=["c_nationkey"]
+    )
+    back = rd.read_parquet(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(nk, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(u),
+                "n_rows": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "sum_cents": pa.array(s),
+            }
+        )
+
+    return (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+_SQL_PART_SINK = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM customer GROUP BY c_nationkey
+"""
+
+
+_CDC_BUMP_CENTS = 10_000  # +$100 to every custkey % 7 == 0
+
+
+def q_cdc_upsert_apply(sf_dir: str):
+    """CDC/SCD1 upsert: a deterministic change batch (balance bump for
+    custkey % 7 == 0, plus one synthetic new customer per nation keyed
+    above the existing range) applies to the customer table —
+    updates-in-place via a streamed broadcast rule, inserts via union
+    — and the audited result is the per-nation row count and balance
+    checksum AFTER the merge.  The oracle applies the identical merge
+    in SQL (CASE bump + UNION ALL)."""
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nmap = _nation_name_map(sf_dir)
+    nats = sorted(nmap.keys())
+
+    def apply_updates(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = cents + np.where(ck % 7 == 0, _CDC_BUMP_CENTS, 0)
+        return pa.table(
+            {
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    import ray.data as rd
+
+    inserts = rd.from_arrow(
+        pa.table(
+            {
+                "c_nationkey": pa.array(np.array(nats, np.int64)),
+                "cents": pa.array(np.array([1_000_00] * len(nats), np.int64)),
+            }
+        )
+    )
+    merged = cust.map_batches(apply_updates, batch_format="pyarrow").union(inserts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(nk, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(u),
+                "n_rows": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "sum_cents": pa.array(s),
+            }
+        )
+
+    return (
+        merged.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+_SQL_CDC = f"""
+WITH merged AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN {_CDC_BUMP_CENTS} ELSE 0 END
+           AS cents
+  FROM customer
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), 100000 FROM nation)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY c_nationkey
+"""
+
+
+QUERIES.update(
+    {
+        "partitioned_sink_audit": q_partitioned_sink_audit,
+        "cdc_upsert_apply": q_cdc_upsert_apply,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "partitioned_sink_audit": _SQL_PART_SINK,
+        "cdc_upsert_apply": _SQL_CDC,
+    }
+)
