@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "cover_adjacency_counts",
+    "dim_argmax",
+    "monthly_revenue_delta",
     "partitioned_sink_audit",
     "cdc_upsert_apply",
     "pingpong_transitions",

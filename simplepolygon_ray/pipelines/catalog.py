@@ -3543,3 +3543,109 @@ _HLL_MERGE_SQL = (
 
 GEO_QUERIES.update({"hll_incremental_merge": q_hll_incremental_merge})
 EXTRA_ORACLE_SQL["hll_incremental_merge"] = _HLL_MERGE_SQL
+
+
+# ------------------------------------------------------- cover adjacency
+
+
+def q_cover_adjacency_counts(sf_dir: str):
+    """Raster morphology over the covered-cell set: for every DISTINCT
+    covered cell, how many of its 8 grid neighbors are also covered
+    (8 = interior, <8 = boundary of the coverage mask).  One-shuffle
+    design: each distinct cell emits a claim row at each neighbor plus
+    a self-marker; the groupby counts claims only where the marker
+    proves the cell is covered.  SQL replays the neighbor arithmetic
+    by unpacking the (level<<58 | i<<29 | j) id with bit ops."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    cover_dir = _persist(q_geo_cover(sf_dir), "adj_cover")
+    cover = rd.read_parquet(cover_dir, columns=["cell_id"])
+    # GLOBAL distinct first: post-groupby blocks hold disjoint keys, so
+    # each covered cell emits its claim fan exactly once
+    from ray.data.aggregate import Count as _Count
+
+    distinct = (
+        cover.map_batches(
+            lambda t: pa.table({"cell_id": t["cell_id"].unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby("cell_id")
+        .aggregate(_Count(alias_name="_c"))
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        c = (
+            t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ).astype(np.uint64)
+        lvl = (c >> np.uint64(58)).astype(np.int64)
+        i = ((c >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64)
+        j = (c & np.uint64((1 << 29) - 1)).astype(np.int64)
+        n = 1 << int(lvl[0]) if len(lvl) else 2
+        rows_c, rows_claim, rows_self = [], [], []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                ni, nj = i + di, j + dj
+                ok = (ni >= 0) & (ni < n) & (nj >= 0) & (nj < n)
+                nid = (
+                    (lvl[ok].astype(np.uint64) << np.uint64(58))
+                    | (ni[ok].astype(np.uint64) << np.uint64(29))
+                    | nj[ok].astype(np.uint64)
+                ).astype(np.int64)
+                rows_c.append(nid)
+                rows_claim.append(np.ones(len(nid), np.int64))
+                rows_self.append(np.zeros(len(nid), np.int64))
+        rows_c.append(c.astype(np.int64))
+        rows_claim.append(np.zeros(len(c), np.int64))
+        rows_self.append(np.ones(len(c), np.int64))
+        return pa.table(
+            {
+                "cell_id": pa.array(np.concatenate(rows_c)),
+                "n_claims": pa.array(np.concatenate(rows_claim)),
+                "is_covered": pa.array(np.concatenate(rows_self)),
+            }
+        )
+
+    agg = (
+        distinct.map_batches(emit, batch_format="pyarrow")
+        .groupby("cell_id")
+        .aggregate(
+            _Sum("n_claims", alias_name="n_neighbors"),
+            _Sum("is_covered", alias_name="cov"),
+        )
+    )
+
+    def keep_covered(t: pa.Table) -> pa.Table:
+        m = t["cov"].to_numpy(zero_copy_only=False) > 0
+        sub = t.filter(pa.array(m))
+        return pa.table(
+            {"cell_id": sub["cell_id"], "n_neighbors": sub["n_neighbors"]}
+        )
+
+    return agg.map_batches(keep_covered, batch_format="pyarrow")
+
+
+_ADJ_SQL = f"""
+WITH c AS (SELECT DISTINCT cell_id
+           FROM read_parquet('{_ORACLE_DIR}/adj_cover/*.parquet')),
+u AS (SELECT cell_id,
+             cell_id >> 58 AS lvl,
+             (cell_id >> 29) & 536870911 AS i,
+             cell_id & 536870911 AS j
+      FROM c),
+nb AS (SELECT a.cell_id,
+              SUM(CASE WHEN b.cell_id IS NOT NULL THEN 1 ELSE 0 END) AS nn
+       FROM u a
+       CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))
+         AS d(di, dj)
+       LEFT JOIN u b ON b.i = a.i + d.di AND b.j = a.j + d.dj
+                    AND b.lvl = a.lvl
+       GROUP BY a.cell_id)
+SELECT cell_id, CAST(nn AS BIGINT) AS n_neighbors FROM nb
+"""
+
+
+GEO_QUERIES.update({"cover_adjacency_counts": q_cover_adjacency_counts})
+EXTRA_ORACLE_SQL["cover_adjacency_counts"] = _ADJ_SQL

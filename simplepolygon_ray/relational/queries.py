@@ -9667,3 +9667,114 @@ ORACLE_SQL.update(
         "cdc_upsert_apply": _SQL_CDC,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# per-dimension argmax + month-over-month revenue deltas.
+# --------------------------------------------------------------------------
+
+
+def q_dim_argmax(sf_dir: str):
+    """Per embedding dimension, the vector holding the maximum value
+    (floor-e6 quantized; ties to the smallest vec_id).  The argmax is
+    mergeable by packing (value, -vec_id) into one ordered int: block
+    partials keep one row per dim, the exchange is |dims| × blocks."""
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        width = len(col[0]) if len(col) else 0
+        m = np.asarray(col.values, dtype=np.float64).reshape(-1, width)
+        q = np.floor(m * 1e6).astype(np.int64)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        best = q.argmax(axis=0)
+        # ties to smallest vec_id: among rows hitting the max, min id
+        mx = q.max(axis=0)
+        out_id = np.empty(width, np.int64)
+        for d in range(width):
+            out_id[d] = vid[q[:, d] == mx[d]].min()
+        del best
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(width, dtype=np.int64)),
+                "max_e6": pa.array(mx),
+                "argmax_vec": pa.array(out_id),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # fold blocks: max value, ties to min id — pack (value, -id) order
+    d = parts["dim"].to_numpy(np.int64)
+    v = parts["max_e6"].to_numpy(np.int64)
+    i = parts["argmax_vec"].to_numpy(np.int64)
+    order = np.lexsort((i, -v, d))
+    ds_, vs_, is_ = d[order], v[order], i[order]
+    first = np.r_[True, ds_[1:] != ds_[:-1]]
+    return pd.DataFrame(
+        {
+            "dim": ds_[first],
+            "max_e6": vs_[first],
+            "argmax_vec": is_[first],
+        }
+    )
+
+
+_SQL_DIM_ARGMAX = """
+WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+q AS (SELECT dim, vec_id,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS e
+      FROM u),
+m AS (SELECT dim, MAX(e) AS max_e6 FROM q GROUP BY dim)
+SELECT CAST(m.dim AS BIGINT) AS dim, m.max_e6,
+       CAST(MIN(q.vec_id) AS BIGINT) AS argmax_vec
+FROM m JOIN q ON q.dim = m.dim AND q.e = m.max_e6
+GROUP BY m.dim, m.max_e6
+"""
+
+
+def q_monthly_revenue_delta(sf_dir: str):
+    """Month-over-month revenue deltas on the calendar rollup: for
+    every month with a predecessor PRESENT in the data, the exact cent
+    delta (LAG-on-aggregate, the tiny bounded-domain tail of
+    orders_by_month)."""
+    base = q_orders_by_month(sf_dir).to_pandas().sort_values("month_idx")
+    mi = base["month_idx"].to_numpy(np.int64)
+    sc = base["sum_cents"].to_numpy(np.int64)
+    prev = np.searchsorted(mi, mi - 1)
+    cprev = np.minimum(prev, len(mi) - 1)
+    hit = mi[cprev] == mi - 1
+    return pd.DataFrame(
+        {
+            "month_idx": mi[hit],
+            "sum_cents": sc[hit],
+            "delta_cents": sc[hit] - sc[cprev[hit]],
+        }
+    ).reset_index(drop=True)
+
+
+_SQL_MONTH_DELTA = """
+WITH m AS (SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                       AS BIGINT) AS month_idx,
+                  CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                       AS BIGINT) AS sum_cents
+           FROM orders GROUP BY month_idx)
+SELECT a.month_idx, a.sum_cents,
+       CAST(a.sum_cents - b.sum_cents AS BIGINT) AS delta_cents
+FROM m a JOIN m b ON b.month_idx = a.month_idx - 1
+"""
+
+
+QUERIES.update(
+    {
+        "dim_argmax": q_dim_argmax,
+        "monthly_revenue_delta": q_monthly_revenue_delta,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "dim_argmax": _SQL_DIM_ARGMAX,
+        "monthly_revenue_delta": _SQL_MONTH_DELTA,
+    }
+)
