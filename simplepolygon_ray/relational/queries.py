@@ -9778,3 +9778,144 @@ ORACLE_SQL.update(
         "monthly_revenue_delta": _SQL_MONTH_DELTA,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution + per-language token top-k.
+# --------------------------------------------------------------------------
+
+
+def q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution: for every purchase, the event type
+    IMMEDIATELY preceding it in the user's stream (ties broken by
+    event_id, first-of-stream purchases attributed to 'none'); counts
+    by predecessor type.  One sort + shift per user frame."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, et = uid[order], et[order]
+        is_p = et == "purchase"
+        prev = np.empty(len(et), dtype=object)
+        prev[1:] = et[:-1]
+        prev[0] = "none"
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        prev[new] = "none"
+        src = prev[is_p]
+        if len(src) == 0:
+            return pd.DataFrame(
+                {
+                    "pred_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        u, c = np.unique(src.astype(str), return_counts=True)
+        return pd.DataFrame({"pred_type": u.astype(object), "n": c.astype(np.int64)})
+
+    return (
+        _bucket_groupby(
+            ev.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_bucket
+        )
+        .groupby("pred_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH s AS (SELECT event_type,
+                  COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id), 'none') AS pred
+           FROM events)
+SELECT pred AS pred_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE event_type = 'purchase'
+GROUP BY pred
+"""
+
+
+def q_top_tokens_per_lang(sf_dir: str):
+    """Grouped top-k over a two-level key: the 5 most frequent tokens
+    per language tag (count desc, token asc).  The (lang, token)
+    domain is vocabulary-bounded, so block partials shrink the
+    exchange and the per-lang heads fold on the grouped table."""
+    docs = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc, _ = _flat_tokens(t["text"])
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(str)
+        part = (
+            pa.table(
+                {
+                    "lang": pa.array(lang[doc], pa.string()),
+                    "token": flat,
+                }
+            )
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": part["lang"],
+                "token": part["token"],
+                "n": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |langs| x |vocab|
+    out = []
+    for lg, g in grouped.groupby("lang"):
+        g = g.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(5)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["lang", "rank", "token", "n"]].astype({"n": np.int64})
+
+
+_SQL_TOP_PER_LANG = r"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS token
+  FROM documents),
+g AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+r AS (SELECT lang, token, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token) AS rank
+      FROM g)
+SELECT lang, CAST(rank AS BIGINT) AS rank, token, n
+FROM r WHERE rank <= 5
+"""
+
+
+QUERIES.update(
+    {
+        "purchase_attribution": q_purchase_attribution,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "purchase_attribution": _SQL_ATTRIBUTION,
+        "top_tokens_per_lang": _SQL_TOP_PER_LANG,
+    }
+)
