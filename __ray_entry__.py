@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "quality_filter_pipeline",
+    "curation_endstate",
     "purchase_attribution",
     "top_tokens_per_lang",
     "cover_adjacency_counts",

@@ -3649,3 +3649,39 @@ SELECT cell_id, CAST(nn AS BIGINT) AS n_neighbors FROM nb
 
 GEO_QUERIES.update({"cover_adjacency_counts": q_cover_adjacency_counts})
 EXTRA_ORACLE_SQL["cover_adjacency_counts"] = _ADJ_SQL
+
+
+# ----------------------------------------------------- curation endstate
+
+_CURATION_SQL = f"""
+SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+UNION ALL
+SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+FROM (SELECT MIN(doc_id) AS d, MIN(n_chars) AS n_chars
+      FROM documents GROUP BY text)
+UNION ALL
+SELECT 'near_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+FROM (SELECT MIN(doc_id) AS d, MIN(n_chars) AS n_chars
+      FROM documents GROUP BY text) ex
+WHERE ex.d NOT IN (
+  SELECT g.doc_id FROM ({_NEAR_DUP_GROUPS_SQL}) g
+  WHERE g.doc_id NOT IN (
+    SELECT keep_doc_id FROM ({_DEDUP_KEEP_BEST_SQL})))
+"""
+
+from ..relational.queries import (  # noqa: E402
+    q_curation_endstate as _q_curation_endstate,
+    q_quality_filter_pipeline as _q_quality_filter,
+    _SQL_QUALITY_FILTER as _QF_SQL,
+)
+
+GEO_QUERIES.update(
+    {
+        "curation_endstate": _q_curation_endstate,
+        "quality_filter_pipeline": _q_quality_filter,
+    }
+)
+EXTRA_ORACLE_SQL["curation_endstate"] = _CURATION_SQL
+EXTRA_ORACLE_SQL["quality_filter_pipeline"] = _QF_SQL

@@ -9919,3 +9919,145 @@ ORACLE_SQL.update(
         "top_tokens_per_lang": _SQL_TOP_PER_LANG,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# curation capstones — multi-signal quality filtering and the staged
+# dedup funnel, each composing operators the catalog already proves.
+# --------------------------------------------------------------------------
+
+_QF_MIN_TOKENS = 20
+_QF_MAX_TOP_FRAC_PPM = 160_000  # top token must be <= 16% of tokens
+_QF_MIN_DISTINCT_BIGRAM_PPM = 920_000  # >= 92% of bigrams distinct
+
+
+def q_quality_filter_pipeline(sf_dir: str):
+    """A real curation pass: three Gopher-style quality rules (length,
+    top-token dominance, bigram repetition) evaluate per document in
+    ONE streaming pass over the repetition stats; the result is the
+    reject-reason histogram plus the kept count — first-failing-rule
+    attribution, thresholds compared in exact ppm ints (count·1e6 vs
+    ppm·total, no division)."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        r = _repetition_block(t)
+        n_tok = r["n_tokens"].to_numpy(zero_copy_only=False)
+        top = r["top_token_n"].to_numpy(zero_copy_only=False)
+        nb = r["n_bigrams"].to_numpy(zero_copy_only=False)
+        ndb = r["n_distinct_bigrams"].to_numpy(zero_copy_only=False)
+        reason = np.full(len(n_tok), "kept", dtype=object)
+        # rules apply in order; first failure wins
+        rule3 = ndb * 1_000_000 < _QF_MIN_DISTINCT_BIGRAM_PPM * nb
+        reason[rule3] = "repetitive_bigrams"
+        rule2 = top * 1_000_000 > _QF_MAX_TOP_FRAC_PPM * n_tok
+        reason[rule2] = "dominant_token"
+        rule1 = n_tok < _QF_MIN_TOKENS
+        reason[rule1] = "too_short"
+        u, c = np.unique(reason.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "reason": pa.array(u.astype(object), pa.string()),
+                "n_docs": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(classify, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+_SQL_QUALITY_FILTER = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+ts AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top FROM tf GROUP BY doc_id),
+bf AS (SELECT doc_id, b, COUNT(*) AS c
+       FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+             FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks))
+       GROUP BY doc_id, b),
+bs AS (SELECT doc_id, SUM(c) AS nb, COUNT(*) AS ndb FROM bf GROUP BY doc_id),
+j AS (SELECT t.doc_id,
+             COALESCE(ts.n_tokens, 0) AS n_tokens, COALESCE(ts.top, 0) AS top,
+             COALESCE(bs.nb, 0) AS nb, COALESCE(bs.ndb, 0) AS ndb
+      FROM toks t LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)),
+r AS (SELECT doc_id,
+             CASE
+               WHEN n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+               WHEN top * 1000000 > {_QF_MAX_TOP_FRAC_PPM} * n_tokens
+                 THEN 'dominant_token'
+               WHEN ndb * 1000000 < {_QF_MIN_DISTINCT_BIGRAM_PPM} * nb
+                 THEN 'repetitive_bigrams'
+               ELSE 'kept' END AS reason
+      FROM j)
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs FROM r GROUP BY reason
+"""
+
+
+def q_curation_endstate(sf_dir: str):
+    """The staged corpus-curation funnel in one readout: raw docs →
+    after exact dedup (min doc_id per text) → after near-dup pruning
+    (drop every near-dup group member except the keep-best winner).
+    Emits per stage the surviving doc count and total characters —
+    the before/after evidence a data-curation run reports.  Composes
+    the exact-dedup and keep-best machinery the catalog already
+    oracles piecewise."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def block_min(t: pa.Table) -> pa.Table:
+        # exact dedup partial: min doc_id + n_chars per text hash
+        df = t.to_pandas()
+        g = df.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_chars=("n_chars", "first")
+        )
+        return pa.Table.from_pandas(g[["text", "doc_id", "n_chars"]], preserve_index=False)
+
+    exact = (
+        docs.map_batches(block_min, batch_format="pyarrow")
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Min("n_chars", alias_name="n_chars"))
+        .to_pandas()
+    )
+    raw_n = docs.count()
+    raw_chars = int(
+        docs.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array([int(t["n_chars"].to_numpy(zero_copy_only=False).sum())])}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+    exact_ids = np.sort(exact["doc_id"].to_numpy(np.int64))
+    exact_chars = int(exact["n_chars"].to_numpy(np.int64).sum())
+
+    # near-dup prune: drop group members that are not the keep-best
+    from ..pipelines.catalog import q_dedup_keep_best, _minhash_pairs_cached
+    from ..text.dedup import connected_components
+
+    labs = connected_components(_minhash_pairs_cached(sf_dir)).to_pandas()
+    best = q_dedup_keep_best(sf_dir).to_pandas()
+    drop = np.setdiff1d(
+        labs["doc_id"].to_numpy(np.int64), best["keep_doc_id"].to_numpy(np.int64)
+    )
+    kept_mask = ~np.isin(exact_ids, drop)
+    final_ids = exact_ids[kept_mask]
+    nc = exact.set_index("doc_id")["n_chars"]
+    final_chars = int(nc.loc[final_ids].to_numpy(np.int64).sum())
+    return pd.DataFrame(
+        {
+            "stage": np.array(["raw", "exact_dedup", "near_dedup"], dtype=object),
+            "n_docs": np.array([raw_n, len(exact_ids), len(final_ids)], np.int64),
+            "total_chars": np.array([raw_chars, exact_chars, final_chars], np.int64),
+        }
+    )
