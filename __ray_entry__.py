@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "session_bounce_rate",
+    "type_profile_overlap",
+    "cover_blob_components",
     "quality_filter_pipeline",
     "curation_endstate",
     "purchase_attribution",

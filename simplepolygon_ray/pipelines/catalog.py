@@ -3685,3 +3685,127 @@ GEO_QUERIES.update(
 )
 EXTRA_ORACLE_SQL["curation_endstate"] = _CURATION_SQL
 EXTRA_ORACLE_SQL["quality_filter_pipeline"] = _QF_SQL
+
+
+# ------------------------------------------------------- cover blobs (CC)
+
+
+def q_cover_blob_components(sf_dir: str):
+    """Raster connected components over the covered-cell mask
+    (4-connectivity): blob id = the smallest cell id in each blob,
+    with its cell count — the mask-segmentation counterpart of the
+    document near-dup groups, reusing the SAME hash-to-min CC engine
+    on a different graph.  Edges build with the claims shuffle (each
+    distinct cell claims its right/up neighbor; a claim becomes an
+    edge only where the neighbor's self-marker proves coverage);
+    singleton cells (no covered neighbor) emit size-1 blobs."""
+    import ray.data as rd
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from ..relational.queries import _bucket_groupby
+    from ..text.dedup import connected_components
+
+    cover_dir = _persist(q_geo_cover(sf_dir), "blob_cover")
+    cover = rd.read_parquet(cover_dir, columns=["cell_id"])
+    distinct = (
+        cover.map_batches(
+            lambda t: pa.table({"cell_id": t["cell_id"].unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby("cell_id")
+        .aggregate(_Count(alias_name="_c"))
+        .materialize()
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        c = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        lvl = (c >> np.uint64(58)).astype(np.int64)
+        i = ((c >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64)
+        j = (c & np.uint64((1 << 29) - 1)).astype(np.int64)
+        n = 1 << int(lvl[0]) if len(lvl) else 2
+        tgt, src, selfm = [], [], []
+        for di, dj in ((1, 0), (0, 1)):
+            ni, nj = i + di, j + dj
+            ok = (ni < n) & (nj < n)
+            nid = (
+                (lvl[ok].astype(np.uint64) << np.uint64(58))
+                | (ni[ok].astype(np.uint64) << np.uint64(29))
+                | nj[ok].astype(np.uint64)
+            ).astype(np.int64)
+            tgt.append(nid)
+            src.append(c[ok].astype(np.int64))
+            selfm.append(np.zeros(len(nid), np.int64))
+        tgt.append(c.astype(np.int64))
+        src.append(np.full(len(c), -1, np.int64))
+        selfm.append(np.ones(len(c), np.int64))
+        return pa.table(
+            {
+                "cell_id": pa.array(np.concatenate(tgt)),
+                "src": pa.array(np.concatenate(src)),
+                "is_self": pa.array(np.concatenate(selfm)),
+            }
+        )
+
+    def to_edges(g: pd.DataFrame) -> pd.DataFrame:
+        cid = g["cell_id"].to_numpy(np.int64)
+        src = g["src"].to_numpy(np.int64)
+        selfm = g["is_self"].to_numpy(np.int64)
+        covered = np.unique(cid[selfm == 1])
+        m = (selfm == 0) & np.isin(cid, covered)
+        a = np.minimum(src[m], cid[m])
+        b = np.maximum(src[m], cid[m])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    edges = _bucket_groupby(
+        distinct.map_batches(emit, batch_format="pyarrow"), "cell_id", to_edges
+    ).materialize()
+    labs = connected_components(edges).to_pandas()
+    blob = labs.groupby("group_id").size().rename("n_cells").reset_index()
+    labeled = np.sort(labs["doc_id"].to_numpy(np.int64))
+    allc = distinct.to_pandas()["cell_id"].to_numpy(np.int64)
+    singles = np.setdiff1d(allc, labeled)
+    out = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "blob_id": blob["group_id"].to_numpy(np.int64),
+                    "n_cells": blob["n_cells"].to_numpy(np.int64),
+                }
+            ),
+            pd.DataFrame(
+                {"blob_id": singles, "n_cells": np.ones(len(singles), np.int64)}
+            ),
+        ],
+        ignore_index=True,
+    )
+    return out.sort_values("blob_id").reset_index(drop=True)
+
+
+_BLOB_SQL = f"""
+WITH RECURSIVE c AS (SELECT DISTINCT cell_id
+           FROM read_parquet('{_ORACLE_DIR}/blob_cover/*.parquet')),
+u AS (SELECT cell_id, cell_id >> 58 AS lvl,
+             (cell_id >> 29) & 536870911 AS i, cell_id & 536870911 AS j
+      FROM c),
+e0 AS (SELECT a.cell_id AS x, b.cell_id AS y
+       FROM u a JOIN u b ON b.lvl = a.lvl
+        AND ((b.i = a.i + 1 AND b.j = a.j) OR (b.i = a.i AND b.j = a.j + 1))),
+edges AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM e0 UNION SELECT y, x FROM e0),
+reach(v, l) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+lab AS (SELECT v AS cell_id, MIN(l) AS group_id FROM reach GROUP BY v),
+blobs AS (SELECT group_id AS blob_id, CAST(COUNT(*) AS BIGINT) AS n_cells
+          FROM lab GROUP BY group_id),
+singles AS (SELECT cell_id AS blob_id, CAST(1 AS BIGINT) AS n_cells
+            FROM c WHERE cell_id NOT IN (SELECT cell_id FROM lab))
+SELECT blob_id, n_cells FROM blobs
+UNION ALL
+SELECT blob_id, n_cells FROM singles
+"""
+
+
+GEO_QUERIES.update({"cover_blob_components": q_cover_blob_components})
+EXTRA_ORACLE_SQL["cover_blob_components"] = _BLOB_SQL

@@ -10061,3 +10061,156 @@ def q_curation_endstate(sf_dir: str):
             "total_chars": np.array([raw_chars, exact_chars, final_chars], np.int64),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# bounce rate + histogram-intersection similarity.
+# --------------------------------------------------------------------------
+
+
+def q_session_bounce_rate(sf_dir: str):
+    """Bounce analysis: per user, session count and single-event
+    ("bounce") session count under the 30-min gap rule — the
+    sessionize machinery's run detection plus a run-length==1 test,
+    one lexsort per user frame."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "event_id": t["event_id"],
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, t, uid))
+        uid, t = uid[order], t[order]
+        newu = np.r_[True, uid[1:] != uid[:-1]]
+        news = newu | np.r_[True, (t[1:] - t[:-1]) > _SESSION_GAP_US]
+        sid = np.cumsum(news) - 1
+        slen = np.bincount(sid).astype(np.int64)
+        suser = uid[np.flatnonzero(news)]
+        u, inv = np.unique(suser, return_inverse=True)
+        n_sessions = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        n_bounce = np.zeros(len(u), np.int64)
+        np.add.at(n_bounce, inv, (slen == 1).astype(np.int64))
+        return pd.DataFrame(
+            {"user_id": u, "n_sessions": n_sessions, "n_bounce": n_bounce}
+        )
+
+    return _bucket_groupby(
+        ev.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_BOUNCE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+f AS (SELECT user_id, t, event_id,
+             CASE WHEN LAG(t) OVER w IS NULL
+                    OR t - LAG(t) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+g AS (SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+s AS (SELECT user_id, sid, COUNT(*) AS n FROM g GROUP BY user_id, sid)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+FROM s GROUP BY user_id
+"""
+
+
+def q_type_profile_overlap(sf_dir: str):
+    """Histogram-intersection similarity between event types' daily
+    arrival profiles: for every type pair, Σ_d min(count_a(d),
+    count_b(d)) plus both totals — the exact integer pieces of the
+    normalized overlap.  The (type, day) table is bounded; the pair
+    fold happens on it directly."""
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "day": pa.array(us // 86_400_000_000),
+                }
+            )
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(daily, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |types| x |days|
+    types = np.sort(counts["event_type"].unique().astype(str))
+    days = np.sort(counts["day"].unique())
+    mat = np.zeros((len(types), len(days)), np.int64)
+    ti = np.searchsorted(types, counts["event_type"].to_numpy().astype(str))
+    di = np.searchsorted(days, counts["day"].to_numpy(np.int64))
+    mat[ti, di] = counts["n"].to_numpy(np.int64)
+    rows = []
+    for a in range(len(types)):
+        for b in range(a + 1, len(types)):
+            rows.append(
+                (
+                    types[a],
+                    types[b],
+                    int(np.minimum(mat[a], mat[b]).sum()),
+                    int(mat[a].sum()),
+                    int(mat[b].sum()),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["type_a", "type_b", "overlap", "total_a", "total_b"]
+    ).astype({"overlap": np.int64, "total_a": np.int64, "total_b": np.int64})
+
+
+_SQL_PROFILE_OVERLAP = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, day),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM d
+      GROUP BY event_type),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(least(a.n, b.n)) AS BIGINT) AS overlap
+      FROM d a JOIN d b ON b.day = a.day AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.overlap,
+       ta.total AS total_a, tb.total AS total_b
+FROM p JOIN t ta ON ta.event_type = p.type_a
+       JOIN t tb ON tb.event_type = p.type_b
+"""
+
+
+QUERIES.update(
+    {
+        "session_bounce_rate": q_session_bounce_rate,
+        "type_profile_overlap": q_type_profile_overlap,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "session_bounce_rate": _SQL_BOUNCE,
+        "type_profile_overlap": _SQL_PROFILE_OVERLAP,
+    }
+)
