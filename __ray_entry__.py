@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "embedding_projection_checksum",
+    "user_capped_dwell",
     "session_bounce_rate",
     "type_profile_overlap",
     "cover_blob_components",

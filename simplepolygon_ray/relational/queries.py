@@ -10214,3 +10214,144 @@ ORACLE_SQL.update(
         "type_profile_overlap": _SQL_PROFILE_OVERLAP,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# deterministic projection head + capped dwell-time engagement.
+# --------------------------------------------------------------------------
+
+_PROJ_OUT = 8
+
+
+def _proj_matrix(width: int) -> np.ndarray:
+    """Deterministic int projection matrix (values in [-3, 3]) from
+    splitmix64 over (row, col) — both engines rebuild it exactly."""
+    idx = np.arange(width * _PROJ_OUT, dtype=np.int64)
+    return (_hash64(idx) % np.uint64(7)).astype(np.int64).reshape(width, _PROJ_OUT) - 3
+
+
+def q_embedding_projection_checksum(sf_dir: str):
+    """ML projection head as a batch transform: every embedding
+    multiplies through a deterministic int 64×8 matrix (values from
+    splitmix64, so SQL rebuilds it limb-exactly) on floor-e6 quantized
+    inputs — one exact-int matmul per block — and emits a per-vector
+    checksum of the projected coordinates.  The block work is a single
+    (rows×dims)@(dims×8) numpy product."""
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        width = len(col[0]) if len(col) else 0
+        m = np.asarray(col.values, dtype=np.float64).reshape(-1, width)
+        q = np.floor(m * 1e6).astype(np.int64)
+        w = _proj_matrix(width)
+        proj = q @ w  # exact: |q| ≤ 2e6, |w| ≤ 3, width 64 → ≤ 4e8
+        # order-sensitive checksum over the 8 projected coords
+        mult = (np.arange(_PROJ_OUT, dtype=np.int64) + 1) * 1_000_003
+        chk = (proj * mult[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "proj_checksum": pa.array(chk),
+            }
+        )
+
+    return emb.map_batches(partial, batch_format="pyarrow")
+
+
+_SQL_PROJECTION = f"""
+WITH u AS (SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                     * 1000000.0) AS BIGINT) AS q,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+widx AS (SELECT dim, outc, dim * {_PROJ_OUT} + outc AS idx
+         FROM (SELECT unnest(generate_series(0, 63)) AS dim),
+              (SELECT unnest(generate_series(0, {_PROJ_OUT - 1})) AS outc)),
+h0 AS (SELECT dim, outc,
+              (CAST(idx AS HUGEINT) + {0x9E3779B97F4A7C15}) % {_T64} AS x
+       FROM widx),
+h1 AS (SELECT dim, outc, {_mulmod_sql("xor(x, x >> 30)", 0xBF58476D1CE4E5B9)} AS x FROM h0),
+h2 AS (SELECT dim, outc, {_mulmod_sql("xor(x, x >> 27)", 0x94D049BB133111EB)} AS x FROM h1),
+w AS (SELECT dim, outc,
+             CAST(xor(x, x >> 31) % 7 AS BIGINT) - 3 AS wv
+      FROM h2),
+p AS (SELECT u.vec_id, w.outc, SUM(u.q * w.wv) AS pv
+      FROM u JOIN w ON w.dim = u.dim
+      GROUP BY u.vec_id, w.outc)
+SELECT vec_id,
+       CAST(SUM(pv * ((outc + 1) * 1000003)) AS BIGINT) AS proj_checksum
+FROM p GROUP BY vec_id
+"""
+
+
+def q_user_capped_dwell(sf_dir: str):
+    """Winsorized engagement: per user, the sum of inter-event gaps
+    CAPPED at the 30-minute session threshold (long absences count as
+    one session gap, not idle time) plus the raw gap count — a robust
+    dwell-time aggregate, one lexsort + clipped diff per frame."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "event_id": t["event_id"],
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, t, uid))
+        uid, t = uid[order], t[order]
+        same = uid[1:] == uid[:-1]
+        gaps = np.minimum(np.diff(t), _SESSION_GAP_US)[same]
+        gu = uid[1:][same]
+        u = np.unique(uid)
+        pos = np.searchsorted(u, gu)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, pos, gaps)
+        c = np.bincount(pos, minlength=len(u)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "capped_dwell_sec": s // 1_000_000,
+                "n_gaps": c,
+            }
+        )
+
+    return _bucket_groupby(
+        ev.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+_SQL_CAPPED_DWELL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+g AS (SELECT user_id,
+             t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS gap
+      FROM e)
+SELECT user_id,
+       CAST(SUM(least(gap, {_SESSION_GAP_US})) // 1000000 AS BIGINT)
+         AS capped_dwell_sec,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "embedding_projection_checksum": q_embedding_projection_checksum,
+        "user_capped_dwell": q_user_capped_dwell,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "embedding_projection_checksum": _SQL_PROJECTION,
+        "user_capped_dwell": _SQL_CAPPED_DWELL,
+    }
+)
