@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "k_anonymity_audit",
+    "sensitivity_audit",
+    "fd_audit",
     "embedding_projection_checksum",
     "user_capped_dwell",
     "session_bounce_rate",

@@ -10355,3 +10355,183 @@ ORACLE_SQL.update(
         "user_capped_dwell": _SQL_CAPPED_DWELL,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# privacy + invariant audits: k-anonymity, DP sensitivity, functional
+# dependency.
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, $1000 balance band): how many equivalence classes
+    exist, how many fall below k=5 members, and how many ROWS sit in
+    those risky classes — the privacy-release gate for a training
+    table.  Block partials shrink the exchange to the bounded QI
+    domain."""
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        band = cents // 100_000  # $1000 bands (floor: negatives go down)
+        g = (
+            pa.table(
+                {
+                    "nk": t["c_nationkey"].cast(pa.int64()),
+                    "seg": t["c_mktsegment"],
+                    "band": pa.array(band),
+                }
+            )
+            .group_by(["nk", "seg", "band"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "nk": g["nk"],
+                "seg": g["seg"],
+                "band": g["band"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    classes = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nk", "seg", "band"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded QI domain
+    n = classes["n"].to_numpy(np.int64)
+    risky = n < _KANON_K
+    return pd.DataFrame(
+        {
+            "n_classes": np.array([len(n)], np.int64),
+            "n_risky_classes": np.array([int(risky.sum())], np.int64),
+            "n_risky_rows": np.array([int(n[risky].sum())], np.int64),
+        }
+    )
+
+
+_SQL_KANON = f"""
+WITH q AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                  CASE WHEN round(c_acctbal * 100.0) >= 0
+                       THEN CAST(round(c_acctbal * 100.0) AS BIGINT) // 100000
+                       ELSE -((-CAST(round(c_acctbal * 100.0) AS BIGINT)
+                               + 99999) // 100000)
+                  END AS band
+           FROM customer),
+g AS (SELECT nk, seg, band, COUNT(*) AS n FROM q GROUP BY nk, seg, band)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_risky_rows
+FROM g
+"""
+
+
+def q_sensitivity_audit(sf_dir: str):
+    """Differential-privacy preparation: per event type, the maximum
+    number of events any single user contributed in any single day —
+    the L∞ sensitivity a DP release of daily counts must clip to.
+    The (type, user, day) partials bound the exchange; the max folds
+    through the engine."""
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "user_id": t["user_id"],
+                    "day": pa.array(us // 86_400_000_000),
+                }
+            )
+            .group_by(["event_type", "user_id", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "day": g["day"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("event_type")
+        .aggregate(Max("n", alias_name="linf_sensitivity"))
+    )
+
+
+_SQL_SENSITIVITY = """
+WITH g AS (SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, user_id, day)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS linf_sensitivity
+FROM g GROUP BY event_type
+"""
+
+
+def q_fd_audit(sf_dir: str):
+    """Functional-dependency / invariant audit: n_chars must equal
+    length(text) for every document.  Streams one pass emitting the
+    row count, violation count, and the max absolute deviation —
+    the cheap invariant gate a pipeline runs before trusting derived
+    columns."""
+    docs = _t(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(ln - nc)
+        return pa.table(
+            {
+                "n_rows": pa.array([len(ln)], pa.int64()),
+                "n_violations": pa.array([int((d != 0).sum())], pa.int64()),
+                "max_abs_dev": pa.array([int(d.max()) if len(d) else 0], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "n_violations": [int(parts["n_violations"].sum())],
+            "max_abs_dev": [int(parts["max_abs_dev"].max())],
+        }
+    ).astype(np.int64)
+
+
+_SQL_FD = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(MAX(abs(length(text) - n_chars)) AS BIGINT) AS max_abs_dev
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "sensitivity_audit": q_sensitivity_audit,
+        "fd_audit": q_fd_audit,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "k_anonymity_audit": _SQL_KANON,
+        "sensitivity_audit": _SQL_SENSITIVITY,
+        "fd_audit": _SQL_FD,
+    }
+)
