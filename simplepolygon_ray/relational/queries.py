@@ -10535,3 +10535,193 @@ ORACLE_SQL.update(
         "fd_audit": _SQL_FD,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# price dispersion top-k + session journey matrix.
+# --------------------------------------------------------------------------
+
+
+def q_part_price_dispersion(sf_dir: str):
+    """Market price dispersion: the 20 parts with the widest
+    extendedprice spread across their lineitems (range desc, part
+    asc), emitting supplier count and min/max cents.  Per-part partials
+    are mergeable (min/max/distinct-supplier pre-folds per block); the
+    top-k prefilter runs per grouped block (keys complete after the
+    groupby) before the driver merge."""
+    li = _t(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "cents": pa.array(
+                        np.rint(
+                            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                            * 100.0
+                        ).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("cents", "min"), ("cents", "max")])
+        )
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "l_suppkey": g["l_suppkey"],
+                "mn": g["cents_min"],
+                "mx": g["cents_max"],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["l_partkey"].to_numpy(np.int64)
+        sk = g["l_suppkey"].to_numpy(np.int64)
+        mn = g["mn"].to_numpy(np.int64)
+        mx = g["mx"].to_numpy(np.int64)
+        # fold duplicate (part, supp) partials, then per-part stats
+        key = pk * 1_000_000 + sk
+        u, inv = np.unique(key, return_inverse=True)
+        umn = np.full(len(u), np.iinfo(np.int64).max)
+        umx = np.full(len(u), np.iinfo(np.int64).min)
+        np.minimum.at(umn, inv, mn)
+        np.maximum.at(umx, inv, mx)
+        up = u // 1_000_000
+        pu, pinv = np.unique(up, return_inverse=True)
+        pmn = np.full(len(pu), np.iinfo(np.int64).max)
+        pmx = np.full(len(pu), np.iinfo(np.int64).min)
+        ns = np.bincount(pinv, minlength=len(pu)).astype(np.int64)
+        np.minimum.at(pmn, pinv, umn)
+        np.maximum.at(pmx, pinv, umx)
+        df = pd.DataFrame(
+            {
+                "l_partkey": pu,
+                "n_suppliers": ns,
+                "min_cents": pmn,
+                "max_cents": pmx,
+                "range_cents": pmx - pmn,
+            }
+        )
+        return df.sort_values(
+            ["range_cents", "l_partkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    parts = _bucket_groupby(
+        li.map_batches(partial, batch_format="pyarrow"), "l_partkey", fold
+    ).to_pandas()
+    return (
+        parts.sort_values(
+            ["range_cents", "l_partkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_DISPERSION = """
+WITH c AS (SELECT l_partkey, l_suppkey,
+                  CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+           FROM lineitem),
+p AS (SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(MIN(cents) AS BIGINT) AS min_cents,
+             CAST(MAX(cents) AS BIGINT) AS max_cents,
+             CAST(MAX(cents) - MIN(cents) AS BIGINT) AS range_cents
+      FROM c GROUP BY l_partkey)
+SELECT l_partkey, n_suppliers, min_cents, max_cents, range_cents
+FROM p ORDER BY range_cents DESC, l_partkey LIMIT 20
+"""
+
+
+def q_session_journeys(sf_dir: str):
+    """Session journey matrix: per (entry type, exit type) pair, how
+    many 30-min-gap sessions start with the one and end with the other
+    — single-event sessions land on the diagonal.  One lexsort + run
+    boundary pick per user frame."""
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, t, et = uid[order], t[order], et[order]
+        news = np.r_[True, (uid[1:] != uid[:-1]) | ((t[1:] - t[:-1]) > _SESSION_GAP_US)]
+        starts = np.flatnonzero(news)
+        ends = np.r_[starts[1:] - 1, len(uid) - 1]
+        first = et[starts]
+        last = et[ends]
+        g = (
+            pd.DataFrame({"entry_type": first, "exit_type": last})
+            .groupby(["entry_type", "exit_type"], sort=False)
+            .size()
+            .rename("n_sessions")
+            .reset_index()
+        )
+        return g.astype({"n_sessions": np.int64})
+
+    return (
+        _bucket_groupby(
+            ev.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_bucket
+        )
+        .groupby(["entry_type", "exit_type"])
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+    )
+
+
+_SQL_JOURNEYS = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+f AS (SELECT user_id, t, event_id, event_type,
+             CASE WHEN LAG(t) OVER w IS NULL
+                    OR t - LAG(t) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+g AS (SELECT user_id, t, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+r AS (SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY t, event_id) AS rf,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY t DESC, event_id DESC) AS rl
+      FROM g)
+SELECT a.event_type AS entry_type, b.event_type AS exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM (SELECT user_id, sid, event_type FROM r WHERE rf = 1) a
+JOIN (SELECT user_id, sid, event_type FROM r WHERE rl = 1) b
+  USING (user_id, sid)
+GROUP BY entry_type, exit_type
+"""
+
+
+QUERIES.update(
+    {
+        "part_price_dispersion": q_part_price_dispersion,
+        "session_journeys": q_session_journeys,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "part_price_dispersion": _SQL_DISPERSION,
+        "session_journeys": _SQL_JOURNEYS,
+    }
+)
