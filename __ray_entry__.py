@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "langid_confusion",
+    "dup_group_size_hist",
     "part_price_dispersion",
     "session_journeys",
     "k_anonymity_audit",

@@ -3809,3 +3809,83 @@ SELECT blob_id, n_cells FROM singles
 
 GEO_QUERIES.update({"cover_blob_components": q_cover_blob_components})
 EXTRA_ORACLE_SQL["cover_blob_components"] = _BLOB_SQL
+
+
+# ------------------------------------------------- eval + dedup diagnostics
+
+
+def q_langid_confusion(sf_dir: str):
+    """Model-eval confusion matrix: the langid heuristic's prediction
+    against the table's lang tag, counted per (truth, prediction)
+    pair — the evaluation-harness shape every classifier stage needs.
+    One pandas batch pass (the langid kernel is vectorized RE2), tiny
+    (langs × langs) exchange."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..text.ops import langid_batch
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def conf(b: pd.DataFrame) -> pd.DataFrame:
+        pred = langid_batch(b)["lang_pred"]
+        g = (
+            pd.DataFrame({"lang": b["lang"], "lang_pred": pred})
+            .groupby(["lang", "lang_pred"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g.astype({"n": np.int64})
+
+    return (
+        docs.map_batches(conf, batch_format="pandas")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
+_LANGID_CONFUSION_SQL = (
+    "WITH p AS (" + "\n".join(_langid_sql().splitlines()) + ")\n"
+    "SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n\n"
+    "FROM p JOIN documents d USING (doc_id)\n"
+    "GROUP BY d.lang, p.lang_pred"
+)
+
+
+def q_dup_group_size_hist(sf_dir: str):
+    """Near-dup cluster-size distribution: how many groups have 2, 3,
+    … members — the shape a dedup run reports to show duplication
+    structure.  Bounded by the near-dup graph."""
+    from ..text.dedup import connected_components
+
+    labs = connected_components(_minhash_pairs_cached(sf_dir)).to_pandas()
+    sizes = labs.groupby("group_id").size().to_numpy()
+    u, c = np.unique(sizes, return_counts=True)
+    return pd.DataFrame(
+        {
+            "group_size": u.astype(np.int64),
+            "n_groups": c.astype(np.int64),
+        }
+    )
+
+
+_DUP_SIZE_SQL = f"""
+WITH g AS (SELECT DISTINCT group_id, group_size
+           FROM ({_NEAR_DUP_GROUPS_SQL}))
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM g GROUP BY group_size
+"""
+
+
+GEO_QUERIES.update(
+    {
+        "langid_confusion": q_langid_confusion,
+        "dup_group_size_hist": q_dup_group_size_hist,
+    }
+)
+EXTRA_ORACLE_SQL["langid_confusion"] = _LANGID_CONFUSION_SQL
+EXTRA_ORACLE_SQL["dup_group_size_hist"] = _DUP_SIZE_SQL
