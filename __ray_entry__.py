@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "tile_occupancy_hist",
+    "revenue_autocorr_lag1",
+    "customer_order_span",
     "langid_confusion",
     "dup_group_size_hist",
     "part_price_dispersion",

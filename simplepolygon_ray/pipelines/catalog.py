@@ -3889,3 +3889,64 @@ GEO_QUERIES.update(
 )
 EXTRA_ORACLE_SQL["langid_confusion"] = _LANGID_CONFUSION_SQL
 EXTRA_ORACLE_SQL["dup_group_size_hist"] = _DUP_SIZE_SQL
+
+
+# ------------------------------------------------------ tile occupancy hist
+
+
+def q_tile_occupancy_hist(sf_dir: str):
+    """Tile occupancy distribution: how many tiles hold exactly k
+    clipped rings — the layout diagnostic that sizes tile-serving
+    shards.  Rides the proven tile-assignment pipeline; the two
+    count folds are bounded by the tile domain."""
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    simple = decompose_dataset(polygons)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "tileocc_verts")
+    tiles = tile_assign_dataset(simple, zoom=8)
+
+    def per_tile(t: pa.Table) -> pa.Table:
+        x = t["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = x * 1_000_000 + y
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"tkey": pa.array(u), "k": pa.array(c.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    per = (
+        tiles.map_batches(per_tile, batch_format="pyarrow")
+        .groupby("tkey")
+        .aggregate(_Sum("k", alias_name="k"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "rings_in_tile": pa.array(u),
+                "n_tiles": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        per.map_batches(hist, batch_format="pyarrow")
+        .groupby("rings_in_tile")
+        .aggregate(_Sum("n_tiles", alias_name="n_tiles"))
+    )
+
+
+_TILE_OCC_SQL = f"""
+WITH t AS ({_tile_sql(f"{_ORACLE_DIR}/tileocc_verts", level=8)}),
+per AS (SELECT tile_x, tile_y, COUNT(*) AS k FROM t GROUP BY tile_x, tile_y)
+SELECT CAST(k AS BIGINT) AS rings_in_tile,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM per GROUP BY k
+"""
+
+
+GEO_QUERIES.update({"tile_occupancy_hist": q_tile_occupancy_hist})
+EXTRA_ORACLE_SQL["tile_occupancy_hist"] = _TILE_OCC_SQL

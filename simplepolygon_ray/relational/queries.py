@@ -10725,3 +10725,133 @@ ORACLE_SQL.update(
         "session_journeys": _SQL_JOURNEYS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# lag-1 autocorrelation moment sums + customer order span.
+# --------------------------------------------------------------------------
+
+
+def q_revenue_autocorr_lag1(sf_dir: str):
+    """Time-series diagnostic: the exact integer moment sums of the
+    lag-1 hourly event-count series (n, Σx, Σy, Σxy, Σx², Σy² over
+    consecutive-hour pairs) — the autocorrelation coefficient derives
+    downstream without any engine float.  The hourly count table is a
+    bounded exchange; the lag pairing is one searchsorted self-merge."""
+    ev = _t(sf_dir, "events", columns=["ts"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = us // 3_600_000_000
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"hour": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ev.map_batches(hourly, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("hour")
+    )  # bounded: corpus hours
+    h = counts["hour"].to_numpy(np.int64)
+    x = counts["n"].to_numpy(np.int64)
+    pos = np.searchsorted(h, h + 1)
+    cpos = np.minimum(pos, len(h) - 1)
+    hit = h[cpos] == h + 1
+    a = x[hit]
+    b = x[cpos[hit]]
+    return pd.DataFrame(
+        {
+            "n_pairs": [len(a)],
+            "sum_x": [int(a.sum())],
+            "sum_y": [int(b.sum())],
+            "sum_xy": [int((a * b).sum())],
+            "sum_x2": [int((a * a).sum())],
+            "sum_y2": [int((b * b).sum())],
+        }
+    ).astype(np.int64)
+
+
+_SQL_AUTOCORR = """
+WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY hour),
+p AS (SELECT a.n AS x, b.n AS y FROM c a JOIN c b ON b.hour = a.hour + 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       CAST(SUM(y * y) AS BIGINT) AS sum_y2
+FROM p
+"""
+
+
+def q_customer_order_span(sf_dir: str):
+    """Customer lifetime span: first and last order day plus the span
+    in days per customer — min/max partials, one keyed exchange."""
+    od = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // 86_400_000_000
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(ck)
+        pos = np.searchsorted(u, ck)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        mx = np.full(len(u), np.iinfo(np.int64).min)
+        np.minimum.at(mn, pos, d)
+        np.maximum.at(mx, pos, d)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "first_day": pa.array(mn),
+                "last_day": pa.array(mx),
+            }
+        )
+
+    agg = (
+        od.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Min("first_day", alias_name="first_day"),
+            Max("last_day", alias_name="last_day"),
+        )
+    )
+
+    def span(t: pa.Table) -> pa.Table:
+        f = t["first_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["last_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "first_day": pa.array(f),
+                "last_day": pa.array(l),
+                "span_days": pa.array(l - f),
+            }
+        )
+
+    return agg.map_batches(span, batch_format="pyarrow")
+
+
+_SQL_ORDER_SPAN = """
+SELECT o_custkey,
+       CAST(MIN(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS first_day,
+       CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS last_day,
+       CAST(MAX(epoch_us(o_orderdate) // 86400000000)
+            - MIN(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS span_days
+FROM orders GROUP BY o_custkey
+"""
+
+
+QUERIES.update(
+    {
+        "revenue_autocorr_lag1": q_revenue_autocorr_lag1,
+        "customer_order_span": q_customer_order_span,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "revenue_autocorr_lag1": _SQL_AUTOCORR,
+        "customer_order_span": _SQL_ORDER_SPAN,
+    }
+)
