@@ -10855,3 +10855,163 @@ ORACLE_SQL.update(
         "customer_order_span": _SQL_ORDER_SPAN,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# source purity + embedding-norm quantiles — the 199th and 200th
+# catalog entries.
+# --------------------------------------------------------------------------
+
+
+def q_source_lang_purity(sf_dir: str):
+    """Corpus-mix diagnostic: per source, document count, distinct
+    language count, and the majority language's share numerator
+    (top_lang_n) — bounded (source × lang) exchange, argmax fold on
+    the grouped table."""
+    docs = _t(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |sources| x |langs|
+    src = grouped["source"].to_numpy().astype(str)
+    n = grouped["n"].to_numpy(np.int64)
+    u, inv = np.unique(src, return_inverse=True)
+    tot = np.zeros(len(u), np.int64)
+    np.add.at(tot, inv, n)
+    nl = np.bincount(inv, minlength=len(u)).astype(np.int64)
+    top = np.zeros(len(u), np.int64)
+    np.maximum.at(top, inv, n)
+    return pd.DataFrame(
+        {
+            "source": u.astype(object),
+            "n_docs": tot,
+            "n_langs": nl,
+            "top_lang_n": top,
+        }
+    )
+
+
+_SQL_SOURCE_PURITY = """
+WITH g AS (SELECT source, lang, COUNT(*) AS n FROM documents
+           GROUP BY source, lang)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(MAX(n) AS BIGINT) AS top_lang_n
+FROM g GROUP BY source
+"""
+
+_NORM_SHIFT = 38  # squared-norm bucket width for the histogram phase
+
+
+def q_embedding_norm_quantiles(sf_dir: str):
+    """Exact quartiles of the floor-e6 squared vector norms (p25, p50,
+    p75 by the smallest-value-with-2·rank≥k rule): the two-phase
+    value-bucket histogram on a DERIVED value — norms computed per
+    block (one row-wise square-sum over the zero-copy matrix), bucket
+    counts exchanged, only the target buckets pulled (cap-guarded)."""
+    emb = _t(sf_dir, "embeddings", columns=["embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        width = len(col[0]) if len(col) else 0
+        m = np.asarray(col.values, dtype=np.float64).reshape(-1, width)
+        q = np.floor(m * 1e6).astype(np.int64)
+        return pa.table({"norm2": pa.array((q * q).sum(axis=1))})
+
+    nds = emb.map_batches(norms, batch_format="pyarrow")
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["norm2"].to_numpy(zero_copy_only=False)
+        b = v >> _NORM_SHIFT
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"vb": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    h = (
+        nds.map_batches(hist, batch_format="pyarrow")
+        .groupby("vb")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("vb")
+    )
+    total = int(h["n"].sum())
+    cum = h["n"].to_numpy(np.int64).cumsum()
+    vbs = h["vb"].to_numpy(np.int64)
+    out = {}
+    cap = int(os.environ.get("GRAFT_QUANTILE_PULL_CAP", "2000000"))
+    for name, num, den in (("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4)):
+        k = int(np.flatnonzero(den * cum >= num * total)[0])
+        tb = int(vbs[k])
+        base = int(cum[k - 1]) if k > 0 else 0
+        picked = (
+            nds.map_batches(
+                lambda t, _tb=tb: t.filter(
+                    pa.array(
+                        (t["norm2"].to_numpy(zero_copy_only=False) >> _NORM_SHIFT)
+                        == _tb
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["norm2"]
+            .to_numpy(np.int64)
+        )
+        if len(picked) > cap:
+            raise ValueError("norm-quantile bucket exceeds pull cap; recurse")
+        picked.sort()
+        # rank within bucket: smallest value v with den*(base+rank(v)) >= num*total
+        ranks = base + np.arange(1, len(picked) + 1, dtype=np.int64)
+        j = int(np.flatnonzero(den * ranks >= num * total)[0])
+        out[name] = int(picked[j])
+    return pd.DataFrame(
+        {
+            "p25": [out["p25"]],
+            "p50": [out["p50"]],
+            "p75": [out["p75"]],
+            "n_vectors": [total],
+        }
+    ).astype(np.int64)
+
+
+_SQL_NORM_QUANTILES = """
+WITH n2 AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)
+                  * CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS norm2
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+  GROUP BY vec_id),
+r AS (SELECT norm2, row_number() OVER (ORDER BY norm2) AS rk FROM n2),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n2)
+SELECT
+  (SELECT MIN(norm2) FROM r, t WHERE 4 * rk >= 1 * t.n) AS p25,
+  (SELECT MIN(norm2) FROM r, t WHERE 4 * rk >= 2 * t.n) AS p50,
+  (SELECT MIN(norm2) FROM r, t WHERE 4 * rk >= 3 * t.n) AS p75,
+  (SELECT n FROM t) AS n_vectors
+"""
+
+
+QUERIES.update(
+    {
+        "source_lang_purity": q_source_lang_purity,
+        "embedding_norm_quantiles": q_embedding_norm_quantiles,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "source_lang_purity": _SQL_SOURCE_PURITY,
+        "embedding_norm_quantiles": _SQL_NORM_QUANTILES,
+    }
+)
