@@ -161,6 +161,28 @@ SELECT image_id, geom_id, ring_seq FROM t WHERE crossings % 2 = 1 AND on_edges =
 """
 
 
+
+_SIMPLE_CACHE: dict = {}
+
+
+def _simple_rings_cached(sf_dir: str):
+    """The decomposed simple-ring corpus (fixtures ∪ synthetic),
+    materialized ONCE per (process, sf_dir) — ~15 catalog queries
+    consume the identical corpus, so a driver sweep pays the
+    decompose exactly once and every derived oracle export reads
+    byte-identical blocks.  Decompose is deterministic, so results
+    are unchanged; only the recomputation is eliminated (same shape
+    as _COPURCHASE_CACHE / _minhash_pairs_cached)."""
+    if _SIMPLE_CACHE.get("key") == sf_dir:
+        return _SIMPLE_CACHE["ds"]
+    n_polys, _ = scale_counts(sf_dir)
+    polygons = fixture_polygons().union(polygons_source(n_polys))
+    ds = decompose_dataset(polygons).materialize()
+    _SIMPLE_CACHE["key"] = sf_dir
+    _SIMPLE_CACHE["ds"] = ds
+    return ds
+
+
 def q_geo_decompose(sf_dir: str):
     """Decompose projection with a structural SQL oracle: the persisted
     rows carry (parent, winding) and the oracle RE-DERIVES net_winding
@@ -172,9 +194,7 @@ def q_geo_decompose(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
 
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
 
     def project(t: pa.Table) -> pa.Table:
         col = t["ring"].combine_chunks()
@@ -198,9 +218,7 @@ def q_geo_decompose(sf_dir: str):
 
 
 def q_geo_cover(sf_dir: str):
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     # persist the ring edge table so the SQL oracle can replay the
     # covering (slab rasterization + center PIP) on identical inputs
     _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "cover_edges")
@@ -211,8 +229,7 @@ def q_geo_pip_join(sf_dir: str):
     import ray.data as rd
 
     n_polys, n_images = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     # persist the join inputs for the SQL oracle, then read them back
     # so both engines see byte-identical inputs (single compute)
     _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "pip_edges")
@@ -228,8 +245,7 @@ def q_geo_pip_join_shuffle(sf_dir: str):
 
     n_polys, n_images = scale_counts(sf_dir)
     n_images = min(n_images, 20_000)  # shuffle variant exercised at reduced scale
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(
         simple.map_batches(_edges_batch, batch_format="pyarrow"), "pip_edges_shuffle"
     )
@@ -269,9 +285,7 @@ def q_geo_tile_assign(sf_dir: str):
     open ring vertices persist and the SQL replays covering, boundary/
     interior split AND the 4-pass Sutherland–Hodgman clip op-for-op,
     comparing (geom, ring, tile, n_clip_vertices)."""
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "tile_verts")
     tiles = tile_assign_dataset(simple, zoom=8)
 
@@ -301,9 +315,7 @@ def q_tile_pyramid_counts(sf_dir: str):
     groupby sums — the exchange is bounded by tiles × blocks, never
     assignments. Oracle: the z8 assignment persists and SQL replays
     the shift rollup."""
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     tiles = tile_assign_dataset(simple, zoom=8)
 
     def proj(t: pa.Table) -> pa.Table:
@@ -516,9 +528,7 @@ def q_geo_bbox_join(sf_dir: str):
     oracle) and SQL rebuilds each ring's bbox with min/max GROUP BY,
     regenerates the boxes from the identical integer arithmetic, and
     replays the interval join."""
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "bbox_verts")
     bid, blon0, blat0, blon1, blat1 = _query_boxes()
 
@@ -2392,10 +2402,8 @@ def q_geo_image_brightness(sf_dir: str):
     from ..relational.queries import _partial_groupby
     from ..stages.pip_join import _cached_get
 
-    n_polys, _ = scale_counts(sf_dir)
     n_media = _persist_media_inputs(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "pipb_edges")
     pts_dir = _persist(gen_points(n_media), "pipb_points")
     joined = pip_join_broadcast(
@@ -2664,8 +2672,7 @@ def q_geo_ring_stats(sf_dir: str):
     """Per-ring area/bbox/vertex stats over the decompose output; the
     open-vertex table persists so the oracle replays the shoelace and
     bbox from the ordered vertices in SQL."""
-    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(
         simple.map_batches(_verts_batch, batch_format="pyarrow"), "ring_stats_verts"
     )
@@ -2775,8 +2782,7 @@ def q_geo_ring_decimate(sf_dir: str):
     rings). One pass, no shuffle: each ring decimates inside its own
     block. The vertex table persists so SQL re-derives every turn
     triangle and the keep decision per vertex."""
-    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(
         simple.map_batches(_verts_batch, batch_format="pyarrow"), "decim_verts"
     )
@@ -3007,8 +3013,7 @@ def q_geo_centroid_moments(sf_dir: str):
     """Exact centroid moment sums over the decompose output; the open
     vertex table persists so SQL replays the relative-corner moment
     arithmetic op-for-op."""
-    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(
         simple.map_batches(_verts_batch, batch_format="pyarrow"), "centroid_verts"
     )
@@ -3115,8 +3120,7 @@ def q_geo_ring_convexity(sf_dir: str):
     """Per-ring turn census + convexity flag over the decompose
     output; the open vertex table persists so SQL replays the
     cross-product census from the ordered vertices."""
-    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(
         simple.map_batches(_verts_batch, batch_format="pyarrow"), "convexity_verts"
     )
@@ -3215,8 +3219,7 @@ def q_cover_area_error(sf_dir: str):
     the cover is a superset of the ring, so cover_area2 >= abs_area2
     always (asserted by a test).  Edge and vertex tables persist so
     SQL replays BOTH the covering and the shoelace and joins them."""
-    polygons = fixture_polygons().union(polygons_source(scale_counts(sf_dir)[0]))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "cae_edges")
     _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "cae_verts")
     return simple.map_batches(_cover_area_batch, batch_format="pyarrow")
@@ -3414,9 +3417,7 @@ def q_bbox_overlap_area(sf_dir: str):
     broadcast-small shape as `geo_bbox_join`, but the pair predicate
     and measure run entirely in the integer domain (floor-e5 bounds;
     box coords are dyadic-exact, so both engines floor identically)."""
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "bboxa_verts")
     _bid, blon0, blat0, blon1, blat1 = _query_boxes()
     bx0 = np.floor(blon0 * 1e5).astype(np.int64)
@@ -3899,9 +3900,7 @@ def q_tile_occupancy_hist(sf_dir: str):
     clipped rings — the layout diagnostic that sizes tile-serving
     shards.  Rides the proven tile-assignment pipeline; the two
     count folds are bounded by the tile domain."""
-    n_polys, _ = scale_counts(sf_dir)
-    polygons = fixture_polygons().union(polygons_source(n_polys))
-    simple = decompose_dataset(polygons)
+    simple = _simple_rings_cached(sf_dir)
     _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "tileocc_verts")
     tiles = tile_assign_dataset(simple, zoom=8)
 
