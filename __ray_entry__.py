@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "pip_depth_hist",
+    "ann_ivf_recall",
     "source_lang_purity",
     "embedding_norm_quantiles",
     "tile_occupancy_hist",

@@ -3949,3 +3949,94 @@ FROM per GROUP BY k
 
 GEO_QUERIES.update({"tile_occupancy_hist": q_tile_occupancy_hist})
 EXTRA_ORACLE_SQL["tile_occupancy_hist"] = _TILE_OCC_SQL
+
+
+# ------------------------------------------------- containment depth + recall
+
+
+def q_pip_depth_hist(sf_dir: str):
+    """Containment-depth distribution: for every probe point matched
+    by the PIP join, how many rings contain it — then the histogram
+    depth → point count (depth ≥ 2 flags nested/overlapping
+    geometry).  Rides the broadcast PIP join; both folds are
+    bounded."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    n_polys, n_images = scale_counts(sf_dir)
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "pipd_edges")
+    pts_dir = _persist(gen_points(n_images), "pipd_points")
+    joined = pip_join_broadcast(
+        rd.read_parquet(pts_dir), simple, level=DEFAULT_LEVEL
+    ).select_columns(["image_id"])
+
+    def per_point(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_numpy(zero_copy_only=False)  # string ids
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"image_id": pa.array(u, type=pa.string()),
+             "depth": pa.array(c.astype(np.int64))}
+        )
+
+    per = (
+        joined.map_batches(per_point, batch_format="pyarrow")
+        .groupby("image_id")
+        .aggregate(_Sum("depth", alias_name="depth"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        d = t["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {"depth": pa.array(u), "n_points": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        per.map_batches(hist, batch_format="pyarrow")
+        .groupby("depth")
+        .aggregate(_Sum("n_points", alias_name="n_points"))
+    )
+
+
+_PIP_DEPTH_SQL = (
+    "WITH m AS ("
+    + _pip_sql(f"{_ORACLE_DIR}/pipd_points", f"{_ORACLE_DIR}/pipd_edges")
+    + "),\n"
+    "d AS (SELECT image_id, CAST(COUNT(*) AS BIGINT) AS depth\n"
+    "      FROM m GROUP BY image_id)\n"
+    "SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_points\n"
+    "FROM d GROUP BY depth"
+)
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    """ANN quality evaluation: recall@10 pieces of the IVF path
+    against the exact brute-force ranking — |top-10 ∩ top-10| as an
+    exact integer (the metric an ANN rollout gates on).  Composes the
+    two already-oracled ANN paths; the IVF run persists its
+    assignment so the SQL replays BOTH rankings and intersects."""
+    brute = q_ann_brute(sf_dir)
+    ivf = q_ann_ivf(sf_dir)  # persists ivf_assign for the oracle
+    b = brute.to_pandas() if hasattr(brute, "to_pandas") else brute
+    v = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+    common = np.intersect1d(
+        b["vec_id"].to_numpy(np.int64), v["vec_id"].to_numpy(np.int64)
+    )
+    return pd.DataFrame({"k": [10], "n_common": [len(common)]}).astype(np.int64)
+
+
+_ANN_RECALL_SQL = (
+    "SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_common\n"
+    "FROM (" + _ann_sql(10) + ") b JOIN (" + _ann_ivf_sql(10) + ") v USING (vec_id)"
+)
+
+
+GEO_QUERIES.update(
+    {
+        "pip_depth_hist": q_pip_depth_hist,
+        "ann_ivf_recall": q_ann_ivf_recall,
+    }
+)
+EXTRA_ORACLE_SQL["pip_depth_hist"] = _PIP_DEPTH_SQL
+EXTRA_ORACLE_SQL["ann_ivf_recall"] = _ANN_RECALL_SQL
