@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "radius_neighbor_hist",
+    "pagerank_copurchase",
+    "bigram_lift",
     "pip_depth_hist",
     "ann_ivf_recall",
     "source_lang_purity",

@@ -4040,3 +4040,118 @@ GEO_QUERIES.update(
 )
 EXTRA_ORACLE_SQL["pip_depth_hist"] = _PIP_DEPTH_SQL
 EXTRA_ORACLE_SQL["ann_ivf_recall"] = _ANN_RECALL_SQL
+
+
+# ------------------------------------------------ radius self-join (grid hash)
+
+
+def q_radius_neighbor_hist(sf_dir: str):
+    """Spatial self-join by grid hash: per-point neighbor count within
+    integer radius R = 4000 e4-fixed-point units (~0.4°), then the
+    histogram n_nb → n_points — the DBSCAN core/border/noise
+    primitive. Each point replicates to its 3×3 neighbor cells (cell
+    size 2^13 = 8192 ≥ R, so every true neighbor is provably in the
+    home cell's group); cells shuffle by hash bucket and pairs verify
+    with exact int64 squared distance — the exchange is 9× the point
+    table, never all-pairs. The SQL oracle recomputes the join
+    INDEPENDENTLY (range self-join on the persisted points), so this
+    cross-checks the grid indexer end to end."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..cells.grid import _rl_arange
+    from ..relational.queries import _bucket_groupby
+
+    R = 4000
+    SHIFT = 13
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(n_images), "radius_pts")
+    pts = rd.read_parquet(pts_dir)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        ix = np.floor(lon * 10000.0).astype(np.int64)
+        iy = np.floor(lat * 10000.0).astype(np.int64)
+        pid = (
+            pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cx, cy = ix >> SHIFT, iy >> SHIFT
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    pa.table(
+                        {
+                            "cellkey": pa.array((cx + dx) * 100_000 + (cy + dy)),
+                            "pid": pa.array(pid),
+                            "ix": pa.array(ix),
+                            "iy": pa.array(iy),
+                            "is_host": pa.array(
+                                np.full(len(ix), dx == 0 and dy == 0)
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    rep = pts.map_batches(replicate, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "n_nb": pd.Series([], dtype=np.int64),
+                    "n_points": pd.Series([], dtype=np.int64),
+                }
+            )
+        ck = g["cellkey"].to_numpy(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        ix_s = g["ix"].to_numpy(np.int64)[order]
+        iy_s = g["iy"].to_numpy(np.int64)[order]
+        pid_s = g["pid"].to_numpy(np.int64)[order]
+        hidx = np.flatnonzero(g["is_host"].to_numpy(bool)[order])
+        lo = np.searchsorted(ck_s, ck_s[hidx], side="left")
+        hi = np.searchsorted(ck_s, ck_s[hidx], side="right")
+        lens = hi - lo
+        cand = _rl_arange(lo, lens)  # segmented cross product, vectorized
+        hrep = np.repeat(np.arange(len(hidx), dtype=np.int64), lens)
+        dx = ix_s[hidx][hrep] - ix_s[cand]
+        dy = iy_s[hidx][hrep] - iy_s[cand]
+        ok = (dx * dx + dy * dy <= R * R) & (pid_s[hidx][hrep] != pid_s[cand])
+        nnb = np.bincount(hrep[ok], minlength=len(hidx)).astype(np.int64)
+        u, c = np.unique(nnb, return_counts=True)
+        return pd.DataFrame({"n_nb": u, "n_points": c.astype(np.int64)})
+
+    return (
+        _bucket_groupby(rep, "cellkey", per_bucket)
+        .groupby("n_nb")
+        .aggregate(_Sum("n_points", alias_name="n_points"))
+    )
+
+
+_RADIUS_NB_SQL = f"""
+WITH p AS (SELECT image_id,
+                  CAST(floor(lon * 10000) AS BIGINT) AS ix,
+                  CAST(floor(lat * 10000) AS BIGINT) AS iy
+           FROM read_parquet('{_ORACLE_DIR}/radius_pts/*.parquet')),
+nb AS (SELECT a.image_id,
+              CAST(COUNT(b.image_id) AS BIGINT) AS n_nb
+       FROM p a LEFT JOIN p b
+         ON b.ix BETWEEN a.ix - 4000 AND a.ix + 4000
+        AND b.iy BETWEEN a.iy - 4000 AND a.iy + 4000
+        AND b.image_id <> a.image_id
+        AND (a.ix - b.ix) * (a.ix - b.ix) + (a.iy - b.iy) * (a.iy - b.iy)
+            <= 16000000
+       GROUP BY a.image_id)
+SELECT n_nb, CAST(COUNT(*) AS BIGINT) AS n_points FROM nb GROUP BY n_nb
+"""
+
+
+GEO_QUERIES.update({"radius_neighbor_hist": q_radius_neighbor_hist})
+EXTRA_ORACLE_SQL["radius_neighbor_hist"] = _RADIUS_NB_SQL

@@ -11015,3 +11015,254 @@ ORACLE_SQL.update(
         "embedding_norm_quantiles": _SQL_NORM_QUANTILES,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Integer fixed-point PageRank, 3 iterations, on the co-purchase graph
+# (the iterative-graph-algorithm class: rank vector re-broadcast per
+# round, contribution sums shuffled as node-bounded partials). All
+# arithmetic is int64 fixed point (scale 1e12, damping 85/100 via
+# floor division on positive values, where DuckDB's `//` and numpy's
+# `//` agree), so three chained SQL CTEs replay the iteration exactly.
+# Scale shape: the EDGE list streams through map_batches each round
+# (never on the driver); only the node-bounded (part, rank) vector is
+# collected and re-broadcast — the classic small-state/big-edges split.
+# int64 headroom: 85 * Σ contrib ≤ 85 · |V| · 1e12, fine to ~10^5
+# nodes per hot receiver; beyond that drop _PR_SCALE one decade.
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000
+_PR_BASE = (15 * _PR_SCALE) // 100
+
+
+def q_pagerank_copurchase(sf_dir: str):
+    import ray
+
+    edges = _copurchase_pair_counts(sf_dir).select_columns(["part_a", "part_b"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    ed = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    deg_pd = (
+        ed.map_batches(
+            _partial_groupby(["u"], [("u", "count", "dg")]), batch_format="pyarrow"
+        )
+        .groupby("u")
+        .aggregate(Sum("dg", alias_name="dg"))
+        .to_pandas()  # node-bounded: one row per distinct part in the graph
+    )
+    nodes = np.sort(deg_pd["u"].to_numpy(np.int64))
+    dg = deg_pd.set_index("u").loc[nodes, "dg"].to_numpy(np.int64)
+    r = np.full(len(nodes), _PR_SCALE, dtype=np.int64)
+
+    for _ in range(3):
+        ref = ray.put((nodes, r // dg))
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            ns, ct = ray.get(_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            c = ct[np.searchsorted(ns, u)]
+            order = np.argsort(v, kind="stable")  # block-local combine by v
+            vs, cs = v[order], c[order]
+            starts = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+            s = np.add.reduceat(cs, starts)  # int64-exact segmented sum
+            return pa.table(
+                {"part": pa.array(vs[starts]), "s": pa.array(s.astype(np.int64))}
+            )
+
+        agg = (
+            ed.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()
+        )
+        s = (
+            agg.set_index("part")
+            .reindex(nodes)["s"]
+            .fillna(0)
+            .to_numpy(np.int64)
+        )
+        r = _PR_BASE + (85 * s) // 100
+
+    return pd.DataFrame({"part": nodes, "pagerank": r}).astype(np.int64)
+
+
+_PR_ITER = (
+    "SELECT e.v AS part, CAST(150000000000 + (85 * SUM(p.r // deg.dg)) // 100"
+    " AS BIGINT) AS r\n  FROM e JOIN {prev} p ON e.u = p.part"
+    " JOIN deg ON deg.u = e.u GROUP BY e.v"
+)
+
+_SQL_PAGERANK = (
+    """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY u),
+r0 AS (SELECT u AS part, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+r1 AS ("""
+    + _PR_ITER.format(prev="r0")
+    + "),\nr2 AS ("
+    + _PR_ITER.format(prev="r1")
+    + "),\nr3 AS ("
+    + _PR_ITER.format(prev="r2")
+    + ")\nSELECT part, r AS pagerank FROM r3"
+)
+
+
+# --------------------------------------------------------------------------
+# Bigram lift (collocation scoring): top-20 adjacent word pairs by the
+# integer lift score floor(n_xy · N · 1e6 / (n_x · n_y)) with a min
+# pair count of 3 — the PMI-style association measure, made engine-
+# exact by ranking on the floored fixed-point rational instead of a
+# log. One tokenize pass emits tagged unigram/bigram partials; the
+# vocab-bounded unigram table broadcasts (TF-IDF precedent) and each
+# bigram block scores itself, so the driver merges 20 × blocks rows.
+# --------------------------------------------------------------------------
+
+
+def q_bigram_lift(sf_dir: str):
+    import ray
+
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        flat = toks.values
+        doc = np.repeat(
+            np.arange(len(toks), dtype=np.int64),
+            np.diff(np.asarray(toks.offsets).astype(np.int64)),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+        uni = pa.table({"w1": flat}).group_by(["w1"]).aggregate([([], "count_all")])
+        parts = [
+            pa.table(
+                {
+                    "kind": pa.array(np.zeros(len(uni), dtype=np.int32)),
+                    "w1": uni["w1"],
+                    "w2": pa.array([""] * len(uni), pa.string()),
+                    "n": uni["count_all"],
+                }
+            )
+        ]
+        if len(doc) >= 2:
+            left = np.flatnonzero(doc[1:] == doc[:-1])
+            bt = pa.table(
+                {"w1": flat.take(pa.array(left)), "w2": flat.take(pa.array(left + 1))}
+            )
+            big = bt.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(len(big), dtype=np.int32)),
+                        "w1": big["w1"],
+                        "w2": big["w2"],
+                        "n": big["count_all"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    counts = (
+        docs.map_batches(grams, batch_format="pyarrow")
+        .groupby(["kind", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    uni_pd = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["w1", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # vocab-bounded
+    total = int(uni_pd["n"].sum())
+    vocab = pd.Index(uni_pd["w1"])
+    cnts = uni_pd["n"].to_numpy(np.int64)
+    import ray
+
+    ref = ray.put((vocab, cnts, total))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 1))
+        voc, cn, tot = ray.get(ref)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= 3
+        t, n = t.filter(pa.array(keep)), n[keep]
+        w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
+        nx = cn[voc.get_indexer(w1)]
+        ny = cn[voc.get_indexer(w2)]
+        lift = (n * tot * 1_000_000) // (nx * ny)
+        out = pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "n": pa.array(n),
+                "lift": pa.array(lift),
+            }
+        )
+        if len(out) <= 20:
+            return out
+        sel = np.lexsort((w2, w1, -lift))[:20]  # block-local safe prefilter
+        return out.take(pa.array(sel))
+
+    agg = counts.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        agg.sort_values(
+            ["lift", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+        .astype({"n": np.int64, "lift": np.int64})
+    )
+
+
+_SQL_BIGRAM_LIFT = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+flat AS (SELECT unnest(t) AS w FROM toks),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM flat GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM flat),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY w1, w2)
+SELECT b.w1, b.w2, b.n,
+       CAST((b.n * tot.nn * 1000000) // (u1.n * u2.n) AS BIGINT) AS lift
+FROM big b
+CROSS JOIN tot
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+WHERE b.n >= 3
+ORDER BY lift DESC, b.w1, b.w2
+LIMIT 20
+"""
+
+
+QUERIES.update(
+    {
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "bigram_lift": q_bigram_lift,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "pagerank_copurchase": _SQL_PAGERANK,
+        "bigram_lift": _SQL_BIGRAM_LIFT,
+    }
+)
