@@ -39,6 +39,11 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "cover_overlap_pairs",
+    "shingle_novelty",
+    "cover_filter_precision",
+    "winsorized_value_sum",
+    "assoc_rules_topk",
     "radius_neighbor_hist",
     "pagerank_copurchase",
     "bigram_lift",

@@ -4155,3 +4155,278 @@ SELECT n_nb, CAST(COUNT(*) AS BIGINT) AS n_points FROM nb GROUP BY n_nb
 
 GEO_QUERIES.update({"radius_neighbor_hist": q_radius_neighbor_hist})
 EXTRA_ORACLE_SQL["radius_neighbor_hist"] = _RADIUS_NB_SQL
+
+
+# ---------------------------------------------- cell-prefilter precision audit
+
+
+def q_cover_filter_precision(sf_dir: str):
+    """Index-quality audit for the cell prefilter: per ring, how many
+    probe points land in the ring's covered cells (candidates) versus
+    how many pass the exact PIP refine (hits) — the false-positive
+    rate a coarser cover level would trade against re-shuffle volume.
+    The cover, the point→cell indexer and the PIP kernel are each
+    independently oracled elsewhere (geo_cover, image_cell_density,
+    geo_pip_join); this composes all three and cross-checks the counts
+    end to end. Scale shape: the cover table is the same bounded
+    artifact pip_join's compiled broadcast index ships; points stream
+    once for candidates (searchsorted into the sorted cover cells +
+    ring-bounded bincount partials) and once through the PIP join."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..cells.grid import _rl_arange, point_to_cell
+
+    _, n_images = scale_counts(sf_dir)
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_edges_batch, batch_format="pyarrow"), "prec_edges")
+    pts_dir = _persist(gen_points(n_images), "prec_points")
+    cover_dir = _persist(
+        cover_rings_dataset(simple, level=DEFAULT_LEVEL), "prec_cover"
+    )
+
+    cov_pd = rd.read_parquet(cover_dir).to_pandas()
+    rkey = cov_pd["geom_id"].astype(str) + "\x00" + cov_pd["ring_seq"].astype(str)
+    codes, _uniq = pd.factorize(rkey, sort=True)
+    rings = (
+        cov_pd.assign(_c=codes)[["_c", "geom_id", "ring_seq"]]
+        .drop_duplicates("_c")
+        .sort_values("_c")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(cov_pd["cell_id"].to_numpy(np.int64), kind="stable")
+    cells_s = cov_pd["cell_id"].to_numpy(np.int64)[order]
+    codes_s = codes[order]
+    n_rings = len(rings)
+    ref = ray.put((cells_s, codes_s, n_rings))
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        cs, rc, nr = ray.get(ref)
+        # point_to_cell returns uint64; cast before searchsorted against
+        # the int64 cover cells (mixed dtypes silently promote to
+        # float64 and 2^61-scale ids collide)
+        cell = point_to_cell(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            DEFAULT_LEVEL,
+        ).astype(np.int64)
+        lo = np.searchsorted(cs, cell, side="left")
+        hi = np.searchsorted(cs, cell, side="right")
+        lens = hi - lo
+        nzm = lens > 0  # _rl_arange requires positive run lengths
+        touch = _rl_arange(lo[nzm], lens[nzm])
+        cnt = np.bincount(rc[touch], minlength=nr).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"_c": pa.array(nz), "n_cand": pa.array(cnt[nz])})
+
+    cand = (
+        rd.read_parquet(pts_dir)
+        .map_batches(cand_partial, batch_format="pyarrow")
+        .groupby("_c")
+        .aggregate(_Sum("n_cand", alias_name="n_cand"))
+        .to_pandas()  # ring-bounded
+    )
+
+    hits = (
+        pip_join_broadcast(rd.read_parquet(pts_dir), simple, level=DEFAULT_LEVEL)
+        .select_columns(["geom_id", "ring_seq"])
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "geom_id": g["geom_id"],
+                        "ring_seq": g["ring_seq"],
+                        "n_hit": g["count_all"],
+                    }
+                )
+            )(t.group_by(["geom_id", "ring_seq"]).aggregate([([], "count_all")])),
+            batch_format="pyarrow",
+        )
+        .groupby(["geom_id", "ring_seq"])
+        .aggregate(_Sum("n_hit", alias_name="n_hit"))
+        .to_pandas()  # ring-bounded
+    )
+
+    out = rings.merge(cand, on="_c", how="left").merge(
+        hits, on=["geom_id", "ring_seq"], how="left"
+    )
+    out["n_cand"] = out["n_cand"].fillna(0).astype(np.int64)
+    out["n_hit"] = out["n_hit"].fillna(0).astype(np.int64)
+    out["ring_seq"] = out["ring_seq"].astype(np.int64)
+    return out[["geom_id", "ring_seq", "n_cand", "n_hit"]].reset_index(drop=True)
+
+
+_PREC_SQL = (
+    f"""
+WITH pts AS (SELECT image_id, lon, lat
+             FROM read_parquet('{_ORACLE_DIR}/prec_points/*.parquet')),
+pcell AS (SELECT image_id,
+           (CAST({DEFAULT_LEVEL} AS BIGINT) << 58)
+           | (CAST(least(greatest(trunc((lon + 180.0) / 360.0 * {1 << DEFAULT_LEVEL}), 0), {(1 << DEFAULT_LEVEL) - 1}) AS BIGINT) << 29)
+           | CAST(least(greatest(trunc((lat + 90.0) / 180.0 * {1 << DEFAULT_LEVEL}), 0), {(1 << DEFAULT_LEVEL) - 1}) AS BIGINT) AS cell_id
+          FROM pts),
+cov AS (SELECT geom_id, ring_seq, cell_id
+        FROM read_parquet('{_ORACLE_DIR}/prec_cover/*.parquet')),
+cand AS (SELECT c.geom_id, c.ring_seq,
+                CAST(COUNT(p.image_id) AS BIGINT) AS n_cand
+         FROM cov c LEFT JOIN pcell p ON p.cell_id = c.cell_id
+         GROUP BY c.geom_id, c.ring_seq),
+m AS ("""
+    + _pip_sql(f"{_ORACLE_DIR}/prec_points", f"{_ORACLE_DIR}/prec_edges")
+    + """),
+hit AS (SELECT geom_id, ring_seq, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM m GROUP BY geom_id, ring_seq)
+SELECT c.geom_id, CAST(c.ring_seq AS BIGINT) AS ring_seq, c.n_cand,
+       COALESCE(h.n_hit, 0) AS n_hit
+FROM cand c LEFT JOIN hit h
+  ON h.geom_id = c.geom_id AND h.ring_seq = c.ring_seq
+"""
+)
+
+
+GEO_QUERIES.update({"cover_filter_precision": q_cover_filter_precision})
+EXTRA_ORACLE_SQL["cover_filter_precision"] = _PREC_SQL
+
+
+# ------------------------------------------------- ring-overlap IoU (cell set)
+
+
+def q_cover_overlap_pairs(sf_dir: str):
+    """Polygon-pair overlap candidates through the cell index: every
+    ring pair sharing ≥1 level-8 cover cell, with the shared-cell
+    count and the integer cover-IoU floor(shared·1e6 / (|A|+|B|−
+    shared)) — the spatial similarity self-join (dedup / conflation
+    candidate generation). Scale shape: cells shuffle once by hash
+    bucket and pairs are emitted per cell segment (the minhash band
+    pattern — never all ring pairs); per-ring cover sizes are a
+    ring-bounded broadcast. Pair order (a < b) is the (geom_id,
+    ring_seq) tuple order on both engines."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..relational.queries import _bucket_groupby
+    from ..text.dedup import _pairs_in_runs
+
+    simple = _simple_rings_cached(sf_dir)
+    cover_dir = _persist(
+        cover_rings_dataset(simple, level=DEFAULT_LEVEL), "ovl_cover"
+    )
+    cov = rd.read_parquet(cover_dir)
+
+    # ring-bounded artifacts: code table in tuple order + cover sizes
+    sz = (
+        cov.map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "geom_id": g["geom_id"],
+                        "ring_seq": g["ring_seq"],
+                        "n": g["count_all"],
+                    }
+                )
+            )(t.group_by(["geom_id", "ring_seq"]).aggregate([([], "count_all")])),
+            batch_format="pyarrow",
+        )
+        .groupby(["geom_id", "ring_seq"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["geom_id", "ring_seq"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    key = pd.Index(sz["geom_id"] + "\x00" + sz["ring_seq"].astype(str))
+    sizes = sz["n"].to_numpy(np.int64)
+    ref = ray.put(key)
+
+    def code_batch(t: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        rk = (
+            pd.Series(t["geom_id"].to_pylist())
+            + "\x00"
+            + pd.Series(t["ring_seq"].to_pylist()).astype(str)
+        )
+        return pa.table(
+            {
+                "cell_id": t["cell_id"],
+                "code": pa.array(k.get_indexer(rk).astype(np.int64)),
+            }
+        )
+
+    coded = cov.map_batches(code_batch, batch_format="pyarrow")
+
+    def pairs_in_cells(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "shared": pd.Series([], dtype=np.int64),
+                }
+            )
+        c = g["cell_id"].to_numpy(np.int64)
+        r = g["code"].to_numpy(np.int64)
+        order = np.lexsort((r, c))
+        c, r = c[order], r[order]
+        new = np.r_[True, c[1:] != c[:-1]]
+        a, b = _pairs_in_runs(new, r)  # run is code-ascending → a < b
+        t = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("shared")
+            .reset_index()
+        )
+        return t.astype(np.int64)
+
+    agg = (
+        _bucket_groupby(coded, "cell_id", pairs_in_cells)
+        .groupby(["a", "b"])
+        .aggregate(_Sum("shared", alias_name="shared"))
+        .to_pandas()  # bounded by overlapping ring pairs
+    )
+    a = agg["a"].to_numpy(np.int64)
+    b = agg["b"].to_numpy(np.int64)
+    shared = agg["shared"].to_numpy(np.int64)
+    iou = (shared * 1_000_000) // (sizes[a] + sizes[b] - shared)
+    ga, ra = sz["geom_id"].to_numpy(object), sz["ring_seq"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "geom_a": ga[a],
+            "ring_a": ra[a],
+            "geom_b": ga[b],
+            "ring_b": ra[b],
+            "n_shared": shared,
+            "iou_e6": iou,
+        }
+    )
+    return out.astype(
+        {"ring_a": np.int64, "ring_b": np.int64, "n_shared": np.int64, "iou_e6": np.int64}
+    ).reset_index(drop=True)
+
+
+_OVL_SQL = f"""
+WITH cov AS (SELECT geom_id, ring_seq, cell_id
+             FROM read_parquet('{_ORACLE_DIR}/ovl_cover/*.parquet')),
+sz AS (SELECT geom_id, ring_seq, CAST(COUNT(*) AS BIGINT) AS n
+       FROM cov GROUP BY geom_id, ring_seq),
+p AS (SELECT a.geom_id AS ga, a.ring_seq AS ra,
+             b.geom_id AS gb, b.ring_seq AS rb,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM cov a JOIN cov b
+        ON a.cell_id = b.cell_id
+       AND (a.geom_id < b.geom_id
+            OR (a.geom_id = b.geom_id AND a.ring_seq < b.ring_seq))
+      GROUP BY 1, 2, 3, 4)
+SELECT p.ga AS geom_a, CAST(p.ra AS BIGINT) AS ring_a,
+       p.gb AS geom_b, CAST(p.rb AS BIGINT) AS ring_b,
+       p.shared AS n_shared,
+       CAST(p.shared * 1000000 // (sa.n + sb.n - p.shared) AS BIGINT) AS iou_e6
+FROM p
+JOIN sz sa ON sa.geom_id = p.ga AND sa.ring_seq = p.ra
+JOIN sz sb ON sb.geom_id = p.gb AND sb.ring_seq = p.rb
+"""
+
+
+GEO_QUERIES.update({"cover_overlap_pairs": q_cover_overlap_pairs})
+EXTRA_ORACLE_SQL["cover_overlap_pairs"] = _OVL_SQL

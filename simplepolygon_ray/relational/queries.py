@@ -11266,3 +11266,295 @@ ORACLE_SQL.update(
         "bigram_lift": _SQL_BIGRAM_LIFT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Winsorized aggregate: o_totalprice cents clipped at the exact p05 /
+# p95 rank values (rank ceil(q·n/100), the catalog's standing crossing
+# rule) then integer-summed — the outlier-robust mean's numerator,
+# composed from the bounded-pull quantile resolver plus one clip+sum
+# pass. Both passes stream; the driver holds two scalars.
+# --------------------------------------------------------------------------
+
+
+def q_winsorized_value_sum(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"v": pa.array(v)})
+
+    cents = od.map_batches(to_cents, batch_format="pyarrow").materialize()
+    resolved = _resolve_exact_quantiles(
+        cents, [5, 95], group_col=None, shift0=_QBUCKET_SHIFT
+    )
+    vals = {q: v for _g, q, v in resolved}
+    lo, hi = int(vals[5]), int(vals[95])
+
+    def clip_sum(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = np.clip(v, lo, hi)
+        return pa.table(
+            {
+                "s": pa.array([int(w.sum())], pa.int64()),
+                "n": pa.array([len(w)], pa.int64()),
+            }
+        )
+
+    agg = cents.map_batches(clip_sum, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "p05_e2": [lo],
+            "p95_e2": [hi],
+            "winsorized_sum_e2": [int(agg["s"].sum())],
+            "n": [int(agg["n"].sum())],
+        }
+    ).astype(np.int64)
+
+
+_SQL_WINSORIZED = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v FROM orders),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM c),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+lo AS (SELECT r.v AS v FROM ranked r, n WHERE r.rn = (5 * n.cnt + 99) // 100),
+hi AS (SELECT r.v AS v FROM ranked r, n WHERE r.rn = (95 * n.cnt + 99) // 100)
+SELECT lo.v AS p05_e2, hi.v AS p95_e2,
+       CAST(SUM(LEAST(GREATEST(c.v, lo.v), hi.v)) AS BIGINT) AS winsorized_sum_e2,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c CROSS JOIN lo CROSS JOIN hi
+GROUP BY lo.v, hi.v
+"""
+
+
+# --------------------------------------------------------------------------
+# Association rules (market-basket): for co-purchased part pairs with
+# support n_ab ≥ 2, confidence(a→b) = floor(n_ab·1e6 / n_a) and
+# lift = floor(n_ab·N·1e6 / (n_a·n_b)) — exact integers, so the PMI /
+# rules ranking is engine-identical. Pair counts ride the cached
+# co-purchase graph; the part-bounded order-count table broadcasts and
+# each pair block scores + top-20-prefilters itself (pair keys are
+# complete after the groupby), so the driver merges ≤ 20 × blocks rows.
+# --------------------------------------------------------------------------
+
+
+def q_assoc_rules_topk(sf_dir: str):
+    import ray
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    dist = (
+        li.map_batches(
+            lambda t: t.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    cnt_pd = (
+        dist.map_batches(
+            _partial_groupby(["l_partkey"], [("", "count", "n")]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # part-bounded
+    )
+    n_orders = (
+        dist.map_batches(
+            lambda t: pa.table({"o": pc.unique(t["l_orderkey"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("o")
+        .aggregate(Count(alias_name="_n"))
+        .count()
+    )
+    idx = pd.Index(cnt_pd["l_partkey"].to_numpy(np.int64))
+    ns = cnt_pd["n"].to_numpy(np.int64)
+    ref = ray.put((idx, ns, int(n_orders)))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, counts, nn = ray.get(ref)
+        n = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= 2
+        t, n = t.filter(pa.array(keep)), n[keep]
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = counts[vocab.get_indexer(a)]
+        nb = counts[vocab.get_indexer(b)]
+        conf = (n * 1_000_000) // na
+        lift = (n * nn * 1_000_000) // (na * nb)
+        out = pa.table(
+            {
+                "part_a": pa.array(a),
+                "part_b": pa.array(b),
+                "n_ab": pa.array(n),
+                "conf_e6": pa.array(conf),
+                "lift_e6": pa.array(lift),
+            }
+        )
+        if len(out) <= 20:
+            return out
+        sel = np.lexsort((b, a, -lift))[:20]
+        return out.take(pa.array(sel))
+
+    agg = pairs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        agg.sort_values(
+            ["lift_e6", "part_a", "part_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(20)
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+
+
+_SQL_ASSOC = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nn FROM d),
+pcnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY l_partkey),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT p.part_a, p.part_b, p.n_ab,
+       CAST(p.n_ab * 1000000 // ca.n AS BIGINT) AS conf_e6,
+       CAST(p.n_ab * nord.nn * 1000000 // (ca.n * cb.n) AS BIGINT) AS lift_e6
+FROM p CROSS JOIN nord
+JOIN pcnt ca ON ca.l_partkey = p.part_a
+JOIN pcnt cb ON cb.l_partkey = p.part_b
+WHERE p.n_ab >= 2
+ORDER BY lift_e6 DESC, p.part_a, p.part_b
+LIMIT 20
+"""
+
+
+QUERIES.update(
+    {
+        "winsorized_value_sum": q_winsorized_value_sum,
+        "assoc_rules_topk": q_assoc_rules_topk,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "winsorized_value_sum": _SQL_WINSORIZED,
+        "assoc_rules_topk": _SQL_ASSOC,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Shingle novelty (streaming-curation signal): per document, its
+# distinct word-trigram shingles and how many are NOVEL — first seen
+# at this doc_id (no lower doc_id contains the shingle). The dedup /
+# contamination family's per-doc novelty score. One shuffle: shingles
+# hash-bucket by value, so each shingle's global min-doc resolves
+# inside its bucket (all copies co-located) and per-doc partial counts
+# flow back through a doc_id groupby — the exchange is the distinct
+# (shingle, doc) table, never doc × doc.
+# --------------------------------------------------------------------------
+
+
+def q_shingle_novelty(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        flat = toks.values
+        doc_idx = np.repeat(
+            np.arange(len(toks), dtype=np.int64),
+            np.diff(np.asarray(toks.offsets).astype(np.int64)),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(doc_idx) < 3:
+            return pa.table(
+                {"s": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+            )
+        tri = np.flatnonzero(
+            (doc_idx[2:] == doc_idx[:-2]) & (doc_idx[1:-1] == doc_idx[:-2])
+        )
+        s = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                flat.take(pa.array(tri)), flat.take(pa.array(tri + 1)), " "
+            ),
+            flat.take(pa.array(tri + 2)),
+            " ",
+        )
+        t = pa.table({"s": s, "doc_id": pa.array(ids[doc_idx[tri]])})
+        t = t.group_by(["s", "doc_id"]).aggregate([])  # block-local distinct
+        # int64 bucket key (equal shingles co-locate; collisions only
+        # merge buckets, grouping inside stays by exact string)
+        sb = pd.util.hash_array(
+            np.asarray(t["s"].to_pylist(), dtype=object)
+        ).view(np.int64)
+        return t.append_column("sb", pa.array(sb))
+
+    pairs = docs.map_batches(shingles, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_shingles": pd.Series([], dtype=np.int64),
+                    "n_novel": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(["s", "doc_id"], kind="mergesort").drop_duplicates(
+            ["s", "doc_id"]
+        )
+        s = g["s"].to_numpy(object)
+        d = g["doc_id"].to_numpy(np.int64)
+        new = np.r_[True, s[1:] != s[:-1]]
+        seg = np.cumsum(new) - 1
+        mins = d[np.flatnonzero(new)]  # doc-ascending per segment
+        novel = (d == mins[seg]).astype(np.int64)
+        out = (
+            pd.DataFrame({"doc_id": d, "n_shingles": 1, "n_novel": novel})
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return out.astype(np.int64)
+
+    return (
+        _bucket_groupby(pairs, "sb", per_bucket)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_shingles", alias_name="n_shingles"),
+            Sum("n_novel", alias_name="n_novel"),
+        )
+    )
+
+
+_SQL_SHINGLE_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+mn AS (SELECT s, MIN(doc_id) AS mdoc FROM sh GROUP BY s)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN mn.mdoc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM sh JOIN mn ON mn.s = sh.s
+GROUP BY sh.doc_id
+"""
+
+
+QUERIES.update({"shingle_novelty": q_shingle_novelty})
+ORACLE_SQL.update({"shingle_novelty": _SQL_SHINGLE_NOVELTY})
