@@ -39,6 +39,10 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "dbscan_cluster_stats",
+    "nn_dist_quantiles",
+    "topk_with_other_rollup",
+    "order_amount_reconciliation",
     "cover_overlap_pairs",
     "shingle_novelty",
     "cover_filter_precision",

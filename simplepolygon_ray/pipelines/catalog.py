@@ -4430,3 +4430,418 @@ JOIN sz sb ON sb.geom_id = p.gb AND sb.ring_seq = p.rb
 
 GEO_QUERIES.update({"cover_overlap_pairs": q_cover_overlap_pairs})
 EXTRA_ORACLE_SQL["cover_overlap_pairs"] = _OVL_SQL
+
+
+# ----------------------------------------- exact 1-NN distance distribution
+
+
+def q_nn_dist_quantiles(sf_dir: str):
+    """Exact nearest-neighbor distance distribution (the statistic a
+    DBSCAN eps or an ANN radius is tuned from): per point the TRUE
+    1-NN squared integer distance, then exact quartiles via the
+    bounded-pull histogram resolver. Two-phase exact-NN: phase 1
+    resolves each point against its 3×3 coarse-cell neighborhood
+    (cell 2^15 e4-units) — a best candidate within one cell width is
+    PROVABLY the global NN (any closer point must lie in the 3×3);
+    the rare stragglers escalate to phase 2, a full scan with the
+    straggler set broadcast and per-block min partials. The SQL
+    oracle recomputes NN from the persisted points by brute force."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+
+    from ..cells.grid import _rl_arange
+    from ..relational.queries import _bucket_groupby, _resolve_exact_quantiles
+
+    import os
+
+    # GRAFT_NN_SHIFT shrinks the phase-1 cell so tests can force the
+    # straggler escalation path (same convention as the broadcast →
+    # shuffle crossover caps)
+    SHIFT = int(os.environ.get("GRAFT_NN_SHIFT", "15"))
+    CELL = 1 << SHIFT
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(n_images), "nn_pts")
+    pts = rd.read_parquet(pts_dir)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        ix = np.floor(lon * 10000.0).astype(np.int64)
+        iy = np.floor(lat * 10000.0).astype(np.int64)
+        pid = (
+            pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cx, cy = ix >> SHIFT, iy >> SHIFT
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    pa.table(
+                        {
+                            "cellkey": pa.array((cx + dx) * 100_000 + (cy + dy)),
+                            "pid": pa.array(pid),
+                            "ix": pa.array(ix),
+                            "iy": pa.array(iy),
+                            "is_host": pa.array(
+                                np.full(len(ix), dx == 0 and dy == 0)
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    def local_nn(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "pid": np.int64,
+            "ix": np.int64,
+            "iy": np.int64,
+            "v": np.int64,
+            "resolved": np.int64,
+        }
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ck = g["cellkey"].to_numpy(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        ix_s = g["ix"].to_numpy(np.int64)[order]
+        iy_s = g["iy"].to_numpy(np.int64)[order]
+        pid_s = g["pid"].to_numpy(np.int64)[order]
+        hidx = np.flatnonzero(g["is_host"].to_numpy(bool)[order])
+        lo = np.searchsorted(ck_s, ck_s[hidx], side="left")
+        hi = np.searchsorted(ck_s, ck_s[hidx], side="right")
+        lens = hi - lo
+        cand = _rl_arange(lo, lens)  # every host sees ≥1 row (itself)
+        hrep = np.repeat(np.arange(len(hidx), dtype=np.int64), lens)
+        dx = ix_s[hidx][hrep] - ix_s[cand]
+        dy = iy_s[hidx][hrep] - iy_s[cand]
+        d2 = dx * dx + dy * dy
+        d2[pid_s[hidx][hrep] == pid_s[cand]] = np.iinfo(np.int64).max  # self
+        best = np.full(len(hidx), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, hrep, d2)
+        resolved = (best <= np.int64(CELL) * np.int64(CELL)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "pid": pid_s[hidx],
+                "ix": ix_s[hidx],
+                "iy": iy_s[hidx],
+                "v": best,
+                "resolved": resolved,
+            }
+        )
+
+    phase1 = _bucket_groupby(
+        pts.map_batches(replicate, batch_format="pyarrow"), "cellkey", local_nn
+    ).materialize()
+
+    res_vals = phase1.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t["resolved"], 1)
+        ).select(["v"]),
+        batch_format="pyarrow",
+    )
+
+    stragglers = phase1.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["resolved"], 0)).select(
+            ["pid", "ix", "iy"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # straggler-bounded (empty at normal densities)
+
+    if len(stragglers):
+        sref = ray.put(
+            (
+                stragglers["pid"].to_numpy(np.int64),
+                stragglers["ix"].to_numpy(np.int64),
+                stragglers["iy"].to_numpy(np.int64),
+            )
+        )
+
+        def scan_min(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            spid, six, siy = ray.get(sref)
+            lon = t["lon"].to_numpy(zero_copy_only=False)
+            lat = t["lat"].to_numpy(zero_copy_only=False)
+            ix = np.floor(lon * 10000.0).astype(np.int64)
+            iy = np.floor(lat * 10000.0).astype(np.int64)
+            pid = (
+                pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            d2 = (six[:, None] - ix[None, :]) ** 2 + (siy[:, None] - iy[None, :]) ** 2
+            d2[spid[:, None] == pid[None, :]] = np.iinfo(np.int64).max
+            return pa.table(
+                {"pid": pa.array(spid), "v": pa.array(d2.min(axis=1))}
+            )
+
+        phase2 = (
+            pts.map_batches(scan_min, batch_format="pyarrow")
+            .groupby("pid")
+            .aggregate(_Min("v", alias_name="v"))
+            .select_columns(["v"])
+        )
+        vals = res_vals.union(phase2)
+    else:
+        vals = res_vals
+
+    resolved_q = _resolve_exact_quantiles(vals, [25, 50, 75], group_col=None)
+    qv = {q: v for _g, q, v in resolved_q}
+    n_total = vals.count()
+    return pd.DataFrame(
+        {
+            "p25": [qv[25]],
+            "p50": [qv[50]],
+            "p75": [qv[75]],
+            "n_points": [n_total],
+        }
+    ).astype(np.int64)
+
+
+_NN_QUANT_SQL = f"""
+WITH p AS (SELECT image_id,
+                  CAST(floor(lon * 10000) AS BIGINT) AS ix,
+                  CAST(floor(lat * 10000) AS BIGINT) AS iy
+           FROM read_parquet('{_ORACLE_DIR}/nn_pts/*.parquet')),
+nn AS (SELECT a.image_id,
+              MIN((a.ix - b.ix) * (a.ix - b.ix)
+                  + (a.iy - b.iy) * (a.iy - b.iy)) AS v
+       FROM p a JOIN p b ON b.image_id <> a.image_id
+       GROUP BY a.image_id),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM nn),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn)
+SELECT
+  (SELECT MIN(v) FROM r, t WHERE 4 * rk >= 1 * t.n) AS p25,
+  (SELECT MIN(v) FROM r, t WHERE 4 * rk >= 2 * t.n) AS p50,
+  (SELECT MIN(v) FROM r, t WHERE 4 * rk >= 3 * t.n) AS p75,
+  (SELECT n FROM t) AS n_points
+"""
+
+
+GEO_QUERIES.update({"nn_dist_quantiles": q_nn_dist_quantiles})
+EXTRA_ORACLE_SQL["nn_dist_quantiles"] = _NN_QUANT_SQL
+
+
+# ---------------------------------------------------------- DBSCAN (grid eps)
+
+
+def q_dbscan_cluster_stats(sf_dir: str):
+    """Full DBSCAN over the probe points (eps = 8000 e4-units ≈ 0.8°,
+    minPts = 3), deterministic end to end: neighbor pairs come from
+    the 3×3 grid-hash self-join, core points by out-degree, clusters
+    as hash-to-min connected components over core-core edges (label =
+    min point id — the same label rule as the dedup-group CC), border
+    points to the MINIMUM cluster label among their core neighbors,
+    and one pseudo-row (cluster −1, n_core 0) reporting the noise
+    count in n_border. Scale shape: the pair list streams through one
+    cell-bucketed shuffle; CC runs O(log d) bucket rounds on the
+    bounded edge list; only core/border-bounded label tables touch
+    the driver. SQL replays eps-join → degree → recursive-CTE closure
+    independently."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+
+    from ..cells.grid import _rl_arange
+    from ..relational.queries import _bucket_groupby, _partial_groupby
+    from ..text.dedup import connected_components
+
+    EPS = 8000
+    SHIFT = 13
+    MINPTS = 3
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(n_images), "dbscan_pts")
+    pts = rd.read_parquet(pts_dir)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        ix = np.floor(lon * 10000.0).astype(np.int64)
+        iy = np.floor(lat * 10000.0).astype(np.int64)
+        pid = (
+            pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cx, cy = ix >> SHIFT, iy >> SHIFT
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    pa.table(
+                        {
+                            "cellkey": pa.array((cx + dx) * 100_000 + (cy + dy)),
+                            "pid": pa.array(pid),
+                            "ix": pa.array(ix),
+                            "iy": pa.array(iy),
+                            "is_host": pa.array(
+                                np.full(len(ix), dx == 0 and dy == 0)
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    def eps_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+            )
+        ck = g["cellkey"].to_numpy(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        ix_s = g["ix"].to_numpy(np.int64)[order]
+        iy_s = g["iy"].to_numpy(np.int64)[order]
+        pid_s = g["pid"].to_numpy(np.int64)[order]
+        hidx = np.flatnonzero(g["is_host"].to_numpy(bool)[order])
+        lo = np.searchsorted(ck_s, ck_s[hidx], side="left")
+        hi = np.searchsorted(ck_s, ck_s[hidx], side="right")
+        lens = hi - lo
+        cand = _rl_arange(lo, lens)
+        hrep = np.repeat(np.arange(len(hidx), dtype=np.int64), lens)
+        dx = ix_s[hidx][hrep] - ix_s[cand]
+        dy = iy_s[hidx][hrep] - iy_s[cand]
+        ok = (dx * dx + dy * dy <= EPS * EPS) & (
+            pid_s[hidx][hrep] != pid_s[cand]
+        )
+        return pd.DataFrame(
+            {"a": pid_s[hidx][hrep[ok]], "b": pid_s[cand[ok]]}
+        ).astype(np.int64)
+
+    nb = _bucket_groupby(
+        pts.map_batches(replicate, batch_format="pyarrow"), "cellkey", eps_pairs
+    ).materialize()  # directed eps-neighbor pairs, bounded by the join output
+
+    deg = (
+        nb.map_batches(
+            _partial_groupby(["a"], [("", "count", "n")]), batch_format="pyarrow"
+        )
+        .groupby("a")
+        .aggregate(_Sum_agg("n"))
+        .to_pandas()
+    )
+    cores = np.sort(deg.loc[deg["n"] >= MINPTS, "a"].to_numpy(np.int64))
+    cref = ray.put(cores)
+
+    def core_edges(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        keep = np.isin(a, cs) & np.isin(b, cs)
+        return pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])})
+
+    labs_pd = connected_components(
+        nb.map_batches(core_edges, batch_format="pyarrow")
+    ).to_pandas()  # core-bounded
+    # isolated cores (no core neighbor) are singleton clusters
+    lone = np.setdiff1d(cores, labs_pd["doc_id"].to_numpy(np.int64))
+    labs_pd = pd.concat(
+        [labs_pd, pd.DataFrame({"doc_id": lone, "group_id": lone})],
+        ignore_index=True,
+    )
+    gkey = labs_pd["doc_id"].to_numpy(np.int64)
+    gval = labs_pd["group_id"].to_numpy(np.int64)
+    gorder = np.argsort(gkey, kind="stable")
+    bref = ray.put((gkey[gorder], gval[gorder]))
+
+    def border_partial(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        gk, gv = ray.get(bref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        keep = (~np.isin(a, cs)) & np.isin(b, cs)
+        a, b = a[keep], b[keep]
+        cl = gv[np.searchsorted(gk, b)]
+        order = np.lexsort((cl, a))  # per-block min cluster per border pt
+        a, cl = a[order], cl[order]
+        first = np.r_[True, a[1:] != a[:-1]]
+        return pa.table(
+            {"pid": pa.array(a[first]), "cluster": pa.array(cl[first])}
+        )
+
+    border_pd = (
+        nb.map_batches(border_partial, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(_Min("cluster", alias_name="cluster"))
+        .to_pandas()  # border-bounded
+    )
+
+    ccnt = (
+        labs_pd.groupby("group_id").size().rename("n_core").reset_index()
+    )
+    bcnt = (
+        border_pd.groupby("cluster").size().rename("n_border").reset_index()
+    )
+    out = ccnt.merge(bcnt, left_on="group_id", right_on="cluster", how="left")
+    out = pd.DataFrame(
+        {
+            "cluster": out["group_id"].to_numpy(np.int64),
+            "n_core": out["n_core"].to_numpy(np.int64),
+            "n_border": out["n_border"].fillna(0).to_numpy(np.int64),
+        }
+    )
+    noise = n_images - int(out["n_core"].sum()) - int(out["n_border"].sum())
+    out = pd.concat(
+        [out, pd.DataFrame({"cluster": [-1], "n_core": [0], "n_border": [noise]})],
+        ignore_index=True,
+    )
+    return out.sort_values("cluster").reset_index(drop=True).astype(np.int64)
+
+
+def _Sum_agg(col):
+    from ray.data.aggregate import Sum as _Sum
+
+    return _Sum(col, alias_name=col)
+
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE p AS (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS pid,
+         CAST(floor(lon * 10000) AS BIGINT) AS ix,
+         CAST(floor(lat * 10000) AS BIGINT) AS iy
+  FROM read_parquet('{_ORACLE_DIR}/dbscan_pts/*.parquet')),
+nb AS MATERIALIZED (
+  SELECT a.pid AS a, b.pid AS b
+  FROM p a JOIN p b
+    ON b.ix BETWEEN a.ix - 8000 AND a.ix + 8000
+   AND b.iy BETWEEN a.iy - 8000 AND a.iy + 8000
+   AND b.pid <> a.pid
+   AND (a.ix - b.ix) * (a.ix - b.ix) + (a.iy - b.iy) * (a.iy - b.iy)
+       <= 64000000),
+deg AS (SELECT a, COUNT(*) AS n FROM nb GROUP BY a),
+core AS MATERIALIZED (SELECT a AS pid FROM deg WHERE n >= 3),
+ce AS MATERIALIZED (
+  SELECT nb.a, nb.b FROM nb
+  JOIN core ca ON ca.pid = nb.a JOIN core cb ON cb.pid = nb.b),
+reach(v, l) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT ce.b, r.l FROM reach r JOIN ce ON ce.a = r.v),
+lab AS (SELECT v AS pid, MIN(l) AS cluster FROM reach GROUP BY v),
+bord AS (SELECT nb.a AS pid, MIN(lab.cluster) AS cluster
+         FROM nb JOIN lab ON lab.pid = nb.b
+         WHERE nb.a NOT IN (SELECT pid FROM core)
+         GROUP BY nb.a),
+cc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_core FROM lab GROUP BY cluster),
+bc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_border FROM bord GROUP BY cluster),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p)
+SELECT cc.cluster, cc.n_core, COALESCE(bc.n_border, 0) AS n_border
+FROM cc LEFT JOIN bc ON bc.cluster = cc.cluster
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+       CAST(tot.n - (SELECT COALESCE(SUM(n_core), 0) FROM cc)
+                  - (SELECT COALESCE(SUM(n_border), 0) FROM bc)
+            AS BIGINT) AS n_border
+FROM tot
+"""
+
+
+GEO_QUERIES.update({"dbscan_cluster_stats": q_dbscan_cluster_stats})
+EXTRA_ORACLE_SQL["dbscan_cluster_stats"] = _DBSCAN_SQL

@@ -11558,3 +11558,214 @@ GROUP BY sh.doc_id
 
 QUERIES.update({"shingle_novelty": q_shingle_novelty})
 ORACLE_SQL.update({"shingle_novelty": _SQL_SHINGLE_NOVELTY})
+
+
+# --------------------------------------------------------------------------
+# Top-k with an OTHER rollup (the dashboard/report pattern): per event
+# type, the top-3 users by event count (rank 1..3, tie-break user_id
+# ascending) plus one rank-0 OTHER row aggregating the remaining
+# users — emitted only when a remainder exists, matching SQL's empty
+# GROUP BY. The heavy exchange is the user×type count aggregate; the
+# per-type rollup shuffles one row per (type, user) key, bucketed by a
+# type hash so each type resolves in one group.
+# --------------------------------------------------------------------------
+
+
+def q_topk_with_other_rollup(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "user_id"])
+
+    counts = (
+        ev.map_batches(
+            _partial_groupby(["event_type", "user_id"], [("", "count", "n")]),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_tb(t: pa.Table) -> pa.Table:
+        tb = pd.util.hash_array(
+            np.asarray(t["event_type"].to_pylist(), dtype=object)
+        ).view(np.int64)
+        return t.append_column("tb", pa.array(tb))
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "rank": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        outs = []
+        g = g.sort_values(
+            ["event_type", "n", "user_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        for et, sub in g.groupby("event_type", sort=False):
+            top = sub.head(3)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": top["event_type"].to_numpy(object),
+                        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                        "user_id": top["user_id"].to_numpy(np.int64),
+                        "n": top["n"].to_numpy(np.int64),
+                    }
+                )
+            )
+            rest = sub.iloc[3:]
+            if len(rest):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "event_type": [et],
+                            "rank": np.array([0], np.int64),
+                            "user_id": np.array([-1], np.int64),
+                            "n": np.array([rest["n"].sum()], np.int64),
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True)
+
+    out = _bucket_groupby(
+        counts.map_batches(add_tb, batch_format="pyarrow"), "tb", rollup
+    ).to_pandas()  # ≤ 4 rows per event type
+    return (
+        out.sort_values(["event_type", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"rank": np.int64, "user_id": np.int64, "n": np.int64})
+    )
+
+
+_SQL_TOPK_OTHER = """
+WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk FROM c)
+SELECT event_type, CAST(rk AS BIGINT) AS rank, user_id, n
+FROM r WHERE rk <= 3
+UNION ALL
+SELECT event_type, CAST(0 AS BIGINT) AS rank,
+       CAST(-1 AS BIGINT) AS user_id, CAST(SUM(n) AS BIGINT) AS n
+FROM r WHERE rk > 3 GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-table reconciliation audit (data quality): per order, the
+# absolute difference between the order-header total and the sum of
+# its line gross charges (extprice·(1+tax)·(1−disc), e2 fixed point),
+# banded into exact / ≤1.00 / ≤100.00 / worse — the invariant check a
+# warehouse runs after every load. Tagged-union join shape: both
+# tables stream into one orderkey-bucketed shuffle as (key, amt, src)
+# partials, so neither side is ever collected or broadcast.
+# --------------------------------------------------------------------------
+
+
+def q_order_amount_reconciliation(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_tax", "l_discount"],
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        amt = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "amt": pa.array(amt),
+                "src": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        gross = np.rint(price * (1.0 + tax) * (1.0 - disc) * 100.0).astype(np.int64)
+        part = pa.table(
+            {"k": t["l_orderkey"], "g": pa.array(gross)}
+        ).group_by(["k"]).aggregate([("g", "sum")])
+        return pa.table(
+            {
+                "k": part["k"],
+                "amt": part["g_sum"],
+                "src": pa.array(np.ones(len(part), np.int64)),
+            }
+        )
+
+    both = od.map_batches(o_prep, batch_format="pyarrow").union(
+        li.map_batches(l_prep, batch_format="pyarrow")
+    )
+
+    def bands(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "band": pd.Series([], dtype=np.int64),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        k = g["k"].to_numpy(np.int64)
+        amt = g["amt"].to_numpy(np.int64)
+        src = g["src"].to_numpy(np.int64)
+        order = np.lexsort((src, k))
+        k, amt, src = k[order], amt[order], src[order]
+        new = np.r_[True, k[1:] != k[:-1]]
+        seg = np.cumsum(new) - 1
+        nseg = seg[-1] + 1
+        tot = np.zeros(nseg, np.int64)
+        lsum = np.zeros(nseg, np.int64)
+        np.add.at(tot, seg[src == 0], amt[src == 0])
+        np.add.at(lsum, seg[src == 1], amt[src == 1])
+        diff = np.abs(tot - lsum)
+        band = np.select(
+            [diff == 0, diff <= 100, diff <= 10_000], [0, 1, 2], default=3
+        ).astype(np.int64)
+        u, c = np.unique(band, return_counts=True)
+        return pd.DataFrame({"band": u, "n_orders": c.astype(np.int64)})
+
+    return (
+        _bucket_groupby(both, "k", bands)
+        .groupby("band")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+_SQL_RECONCILE = """
+WITH ls AS (SELECT l_orderkey,
+              CAST(SUM(CAST(round(l_extendedprice * (1.0 + l_tax)
+                                  * (1.0 - l_discount) * 100.0) AS BIGINT))
+                   AS BIGINT) AS s
+            FROM lineitem GROUP BY l_orderkey),
+o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS t
+      FROM orders),
+d AS (SELECT o.o_orderkey, abs(o.t - COALESCE(ls.s, 0)) AS diff
+      FROM o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey)
+SELECT CAST(CASE WHEN diff = 0 THEN 0 WHEN diff <= 100 THEN 1
+                 WHEN diff <= 10000 THEN 2 ELSE 3 END AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "topk_with_other_rollup": q_topk_with_other_rollup,
+        "order_amount_reconciliation": q_order_amount_reconciliation,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "topk_with_other_rollup": _SQL_TOPK_OTHER,
+        "order_amount_reconciliation": _SQL_RECONCILE,
+    }
+)
