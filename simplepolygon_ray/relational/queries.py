@@ -11769,3 +11769,171 @@ ORACLE_SQL.update(
         "order_amount_reconciliation": _SQL_RECONCILE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift extremes over the hourly event-rate series (change-point
+# detection primitive): with c_i the count of hour i (ascending), S =
+# Σc and H = #hours, the scaled cumulative deviation cu_k =
+# H·Σ_{i≤k}c_i − k·S is exact int64 (no mean division), and its max /
+# min locate the strongest upward / downward rate drifts. The heavy
+# pass is the hourly count aggregate (bincount partials → groupby);
+# the CUSUM scan runs on the time-bounded hour series.
+# --------------------------------------------------------------------------
+
+
+def q_hourly_cusum_extremes(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        u, c = np.unique(hour, return_counts=True)
+        return pa.table({"hour": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # time-bounded: one row per hour in the log
+        .sort_values("hour", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    c = hourly["n"].to_numpy(np.int64)
+    h = hourly["hour"].to_numpy(np.int64)
+    nh, s = np.int64(len(c)), np.int64(c.sum())
+    cu = nh * np.cumsum(c) - np.arange(1, len(c) + 1, dtype=np.int64) * s
+    imax = int(np.flatnonzero(cu == cu.max())[0])  # earliest hour at extreme
+    imin = int(np.flatnonzero(cu == cu.min())[0])
+    return pd.DataFrame(
+        {
+            "max_cusum": [int(cu[imax])],
+            "hour_at_max": [int(h[imax])],
+            "min_cusum": [int(cu[imin])],
+            "hour_at_min": [int(h[imin])],
+            "n_hours": [int(nh)],
+        }
+    ).astype(np.int64)
+
+
+_SQL_CUSUM = """
+WITH c AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY hour),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh, CAST(SUM(n) AS BIGINT) AS s FROM c),
+cs AS (SELECT hour,
+         CAST(t.nh * SUM(n) OVER (ORDER BY hour)
+              - ROW_NUMBER() OVER (ORDER BY hour) * t.s AS BIGINT) AS cu
+       FROM c, t)
+SELECT
+  (SELECT cu FROM cs ORDER BY cu DESC, hour LIMIT 1) AS max_cusum,
+  (SELECT hour FROM cs ORDER BY cu DESC, hour LIMIT 1) AS hour_at_max,
+  (SELECT cu FROM cs ORDER BY cu ASC, hour LIMIT 1) AS min_cusum,
+  (SELECT hour FROM cs ORDER BY cu ASC, hour LIMIT 1) AS hour_at_min,
+  (SELECT nh FROM t) AS n_hours
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroid drift between the two deterministic
+# halves of the corpus (vec_id parity) — the distribution-shift audit
+# an embedding pipeline runs between snapshots. Division-free: the
+# centroid gap per dim is compared as the cross-multiplied integer
+# n_b·Σa − n_a·Σb (e6 fixed point), and the per-label drift is the L1
+# over dims — exact int64 on both engines (headroom to ~10^5 vectors
+# per label·half; beyond that drop the e6 scale a decade). Exchange is
+# (label × parity × dim) partial sums — bounded, never the vectors.
+# --------------------------------------------------------------------------
+
+
+def q_label_centroid_drift(sf_dir: str):
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        vals = np.asarray(col.values, dtype=np.float32).astype(np.float64)
+        ints = np.rint(vals * 1_000_000.0).astype(np.int64).reshape(-1, dim)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        par = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        key = labels * 2 + par
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(acc, inv, ints)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq >> 1, dim)),
+                "par": pa.array(np.repeat(uniq & 1, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "sm": pa.array(acc.ravel()),
+                "nv": pa.array(np.repeat(cnt, dim)),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "par", "dim"])
+        .aggregate(Sum("sm", alias_name="sm"), Sum("nv", alias_name="nv"))
+        .to_pandas()  # label × 2 × dim — bounded
+    )
+    a = agg[agg["par"] == 0].set_index(["label", "dim"])
+    b = agg[agg["par"] == 1].set_index(["label", "dim"])
+    j = a.join(b, how="inner", lsuffix="_a", rsuffix="_b").reset_index()
+    cross = np.abs(
+        j["nv_b"].to_numpy(np.int64) * j["sm_a"].to_numpy(np.int64)
+        - j["nv_a"].to_numpy(np.int64) * j["sm_b"].to_numpy(np.int64)
+    )
+    out = (
+        pd.DataFrame(
+            {
+                "label": j["label"].to_numpy(np.int64),
+                "n_a": j["nv_a"].to_numpy(np.int64),
+                "n_b": j["nv_b"].to_numpy(np.int64),
+                "l1_cross_e6": cross,
+            }
+        )
+        .groupby("label", sort=True)
+        .agg(n_a=("n_a", "max"), n_b=("n_b", "max"), l1_cross_e6=("l1_cross_e6", "sum"))
+        .reset_index()
+    )
+    return out.astype(np.int64)
+
+
+_SQL_CENTROID_DRIFT = """
+WITH e AS (SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS par,
+                  unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+s AS (SELECT label, par, i,
+             CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS sm
+      FROM e GROUP BY label, par, i),
+n AS (SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS par,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1, 2),
+w AS (SELECT sa.label, sa.i, sa.sm AS sma, sb.sm AS smb, na.n AS na, nb.n AS nb
+      FROM s sa
+      JOIN s sb ON sb.label = sa.label AND sb.i = sa.i AND sb.par = 1
+      JOIN n na ON na.label = sa.label AND na.par = 0
+      JOIN n nb ON nb.label = sa.label AND nb.par = 1
+      WHERE sa.par = 0)
+SELECT label, CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(SUM(ABS(nb * sma - na * smb)) AS BIGINT) AS l1_cross_e6
+FROM w GROUP BY label
+"""
+
+
+QUERIES.update(
+    {
+        "hourly_cusum_extremes": q_hourly_cusum_extremes,
+        "label_centroid_drift": q_label_centroid_drift,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "hourly_cusum_extremes": _SQL_CUSUM,
+        "label_centroid_drift": _SQL_CENTROID_DRIFT,
+    }
+)
