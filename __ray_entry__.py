@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "kmv_distinct_events",
+    "auc_segment_balance",
     "hourly_cusum_extremes",
     "label_centroid_drift",
     "dbscan_cluster_stats",

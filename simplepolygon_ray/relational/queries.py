@@ -11937,3 +11937,153 @@ ORACLE_SQL.update(
         "label_centroid_drift": _SQL_CENTROID_DRIFT,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch over event ids —
+# the third mergeable cardinality sketch beside HLL and CMS. Each
+# block emits its K smallest distinct splitmix64 hashes (signed-offset
+# int64 so Arrow exchanges them natively); the driver merge is the
+# K-way union of K×blocks bounded rows. With θ the Kth smallest of
+# the global distinct-hash set, est = floor((K−1)·2^64 / θ) — exact
+# integer on both engines (SQL replays splitmix limb-exactly and
+# divides in HUGEINT). Fewer than K distinct keys ⇒ the union IS the
+# distinct set and the sketch degrades to the exact count.
+# --------------------------------------------------------------------------
+
+_KMV_K = 256
+
+
+def q_kmv_distinct_events(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id"])
+    k = _KMV_K
+    off = np.uint64(1 << 63)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(ids.view(np.uint64))
+        hs = np.unique((h ^ off).view(np.int64))  # sorted, order-preserving map
+        return pa.table({"hs": pa.array(hs[:k])})
+
+    # K × blocks rows — bounded by the sketch size, never the data
+    vals = np.unique(
+        ev.map_batches(partial, batch_format="pyarrow").to_pandas()["hs"].to_numpy(np.int64)
+    )
+    if len(vals) >= k:
+        theta = (int(vals[k - 1]) % (1 << 64)) ^ (1 << 63)
+        est = ((k - 1) << 64) // theta
+    else:  # exact mode: the union is the whole distinct-hash set
+        theta = (int(vals[-1]) % (1 << 64)) ^ (1 << 63)
+        est = len(vals)
+    return pd.DataFrame(
+        {
+            "k": [k],
+            "theta_hi": [theta >> 32],
+            "theta_lo": [theta & 0xFFFFFFFF],
+            "est_distinct": [est],
+        }
+    ).astype(np.int64)
+
+
+_SQL_KMV = f"""
+WITH d AS (SELECT DISTINCT event_id FROM events),
+{_splitmix_ctes("kh", "d", "event_id", f"CAST(event_id AS HUGEINT) + {_GOLDEN}")},
+mins AS (SELECT x FROM kh3 ORDER BY x LIMIT {_KMV_K}),
+a AS (SELECT COUNT(*) AS cnt, MAX(x) AS theta FROM mins)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(theta // 4294967296 AS BIGINT) AS theta_hi,
+       CAST(theta % 4294967296 AS BIGINT) AS theta_lo,
+       CAST(CASE WHEN cnt >= {_KMV_K}
+                 THEN ({_KMV_K} - 1) * CAST('18446744073709551616' AS HUGEINT) // theta
+                 ELSE cnt END AS BIGINT) AS est_distinct
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact ROC-AUC (Mann–Whitney U with the standard tie correction) of
+# "account balance predicts the BUILDING segment" — the evaluation
+# metric an ML data pipeline computes over a scored column. Never a
+# float: with per-distinct-value counts (pos_v, neg_v) in value order,
+# 2U = Σ_v (2·pos_v·negcum_<v + pos_v·neg_v), and the reported AUC is
+# the exact floor of 1e6·2U / (2·n_pos·n_neg). The (value → counts)
+# exchange is bounded by the cents value domain (≤ ~1.1M distinct for
+# TPC-H acctbal at ANY data scale); the engine sorts that bounded
+# aggregate and the driver folds the cumulative scan streaming in
+# order. int64 headroom: pos·negcum ≤ n² needs n ≲ 3·10^9.
+# --------------------------------------------------------------------------
+
+
+def q_auc_segment_balance(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_acctbal", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        p = pc.equal(t["c_mktsegment"], "BUILDING").to_numpy(zero_copy_only=False)
+        key, inv = np.unique(v, return_inverse=True)
+        pos = np.bincount(inv, weights=p).astype(np.int64)
+        tot = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"v": pa.array(key), "pos": pa.array(pos), "neg": pa.array(tot - pos)}
+        )
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .sort("v")
+    )
+    u2 = n_pos = n_neg = negcum = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):  # value order
+        pos = b["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        neg = b["neg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.cumsum(neg) - neg  # negatives strictly below, within batch
+        u2 += int(np.sum(2 * pos * (nb + negcum) + pos * neg))
+        negcum += int(neg.sum())
+        n_pos += int(pos.sum())
+        n_neg += int(neg.sum())
+    return pd.DataFrame(
+        {
+            "n_pos": [n_pos],
+            "n_neg": [n_neg],
+            "u2": [u2],
+            "auc_e6": [(u2 * 1_000_000) // (2 * n_pos * n_neg)],
+        }
+    ).astype(np.int64)
+
+
+_SQL_AUC = """
+WITH r AS (SELECT CAST(round(c_acctbal * 100.0) AS BIGINT) AS v,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS p
+           FROM customer),
+g AS (SELECT v, CAST(SUM(p) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(p) AS BIGINT) AS neg
+      FROM r GROUP BY v),
+c AS (SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negcum
+      FROM g),
+t AS (SELECT CAST(SUM(2 * pos * negcum + pos * neg) AS BIGINT) AS u2,
+             CAST((SELECT SUM(pos) FROM g) AS BIGINT) AS n_pos,
+             CAST((SELECT SUM(neg) FROM g) AS BIGINT) AS n_neg
+      FROM c)
+SELECT n_pos, n_neg, u2,
+       CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6
+FROM t
+"""
+
+
+QUERIES.update(
+    {
+        "kmv_distinct_events": q_kmv_distinct_events,
+        "auc_segment_balance": q_auc_segment_balance,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "kmv_distinct_events": _SQL_KMV,
+        "auc_segment_balance": _SQL_AUC,
+    }
+)
