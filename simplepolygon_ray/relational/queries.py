@@ -12087,3 +12087,156 @@ ORACLE_SQL.update(
         "auc_segment_balance": _SQL_AUC,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov drift between the hourly arrival
+# distributions of two event types (click vs purchase) — the
+# distribution-drift test a streaming monitor runs between cohorts.
+# Division-free: D is reported as the integer numerator
+# max_h |n_b·cumA(h) − n_a·cumB(h)| (D = num / (n_a·n_b)). The
+# exchange is (type × hour) bincount partials — bounded by the time
+# domain, never the event count; the cumulative scan folds the
+# bounded union-hour series.
+# --------------------------------------------------------------------------
+
+
+def q_ks_event_type_drift(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        hour = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        )
+        isb = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        key = hour * 2 + isb
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(u >> 1),
+                "side": pa.array((u & 1).astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["hour", "side"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: ≤ 2 rows per hour in the log
+    )
+    hours = np.sort(agg["hour"].unique())
+    a = np.zeros(len(hours), np.int64)
+    b = np.zeros(len(hours), np.int64)
+    pos = np.searchsorted(hours, agg["hour"].to_numpy(np.int64))
+    side = agg["side"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    np.add.at(a, pos[side == 0], n[side == 0])
+    np.add.at(b, pos[side == 1], n[side == 1])
+    na, nb = int(a.sum()), int(b.sum())
+    diff = nb * np.cumsum(a) - na * np.cumsum(b)
+    k = int(np.flatnonzero(np.abs(diff) == np.abs(diff).max())[0])  # earliest
+    return pd.DataFrame(
+        {
+            "n_click": [na],
+            "n_purchase": [nb],
+            "ks_num": [int(abs(diff[k]))],
+            "hour_at_max": [int(hours[k])],
+        }
+    ).astype(np.int64)
+
+
+_SQL_KS = """
+WITH e AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+           FROM events WHERE event_type IN ('click', 'purchase')),
+g AS (SELECT hour,
+             CAST(SUM(1 - side) AS BIGINT) AS ca,
+             CAST(SUM(side) AS BIGINT) AS cb
+      FROM e GROUP BY hour),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+c AS (SELECT hour,
+             t.nb * SUM(ca) OVER (ORDER BY hour) -
+             t.na * SUM(cb) OVER (ORDER BY hour) AS d
+      FROM g, t)
+SELECT (SELECT na FROM t) AS n_click,
+       (SELECT nb FROM t) AS n_purchase,
+       CAST(ABS(d) AS BIGINT) AS ks_num,
+       hour AS hour_at_max
+FROM c ORDER BY ABS(d) DESC, hour LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall trend statistic S = Σ_{i<j} sign(c_j − c_i) over the
+# daily order-count series — the nonparametric monotone-trend test of
+# a volume monitor, exact int64. The (day → count) exchange is
+# bounded by the calendar domain (~2.4k days at any data scale); the
+# O(d²) pair fold runs vectorized on that bounded series. Ties
+# contribute 0 via the sign; concordant/discordant counts are also
+# emitted (S = nc − nd).
+# --------------------------------------------------------------------------
+
+
+def q_mk_trend_daily_orders(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    daily = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the calendar domain
+        .sort_values("day", kind="mergesort")
+    )
+    c = daily["n"].to_numpy(np.int64)
+    d = len(c)
+    sgn = np.sign(c[None, :] - c[:, None])
+    upper = np.triu(np.ones((d, d), bool), k=1)
+    nc = int(np.sum(sgn[upper] > 0))
+    nd = int(np.sum(sgn[upper] < 0))
+    return pd.DataFrame(
+        {
+            "n_days": [d],
+            "n_concordant": [nc],
+            "n_discordant": [nd],
+            "s_stat": [nc - nd],
+        }
+    ).astype(np.int64)
+
+
+_SQL_MK = """
+WITH g AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY day),
+p AS (SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS s
+      FROM g a JOIN g b ON b.day > a.day)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_days,
+       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+       CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+       CAST(SUM(s) AS BIGINT) AS s_stat
+FROM p
+"""
+
+
+QUERIES.update(
+    {
+        "ks_event_type_drift": q_ks_event_type_drift,
+        "mk_trend_daily_orders": q_mk_trend_daily_orders,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "ks_event_type_drift": _SQL_KS,
+        "mk_trend_daily_orders": _SQL_MK,
+    }
+)
