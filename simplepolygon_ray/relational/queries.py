@@ -12240,3 +12240,205 @@ ORACLE_SQL.update(
         "mk_trend_daily_orders": _SQL_MK,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# SCD2 (type-2 slowly-changing-dimension) history build from the event
+# stream: per user, consecutive equal event_type runs collapse to one
+# versioned row (state, valid_from, valid_to, is_current) — the
+# dimension-table build a warehouse load performs. valid_to is the
+# next run's start (-1 on the open current row; the driver compare
+# cannot hash NULLs away). One user-hash bucket shuffle; run detection
+# and the interval zipper are one lexsort + two shifted compares per
+# frame, no per-user Python.
+# --------------------------------------------------------------------------
+
+
+def q_scd2_user_state_history(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def f(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                g["ts"].to_numpy(zero_copy_only=False).view(np.int64),
+                g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)[order]
+        et = g["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        new = np.ones(len(uid), bool)
+        if len(uid) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(new)
+        r_uid = uid[starts]
+        r_from = ts[starts]
+        # next run's start within the same user closes the interval
+        nxt_from = np.empty(len(starts), np.int64)
+        nxt_same = np.zeros(len(starts), bool)
+        if len(starts) > 1:
+            nxt_from[:-1] = r_from[1:]
+            nxt_same[:-1] = r_uid[1:] == r_uid[:-1]
+        r_to = np.where(nxt_same, nxt_from, np.int64(-1))
+        sel = pa.array(order[starts])
+        return pa.table(
+            {
+                "user_id": pa.array(r_uid),
+                "state": g["event_type"].take(sel),
+                "valid_from": pa.array(r_from),
+                "valid_to": pa.array(r_to),
+                "is_current": pa.array((~nxt_same).astype(np.int64)),
+            }
+        )
+
+    return _bucket_groupby(ev, "user_id", f, batch_format="pyarrow")
+
+
+_SQL_SCD2 = """
+WITH s AS (SELECT user_id, ts, event_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+r AS (SELECT user_id, event_type AS state,
+             CAST(epoch_us(ts) AS BIGINT) AS vf, event_id
+      FROM s WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, state, vf AS valid_from,
+       COALESCE(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id),
+                -1) AS valid_to,
+       CAST(CASE WHEN LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Record-linkage comparison-vector histogram (the Fellegi–Sunter m/u
+# estimation input): for every candidate customer×supplier pair inside
+# the (nation, $500 balance band) blocks of `blocking_candidates`,
+# compute the field-agreement bitmask — bit0 exact cents match, bit1
+# same $100 sub-band, bit2 same name-suffix last digit — and count
+# patterns. Pair enumeration stays inside each block frame (bounded by
+# the blocking audit's n·m per block); the exchange carries tagged
+# (block, fields) rows in and ≤8 (pattern, count) rows out per frame.
+# --------------------------------------------------------------------------
+
+
+def _last_char_codes(col: pa.Array) -> np.ndarray:
+    """Last byte of each (ASCII) string, zero-copy off the data buffer."""
+    arr = col.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data[off[1:] - 1].astype(np.int64)
+
+
+def q_linkage_agreement_patterns(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_acctbal", "c_name"])
+    supp = _t(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal", "s_name"])
+
+    def side(nat, bal, name, side_id):
+        def f(t: pa.Table) -> pa.Table:
+            nk = t[nat].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.rint(
+                t[bal].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            band = cents // _BLOCK_BAND_CENTS  # numpy floor-div
+            return pa.table(
+                {
+                    "bkey": pa.array(nk * 100_000 + band + 50_000),
+                    "side": pa.array(np.full(len(nk), side_id, np.int64)),
+                    "cents": pa.array(cents),
+                    "lc": pa.array(_last_char_codes(t[name])),
+                }
+            )
+
+        return f
+
+    both = cust.map_batches(
+        side("c_nationkey", "c_acctbal", "c_name", 0), batch_format="pyarrow"
+    ).union(
+        supp.map_batches(
+            side("s_nationkey", "s_acctbal", "s_name", 1), batch_format="pyarrow"
+        )
+    )
+
+    def frame(g: pa.Table) -> pa.Table:
+        bk = g["bkey"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        lc = g["lc"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bk, kind="mergesort")
+        bk, sd, cents, lc = bk[order], sd[order], cents[order], lc[order]
+        cut = np.flatnonzero(np.diff(bk)) + 1
+        hist = np.zeros(8, np.int64)
+        for lo, hi in zip(np.r_[0, cut], np.r_[cut, len(bk)]):
+            m = sd[lo:hi] == 0
+            cc, cl = cents[lo:hi][m], lc[lo:hi][m]
+            sc, sl = cents[lo:hi][~m], lc[lo:hi][~m]
+            if len(cc) == 0 or len(sc) == 0:
+                continue
+            pat = (
+                (cc[:, None] == sc[None, :]).astype(np.int64)
+                + 2 * (cc[:, None] // 10_000 == sc[None, :] // 10_000)
+                + 4 * (cl[:, None] == sl[None, :])
+            )
+            hist += np.bincount(pat.ravel(), minlength=8)
+        pats = np.flatnonzero(hist)
+        return pa.table(
+            {"pattern": pa.array(pats.astype(np.int64)), "n_pairs": pa.array(hist[pats])}
+        )
+
+    return (
+        _bucket_groupby(both, "bkey", frame, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .sort("pattern")
+    )
+
+
+_B100 = 10_000  # $100 sub-band, cents
+
+
+_SQL_LINKAGE = f"""
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                  CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents,
+                  substr(c_name, length(c_name), 1) AS lc
+           FROM customer),
+s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+             CAST(round(s_acctbal * 100.0) AS BIGINT) AS cents,
+             substr(s_name, length(s_name), 1) AS lc
+      FROM supplier),
+cb AS (SELECT *, CASE WHEN cents >= 0 THEN cents // {_BLOCK_BAND_CENTS}
+                      ELSE -((-cents + {_BLOCK_BAND_CENTS} - 1) // {_BLOCK_BAND_CENTS})
+                 END AS band,
+               CASE WHEN cents >= 0 THEN cents // {_B100}
+                    ELSE -((-cents + {_B100} - 1) // {_B100}) END AS sub FROM c),
+sb AS (SELECT *, CASE WHEN cents >= 0 THEN cents // {_BLOCK_BAND_CENTS}
+                      ELSE -((-cents + {_BLOCK_BAND_CENTS} - 1) // {_BLOCK_BAND_CENTS})
+                 END AS band,
+               CASE WHEN cents >= 0 THEN cents // {_B100}
+                    ELSE -((-cents + {_B100} - 1) // {_B100}) END AS sub FROM s),
+p AS (SELECT CASE WHEN cb.cents = sb.cents THEN 1 ELSE 0 END
+           + 2 * (CASE WHEN cb.sub = sb.sub THEN 1 ELSE 0 END)
+           + 4 * (CASE WHEN cb.lc = sb.lc THEN 1 ELSE 0 END) AS pattern
+      FROM cb JOIN sb ON sb.nk = cb.nk AND sb.band = cb.band)
+SELECT CAST(pattern AS BIGINT) AS pattern, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY pattern
+"""
+
+
+QUERIES.update(
+    {
+        "scd2_user_state_history": q_scd2_user_state_history,
+        "linkage_agreement_patterns": q_linkage_agreement_patterns,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "scd2_user_state_history": _SQL_SCD2,
+        "linkage_agreement_patterns": _SQL_LINKAGE,
+    }
+)
