@@ -12442,3 +12442,174 @@ ORACLE_SQL.update(
         "linkage_agreement_patterns": _SQL_LINKAGE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# BFS hop-layer histogram over the co-purchase graph — breadth-first
+# distance from the id-minimum part, 4 synchronous rounds (the
+# iterative-frontier class next to PageRank: per round the node-bounded
+# frontier is broadcast once via ray.put, the EDGE list streams through
+# map_batches emitting per-block-distinct reached neighbors, and only
+# node-bounded rows come back). Output: (hop, n_parts) for hops 0..4
+# plus hop = -1 for parts still unreached — zero-count hops are
+# omitted on both sides (sf0.001 graphs can saturate in 2 hops).
+# --------------------------------------------------------------------------
+
+
+def q_bfs_layers_copurchase(sf_dir: str):
+    import ray
+
+    edges = _copurchase_pair_counts(sf_dir).select_columns(["part_a", "part_b"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    ed = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    nodes_pd = (
+        ed.map_batches(
+            _partial_groupby(["u"], [("u", "count", "dg")]), batch_format="pyarrow"
+        )
+        .groupby("u")
+        .aggregate(Sum("dg", alias_name="dg"))
+        .to_pandas()  # node-bounded: one row per distinct part in the graph
+    )
+    nodes = np.sort(nodes_pd["u"].to_numpy(np.int64))
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    dist[0] = 0  # seed = id-minimum part (nodes sorted ascending)
+    frontier = nodes[:1]
+
+    for hop in range(1, 5):
+        if len(frontier) == 0:
+            break
+        ref = ray.put(np.sort(frontier))
+
+        def reached(t: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(f, u)
+            pos[pos == len(f)] = 0
+            hit = f[pos] == u
+            return pa.table({"part": pa.array(np.unique(v[hit]))})
+
+        got = (
+            ed.map_batches(reached, batch_format="pyarrow")
+            .to_pandas()["part"]  # node-bounded (block-distinct upstream)
+            .to_numpy(np.int64)
+        )
+        idx = np.searchsorted(nodes, np.unique(got))
+        new = idx[dist[idx] == -1]
+        dist[new] = hop
+        frontier = nodes[new]
+
+    hops, counts = np.unique(dist, return_counts=True)
+    return pd.DataFrame({"hop": hops, "n_parts": counts}).astype(np.int64)
+
+
+_BFS_HOP = (
+    "l{h} AS (SELECT DISTINCT e.v AS part FROM e JOIN l{p} ON e.u = l{p}.part\n"
+    "         WHERE e.v NOT IN (SELECT part FROM v{p})),\n"
+    "v{h} AS (SELECT part FROM v{p} UNION SELECT part FROM l{h})"
+)
+
+_SQL_BFS = (
+    """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+n AS (SELECT DISTINCT u AS part FROM e),
+l0 AS (SELECT MIN(part) AS part FROM n),
+v0 AS (SELECT part FROM l0),
+"""
+    + ",\n".join(_BFS_HOP.format(h=h, p=h - 1) for h in range(1, 5))
+    + """,
+hops AS (SELECT 0 AS hop, COUNT(*) AS n_parts FROM l0
+         UNION ALL SELECT 1, COUNT(*) FROM l1
+         UNION ALL SELECT 2, COUNT(*) FROM l2
+         UNION ALL SELECT 3, COUNT(*) FROM l3
+         UNION ALL SELECT 4, COUNT(*) FROM l4
+         UNION ALL SELECT -1,
+           (SELECT COUNT(*) FROM n) - (SELECT COUNT(*) FROM v4))
+SELECT CAST(hop AS BIGINT) AS hop, CAST(n_parts AS BIGINT) AS n_parts
+FROM hops WHERE n_parts > 0
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Per-user time-weighted average state (the IoT / billing metric: each
+# event's value holds until the user's next event). One user-hash
+# bucket shuffle; inside each frame a lexsort + shifted-compare zipper
+# yields interval durations, and the division-free exact outputs are
+# twa_num = Σ floor(value·100)·Δt_sec and twa_den = Σ Δt_sec (int64;
+# seconds not µs keep cents·duration ≪ 2^63). floor — not rint — per
+# CLAUDE.md: both sides compute floor(value*100.0) on the same IEEE
+# double product. Single-event users emit (0, 0), never NULL.
+# --------------------------------------------------------------------------
+
+
+def q_time_weighted_avg_value(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def f(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        ev_id = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((ev_id, ts, uid))
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        same = uid[1:] == uid[:-1]
+        dt = np.where(same, (ts[1:] - ts[:-1]) // 1_000_000, 0)
+        contrib = np.zeros(len(uid), np.int64)
+        contrib[:-1] = cents[:-1] * dt
+        dens = np.zeros(len(uid), np.int64)
+        dens[:-1] = dt
+        starts = np.flatnonzero(np.r_[True, ~same])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "twa_num": pa.array(np.add.reduceat(contrib, starts)),
+                "twa_den": pa.array(np.add.reduceat(dens, starts)),
+            }
+        )
+
+    return _bucket_groupby(ev, "user_id", f, batch_format="pyarrow")
+
+
+_SQL_TWA = """
+WITH s AS (SELECT user_id, event_id,
+                  CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                  CAST(epoch_us(ts) AS BIGINT) AS tus,
+                  LEAD(CAST(epoch_us(ts) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT user_id,
+       CAST(COALESCE(SUM(cents * ((nxt - tus) // 1000000)), 0) AS BIGINT)
+         AS twa_num,
+       CAST(COALESCE(SUM((nxt - tus) // 1000000), 0) AS BIGINT) AS twa_den
+FROM s GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "bfs_layers_copurchase": q_bfs_layers_copurchase,
+        "time_weighted_avg_value": q_time_weighted_avg_value,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "bfs_layers_copurchase": _SQL_BFS,
+        "time_weighted_avg_value": _SQL_TWA,
+    }
+)
