@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "hourly_rolling_median",
+    "kcore_copurchase",
     "bfs_layers_copurchase",
     "time_weighted_avg_value",
     "scd2_user_state_history",

@@ -12613,3 +12613,181 @@ ORACLE_SQL.update(
         "time_weighted_avg_value": _SQL_TWA,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Rolling 5-hour median of the hourly event-rate series with the Hampel
+# absolute deviation |n - med5| — the holistic (order-statistic) window
+# aggregate class, distinct from the algebraic windows (sliding_window's
+# sums) and the global CUSUM scan.  The hourly series is time-bounded
+# (one row per hour in the log, independent of row count), so the
+# distributed part is the per-block hour bincount + Sum exchange; the
+# 5-wide centered median runs on the bounded series.  Only FULL windows
+# are emitted (hours 3..nh-2 in rank order): DuckDB's shrinking edge
+# frames have even width and average the middle pair — a .5 that int64
+# cannot carry — while a 5-of-5 median of integers is an integer on
+# both engines.
+# --------------------------------------------------------------------------
+
+
+def q_hourly_rolling_median(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        u, c = np.unique(hour, return_counts=True)
+        return pa.table({"hour": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # time-bounded: one row per hour in the log
+        .sort_values("hour", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    h = hourly["hour"].to_numpy(np.int64)
+    c = hourly["n"].to_numpy(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(c, 5)
+    med = np.sort(win, axis=1)[:, 2]  # exact integer median of 5 ints
+    mid = c[2:-2]
+    return pd.DataFrame(
+        {
+            "hour": h[2:-2],
+            "n": mid,
+            "med5": med,
+            "adev": np.abs(mid - med),
+        }
+    ).astype(np.int64)
+
+
+_SQL_ROLLMED = """
+WITH c AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY hour),
+w AS (SELECT hour, n,
+             CAST(median(n) OVER (ORDER BY hour
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS med5,
+             ROW_NUMBER() OVER (ORDER BY hour) AS rk,
+             COUNT(*) OVER () AS nh
+      FROM c)
+SELECT hour, n, med5, CAST(abs(n - med5) AS BIGINT) AS adev
+FROM w WHERE rk BETWEEN 3 AND nh - 2
+"""
+
+
+# --------------------------------------------------------------------------
+# k-core peeling over the co-purchase graph (k = 3, four synchronous
+# peel rounds) — the iterative-peeling graph class next to PageRank
+# (value iteration), BFS (frontier expansion) and hash-to-min CC
+# (label propagation).  Per round the node-bounded survivor set is
+# broadcast once via ray.put; the EDGE list streams through
+# map_batches computing per-block partial degrees restricted to
+# surviving endpoints; the Sum exchange returns a node-bounded degree
+# table and nodes with degree < k are peeled.  Output: (round,
+# n_nodes) for rounds 0..4 — round 0 is the full node set; kept even
+# when a round empties so the 5-row schema is scale-stable.
+# --------------------------------------------------------------------------
+
+
+def q_kcore_copurchase(sf_dir: str):
+    import ray
+
+    K = 3
+    edges = _copurchase_pair_counts(sf_dir).select_columns(["part_a", "part_b"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    ed = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    nodes_pd = (
+        ed.map_batches(
+            _partial_groupby(["u"], [("u", "count", "dg")]), batch_format="pyarrow"
+        )
+        .groupby("u")
+        .aggregate(Sum("dg", alias_name="dg"))
+        .to_pandas()  # node-bounded: one row per distinct part
+    )
+    alive = np.sort(nodes_pd["u"].to_numpy(np.int64))
+    rounds = [(0, len(alive))]
+
+    for r in range(1, 5):
+        if len(alive) == 0:
+            rounds.append((r, 0))
+            continue
+        ref = ray.put(alive)
+
+        def deg(t: pa.Table, _ref=ref) -> pa.Table:
+            s = ray.get(_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            pu = np.searchsorted(s, u)
+            pu[pu == len(s)] = 0
+            pv = np.searchsorted(s, v)
+            pv[pv == len(s)] = 0
+            keep = (s[pu] == u) & (s[pv] == v)
+            uu, cc = np.unique(u[keep], return_counts=True)
+            return pa.table(
+                {"u": pa.array(uu), "dg": pa.array(cc.astype(np.int64))}
+            )
+
+        deg_pd = (
+            ed.map_batches(deg, batch_format="pyarrow")
+            .groupby("u")
+            .aggregate(Sum("dg", alias_name="dg"))
+            .to_pandas()  # node-bounded
+        )
+        keep = deg_pd["dg"].to_numpy(np.int64) >= K
+        alive = np.sort(deg_pd["u"].to_numpy(np.int64)[keep])
+        rounds.append((r, len(alive)))
+
+    return pd.DataFrame(rounds, columns=["round", "n_nodes"]).astype(np.int64)
+
+
+_KCORE_ROUND = (
+    "d{h} AS (SELECT e.u AS part, COUNT(*) AS dg FROM e\n"
+    "         WHERE e.u IN (SELECT part FROM n{p})\n"
+    "           AND e.v IN (SELECT part FROM n{p}) GROUP BY e.u),\n"
+    "n{h} AS (SELECT part FROM d{h} WHERE dg >= 3)"
+)
+
+_SQL_KCORE = (
+    """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+n0 AS (SELECT DISTINCT u AS part FROM e),
+"""
+    + ",\n".join(_KCORE_ROUND.format(h=h, p=h - 1) for h in range(1, 5))
+    + """
+SELECT CAST(r AS BIGINT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes
+FROM (SELECT 0 AS r, COUNT(*) AS n_nodes FROM n0
+      UNION ALL SELECT 1, COUNT(*) FROM n1
+      UNION ALL SELECT 2, COUNT(*) FROM n2
+      UNION ALL SELECT 3, COUNT(*) FROM n3
+      UNION ALL SELECT 4, COUNT(*) FROM n4)
+"""
+)
+
+
+QUERIES.update(
+    {
+        "hourly_rolling_median": q_hourly_rolling_median,
+        "kcore_copurchase": q_kcore_copurchase,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "hourly_rolling_median": _SQL_ROLLMED,
+        "kcore_copurchase": _SQL_KCORE,
+    }
+)
