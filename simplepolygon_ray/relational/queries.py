@@ -12791,3 +12791,176 @@ ORACLE_SQL.update(
         "kcore_copurchase": _SQL_KCORE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Exact higher central-moment raw sums per event_type — Σc, Σc², Σc³,
+# Σc⁴ over cents c = floor(value·100) — the >int64 exact-fold class
+# (profile_numeric stops at Σc² because Σc³ at c ≤ 49k already
+# overflows int64 at sf0.01).  Per block the cents are run-sorted by
+# type and folded with object-dtype np.add.reduceat (arbitrary-
+# precision Python ints, the geo_centroid_moments trick); partials
+# ship as decimal STRINGS (Arrow can't carry bigints) and the final
+# merge folds the block-bounded partial table with Python ints.  SQL
+# replays via HUGEINT and CAST(... AS VARCHAR); n / Σc / Σc² stay
+# int64 on both sides.
+# --------------------------------------------------------------------------
+
+
+def q_value_moment_sums(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        c = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        u, inv = np.unique(et, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        ci = c[order]
+        starts = np.flatnonzero(np.r_[True, inv[order][1:] != inv[order][:-1]])
+        # tolist(), not astype(object): the latter keeps np.int64 scalars
+        # which WRAP on overflow — Python ints are arbitrary-precision
+        co = np.array(ci.tolist(), dtype=object)
+        n = np.diff(np.r_[starts, len(ci)]).astype(np.int64)
+        s1 = np.add.reduceat(ci, starts)
+        s2 = np.add.reduceat(ci * ci, starts)  # c² ≤ 2.4e9: block-safe int64
+        s3 = np.add.reduceat(co * co * co, starts)
+        s4 = np.add.reduceat(co * co * co * co, starts)
+        return pa.table(
+            {
+                "event_type": pa.array(u, pa.string()),
+                "n": pa.array(n),
+                "s1": pa.array(s1),
+                "s2": pa.array(s2),
+                "s3": pa.array([str(v) for v in s3], pa.string()),
+                "s4": pa.array([str(v) for v in s4], pa.string()),
+            }
+        )
+
+    parts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # block-bounded: blocks × distinct types rows
+    )
+    # plain-dict fold, NOT pandas groupby: groupby.sum() silently
+    # converts an all-int64-fitting object column back to int64 and
+    # cython-sums with wraparound — the exact overflow this op exists
+    # to avoid
+    tot: dict = {}
+    for et, n, s1, s2, s3, s4 in parts[
+        ["event_type", "n", "s1", "s2", "s3", "s4"]
+    ].itertuples(index=False):
+        a = tot.setdefault(et, [0, 0, 0, 0, 0])
+        a[0] += int(n)
+        a[1] += int(s1)
+        a[2] += int(s2)
+        a[3] += int(s3)
+        a[4] += int(s4)
+    keys = sorted(tot)
+    return pd.DataFrame(
+        {
+            "event_type": np.array(keys, dtype=object),
+            "n": np.array([tot[k][0] for k in keys], dtype=np.int64),
+            "sum_c": np.array([tot[k][1] for k in keys], dtype=np.int64),
+            "sum_c2": np.array([tot[k][2] for k in keys], dtype=np.int64),
+            "sum_c3": np.array([str(tot[k][3]) for k in keys], dtype=object),
+            "sum_c4": np.array([str(tot[k][4]) for k in keys], dtype=object),
+        }
+    )
+
+
+_SQL_MOMENTS = """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100.0) AS BIGINT) AS c
+           FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS sum_c,
+       CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS sum_c2,
+       CAST(SUM(CAST(c AS HUGEINT) * c * c) AS VARCHAR) AS sum_c3,
+       CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS VARCHAR) AS sum_c4
+FROM c GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Independence-deviation audit of the event_type × day-of-week
+# contingency table — per cell the exact integer deviation
+# dev = |T·O − R·C| (T grand total, O observed, R/C margins): the
+# division-free numerator of the chi-square standardized residual, so
+# both engines compare exact int64 (T·O ≤ 1e13 at sf0.1).  Day-of-week
+# is computed by explicit epoch arithmetic ((days + 4) mod 7,
+# Sunday = 0) on BOTH sides — engine dayofweek() conventions differ.
+# Distributed part: per-block (type, dow) bincount + Sum exchange; the
+# margin algebra runs on the bounded cell table (types × 7).
+# --------------------------------------------------------------------------
+
+
+def q_contingency_assoc_l1(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (ts // 86_400_000_000 + 4) % 7
+        key = np.array([f"{e}\x00{d}" for e, d in zip(et, dow)], dtype=object)
+        u, c = np.unique(key, return_counts=True)
+        sp = [k.split("\x00") for k in u]
+        return pa.table(
+            {
+                "event_type": pa.array([s[0] for s in sp], pa.string()),
+                "dow": pa.array([int(s[1]) for s in sp], pa.int64()),
+                "o": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()  # bounded: distinct types × 7 rows
+        .sort_values(["event_type", "dow"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    o = cells["o"].to_numpy(np.int64)
+    t_tot = o.sum()
+    r = cells.groupby("event_type")["o"].transform("sum").to_numpy(np.int64)
+    c_m = cells.groupby("dow")["o"].transform("sum").to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "event_type": cells["event_type"].astype(object),
+            "dow": cells["dow"].astype(np.int64),
+            "obs": o,
+            "dev": np.abs(t_tot * o - r * c_m),
+        }
+    )
+
+
+_SQL_CONTINGENCY = """
+WITH c AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM events GROUP BY event_type, dow),
+m AS (SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS r,
+             SUM(o) OVER (PARTITION BY dow) AS cl,
+             SUM(o) OVER () AS t
+      FROM c)
+SELECT event_type, dow, o AS obs,
+       CAST(abs(t * o - r * cl) AS BIGINT) AS dev
+FROM m
+"""
+
+
+QUERIES.update(
+    {
+        "value_moment_sums": q_value_moment_sums,
+        "contingency_assoc_l1": q_contingency_assoc_l1,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "value_moment_sums": _SQL_MOMENTS,
+        "contingency_assoc_l1": _SQL_CONTINGENCY,
+    }
+)
