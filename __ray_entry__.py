@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "bucket_hash_diff",
+    "hourly_ewma",
     "value_moment_sums",
     "contingency_assoc_l1",
     "hourly_rolling_median",

@@ -12964,3 +12964,165 @@ ORACLE_SQL.update(
         "contingency_assoc_l1": _SQL_CONTINGENCY,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Anti-entropy bucket-hash reconciliation between two replicas of the
+# event log — the Merkle-style table-diff class (Dynamo / Cassandra
+# repair): replica A is the full log, replica B deterministically
+# drops event_id % 997 == 0 (a simulated loss).  Per 64-way id bucket
+# each side folds (count, Σ splitmix64(event_id) mod 2^32): equal
+# folds certify the bucket replica-consistent without shipping rows;
+# differing buckets are the repair set.  One streaming pass emits
+# per-block partials for BOTH replicas (B is a mask, not a second
+# scan); the 64-row exchange is the only data movement.  The mod-2^32
+# fold commutes with blocking: sum-of-block-mods ≡ sum (mod 2^32).
+# --------------------------------------------------------------------------
+
+_BHD_M = 1 << 32
+
+
+def q_bucket_hash_diff(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (_hash64(eid) & np.uint64(_BHD_M - 1)).astype(np.int64)
+        bucket = eid % 64
+        in_b = (eid % 997 != 0).astype(np.int64)
+        cnt_a = np.bincount(bucket, minlength=64)
+        cnt_b = np.bincount(bucket[in_b.astype(bool)], minlength=64)
+        # int64 scatter-adds, not weighted bincount: float64 weights are
+        # exact only below 2^53
+        hs_a = np.zeros(64, np.int64)
+        np.add.at(hs_a, bucket, h)
+        hs_b = np.zeros(64, np.int64)
+        np.add.at(hs_b, bucket, h * in_b)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(64, dtype=np.int64)),
+                "cnt_a": pa.array(cnt_a.astype(np.int64)),
+                "cnt_b": pa.array(cnt_b.astype(np.int64)),
+                "hs_a": pa.array(hs_a % _BHD_M),
+                "hs_b": pa.array(hs_b % _BHD_M),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("cnt_a", alias_name="cnt_a"),
+            Sum("cnt_b", alias_name="cnt_b"),
+            Sum("hs_a", alias_name="hs_a"),
+            Sum("hs_b", alias_name="hs_b"),
+        )
+        .to_pandas()  # fixed 64 rows
+        .sort_values("bucket", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ha = agg["hs_a"].to_numpy(np.int64) % _BHD_M
+    hb = agg["hs_b"].to_numpy(np.int64) % _BHD_M
+    ca = agg["cnt_a"].to_numpy(np.int64)
+    cb = agg["cnt_b"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "bucket": agg["bucket"].astype(np.int64),
+            "cnt_a": ca,
+            "cnt_b": cb,
+            "hash_a": ha,
+            "hash_b": hb,
+            "differs": ((ca != cb) | (ha != hb)).astype(np.int64),
+        }
+    )
+
+
+_SQL_BHD = f"""
+WITH src AS (SELECT event_id FROM events),
+{_splitmix_ctes("bh", "src", "event_id", f"CAST(event_id AS HUGEINT) + {_GOLDEN}")},
+k AS (SELECT event_id % 64 AS bucket,
+             x % {_BHD_M} AS h,
+             CASE WHEN event_id % 997 <> 0 THEN 1 ELSE 0 END AS in_b
+      FROM bh3),
+agg AS (SELECT bucket,
+               COUNT(*) AS cnt_a,
+               SUM(in_b) AS cnt_b,
+               SUM(h) % {_BHD_M} AS hash_a,
+               SUM(h * in_b) % {_BHD_M} AS hash_b
+        FROM k GROUP BY bucket)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(hash_a AS BIGINT) AS hash_a, CAST(hash_b AS BIGINT) AS hash_b,
+       CAST(CASE WHEN cnt_a <> cnt_b OR hash_a <> hash_b THEN 1 ELSE 0 END
+            AS BIGINT) AS differs
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Integer EWMA (α = 1/2) over the hourly event-rate series — the
+# linear-recurrence window class (state depends on ALL prior rows,
+# unlike the fixed-frame sliding/rolling windows): s_0 = n_0·2^20,
+# s_t = (s_(t-1) + n_t·2^20) // 2, every step an exact nonnegative
+# integer so numpy and SQL floor-divide identically.  The distributed
+# part is the per-block hour bincount + Sum exchange; the recurrence
+# runs on the time-bounded series (one row per hour).  The SQL oracle
+# replays the recurrence row-by-row with a RECURSIVE CTE on the hour
+# rank — the sequential semantics SQL window frames cannot express.
+# --------------------------------------------------------------------------
+
+
+def q_hourly_ewma(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        u, c = np.unique(hour, return_counts=True)
+        return pa.table({"hour": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # time-bounded
+        .sort_values("hour", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = hourly["n"].to_numpy(np.int64)
+    s = np.empty(len(n), np.int64)
+    acc = int(n[0]) << 20
+    s[0] = acc
+    for i in range(1, len(n)):  # bounded series: one step per hour
+        acc = (acc + (int(n[i]) << 20)) // 2
+        s[i] = acc
+    return pd.DataFrame({"hour": hourly["hour"].to_numpy(np.int64), "ewma_s": s})
+
+
+_SQL_EWMA = """
+WITH RECURSIVE c AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY floor(epoch_us(ts) / 3600000000)) AS rk
+  FROM events GROUP BY floor(epoch_us(ts) / 3600000000)),
+r AS (
+  SELECT rk, hour, n * 1048576 AS s FROM c WHERE rk = 1
+  UNION ALL
+  SELECT c.rk, c.hour, (r.s + c.n * 1048576) // 2
+  FROM r JOIN c ON c.rk = r.rk + 1)
+SELECT hour, CAST(s AS BIGINT) AS ewma_s FROM r
+"""
+
+
+QUERIES.update(
+    {
+        "bucket_hash_diff": q_bucket_hash_diff,
+        "hourly_ewma": q_hourly_ewma,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "bucket_hash_diff": _SQL_BHD,
+        "hourly_ewma": _SQL_EWMA,
+    }
+)
