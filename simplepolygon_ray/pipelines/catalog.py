@@ -4845,3 +4845,81 @@ FROM tot
 
 GEO_QUERIES.update({"dbscan_cluster_stats": q_dbscan_cluster_stats})
 EXTRA_ORACLE_SQL["dbscan_cluster_stats"] = _DBSCAN_SQL
+
+
+# --------------------------------------------------------------------------
+# Integral-image (summed-area table) quadrant sums — the classic O(1)
+# region-query image primitive (Viola–Jones feature extraction): per
+# image the channel-summed pixel grid folds into a 2-D prefix-sum
+# table and the four quadrant sums are read off the 4-corner identity
+# S(y1,x1) − S(y0-1,x1) − S(y1,x0-1) + S(y0-1,x0-1).  The SQL oracle
+# never builds the SAT: it re-decodes the persisted payload int-list
+# (same projection as image_decode_check) and groups raw pixels by
+# quadrant — two independent computations of the same region sums.
+# Capped at 4000 rows via _persist_media_inputs (invariant corpus, not
+# a throughput path); the streaming-scale decode path is the
+# stages/media.py actor pool.
+# --------------------------------------------------------------------------
+
+
+def q_image_integral_quadrants(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def sat_quads(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        tl, tr, bl, br, tot = [], [], [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            s = px.cumsum(axis=0).cumsum(axis=1)  # the SAT
+            hh, hw = h // 2, w // 2  # w, h >= 16: quadrants never empty
+            a = int(s[hh - 1, hw - 1])
+            b = int(s[hh - 1, w - 1]) - a
+            c = int(s[h - 1, hw - 1]) - a
+            d = int(s[h - 1, w - 1]) - a - b - c
+            tl.append(a)
+            tr.append(b)
+            bl.append(c)
+            br.append(d)
+            tot.append(int(s[h - 1, w - 1]))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "q_tl": pa.array(tl, pa.int64()),
+                "q_tr": pa.array(tr, pa.int64()),
+                "q_bl": pa.array(bl, pa.int64()),
+                "q_br": pa.array(br, pa.int64()),
+                "total": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(sat_quads, batch_format="pyarrow")
+
+
+_IMG_QUAD_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h * 3 AS n_px
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+s AS (SELECT image_id,
+  CAST(list_sum([CASE WHEN (p // 3) % w < w // 2 AND p // (w * 3) < h // 2
+       THEN (CASE WHEN fmt = 'raw' THEN b[p + 1] ELSE b[p + 1] * 4 + 2 END)
+       ELSE 0 END for p in generate_series(0, n_px - 1)]) AS BIGINT) AS q_tl,
+  CAST(list_sum([CASE WHEN (p // 3) % w >= w // 2 AND p // (w * 3) < h // 2
+       THEN (CASE WHEN fmt = 'raw' THEN b[p + 1] ELSE b[p + 1] * 4 + 2 END)
+       ELSE 0 END for p in generate_series(0, n_px - 1)]) AS BIGINT) AS q_tr,
+  CAST(list_sum([CASE WHEN (p // 3) % w < w // 2 AND p // (w * 3) >= h // 2
+       THEN (CASE WHEN fmt = 'raw' THEN b[p + 1] ELSE b[p + 1] * 4 + 2 END)
+       ELSE 0 END for p in generate_series(0, n_px - 1)]) AS BIGINT) AS q_bl,
+  CAST(list_sum([CASE WHEN fmt = 'raw' THEN v ELSE v * 4 + 2 END for v in b])
+       AS BIGINT) AS total
+  FROM base)
+SELECT image_id, q_tl, q_tr, q_bl,
+       total - q_tl - q_tr - q_bl AS q_br, total
+FROM s
+"""
+
+GEO_QUERIES.update({"image_integral_quadrants": q_image_integral_quadrants})
+EXTRA_ORACLE_SQL["image_integral_quadrants"] = _IMG_QUAD_SQL

@@ -13126,3 +13126,98 @@ ORACLE_SQL.update(
         "hourly_ewma": _SQL_EWMA,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Dominant-eigenvector power iteration over the embedding Gram matrix
+# — the iterative dense-linear-algebra class (PageRank's dense
+# sibling): v ← XᵀXv computed WITHOUT forming XᵀX, as the two matvec
+# chain Xᵀ(Xv).  Two synchronous iterations from v₀ = 1: per
+# iteration the 64-vector broadcasts once via ray.put, each block
+# contributes the exact int64 partial x_bᵀ(x_b·v) (a 64-row table),
+# and the Sum exchange is dim-bounded.  Renormalization is the
+# division-free-safe integer map v ← clamp(⌊w / (n·2^17)⌋, ±16384):
+# floor-division (numpy //) replayed in SQL with the CASE floor-div
+# pattern (DuckDB // truncates toward zero on negatives), clamp via
+# LEAST/GREATEST.  Magnitude audit: |x| ≤ 5000 (e4 scale, |val| < .5),
+# so iter-2 global sums stay < n·2.6e13 — int64-exact to n ≈ 3.5e5
+# vectors; beyond that, raise the shift (documented, not silent).
+# --------------------------------------------------------------------------
+
+
+def q_embedding_power_iteration(sf_dir: str):
+    import ray
+
+    emb = _t(sf_dir, "embeddings", columns=["embedding"])
+    n = emb.count()
+    dims = np.arange(64, dtype=np.int64)
+    v = np.ones(64, np.int64)
+    vs = {}
+
+    for it in (1, 2):
+        ref = ray.put(v)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "dim": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.int64()),
+                    }
+                )
+            x = _emb_matrix_i64(t["embedding"])
+            vv = ray.get(_ref)
+            w = x.T @ (x @ vv)  # exact int64 matvec chain
+            return pa.table({"dim": pa.array(dims), "w": pa.array(w)})
+
+        w_pd = (
+            emb.map_batches(partial, batch_format="pyarrow")
+            .groupby("dim")
+            .aggregate(Sum("w", alias_name="w"))
+            .to_pandas()  # dim-bounded: 64 rows
+            .sort_values("dim", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        w = w_pd["w"].to_numpy(np.int64)
+        v = np.clip(w // (n << 17), -16384, 16384)
+        vs[it] = v
+
+    return pd.DataFrame({"dim": dims, "v1": vs[1], "v2": vs[2]}).astype(np.int64)
+
+
+def _pi_floordiv(w: str, d: str) -> str:
+    return (
+        f"CASE WHEN {w} >= 0 THEN {w} // ({d}) "
+        f"ELSE -((-({w}) + ({d}) - 1) // ({d})) END"
+    )
+
+
+_SQL_POWER_ITER = f"""
+WITH e AS (SELECT vec_id,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                       AS BIGINT) AS v,
+                  generate_subscripts(embedding, 1) - 1 AS i
+           FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+d1 AS (SELECT vec_id, SUM(v) AS dot FROM e GROUP BY vec_id),
+w1 AS (SELECT e.i, SUM(CAST(e.v AS HUGEINT) * d1.dot) AS w
+       FROM e JOIN d1 USING (vec_id) GROUP BY e.i),
+v1 AS (SELECT i, LEAST(GREATEST(
+             {_pi_floordiv("w", "nn.n * 131072")}, -16384), 16384) AS val
+       FROM w1, nn),
+d2 AS (SELECT e.vec_id, SUM(CAST(e.v AS HUGEINT) * v1.val) AS dot
+       FROM e JOIN v1 ON v1.i = e.i GROUP BY e.vec_id),
+w2 AS (SELECT e.i, SUM(CAST(e.v AS HUGEINT) * d2.dot) AS w
+       FROM e JOIN d2 USING (vec_id) GROUP BY e.i),
+v2 AS (SELECT i, LEAST(GREATEST(
+             {_pi_floordiv("w", "nn.n * 131072")}, -16384), 16384) AS val
+       FROM w2, nn)
+SELECT CAST(v1.i AS BIGINT) AS dim,
+       CAST(v1.val AS BIGINT) AS v1,
+       CAST(v2.val AS BIGINT) AS v2
+FROM v1 JOIN v2 USING (i)
+"""
+
+
+QUERIES.update({"embedding_power_iteration": q_embedding_power_iteration})
+ORACLE_SQL.update({"embedding_power_iteration": _SQL_POWER_ITER})
