@@ -4923,3 +4923,73 @@ FROM s
 
 GEO_QUERIES.update({"image_integral_quadrants": q_image_integral_quadrants})
 EXTRA_ORACLE_SQL["image_integral_quadrants"] = _IMG_QUAD_SQL
+
+
+# --------------------------------------------------------------------------
+# Image gradient energy — the edge/texture feature primitive (the L1
+# Sobel-lite used by blur/quality filters in training-data pipelines):
+# per image, on the channel-summed grid, gx = Σ|p(y,x+1) − p(y,x)| and
+# gy = Σ|p(y+1,x) − p(y,x)| as exact integers (numpy diff on the
+# decoded int64 grid).  The SQL oracle re-decodes the persisted
+# payload int-list and replays both directed sums with neighbor
+# indexing inside a list comprehension — no SAT, no shared code with
+# the Ray kernel.  Same 4000-row invariant corpus as the other media
+# oracles; the throughput path for real corpora is the media.py actor
+# pool.
+# --------------------------------------------------------------------------
+
+
+def q_image_gradient_energy(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def grad(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        gxs, gys = [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            gxs.append(int(np.abs(np.diff(px, axis=1)).sum()))
+            gys.append(int(np.abs(np.diff(px, axis=0)).sum()))
+        gx = np.asarray(gxs, np.int64)
+        gy = np.asarray(gys, np.int64)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "gx": pa.array(gx),
+                "gy": pa.array(gy),
+                "energy": pa.array(gx + gy),
+            }
+        )
+
+    return imgs.map_batches(grad, batch_format="pyarrow")
+
+
+def _gq_pix(q: str) -> str:
+    """channel-summed decoded pixel value at pixel index q (SQL)."""
+    return (
+        f"(CASE WHEN fmt = 'raw' THEN b[3*({q})+1] + b[3*({q})+2] + b[3*({q})+3] "
+        f"ELSE (b[3*({q})+1] + b[3*({q})+2] + b[3*({q})+3]) * 4 + 6 END)"
+    )
+
+
+_IMG_GRAD_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+s AS (SELECT image_id,
+  CAST(list_sum([CASE WHEN p % w < w - 1
+       THEN abs({_gq_pix("p + 1")} - {_gq_pix("p")}) ELSE 0 END
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS gx,
+  CAST(list_sum([CASE WHEN p < w * (h - 1)
+       THEN abs({_gq_pix("p + w")} - {_gq_pix("p")}) ELSE 0 END
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS gy
+  FROM base)
+SELECT image_id, gx, gy, gx + gy AS energy FROM s
+"""
+
+
+GEO_QUERIES.update({"image_gradient_energy": q_image_gradient_energy})
+EXTRA_ORACLE_SQL["image_gradient_energy"] = _IMG_GRAD_SQL

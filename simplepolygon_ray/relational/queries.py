@@ -13221,3 +13221,126 @@ FROM v1 JOIN v2 USING (i)
 
 QUERIES.update({"embedding_power_iteration": q_embedding_power_iteration})
 ORACLE_SQL.update({"embedding_power_iteration": _SQL_POWER_ITER})
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter false-positive-rate audit — the sketch-QUALITY class
+# next to ann_ivf_recall and cover_filter_precision: build a
+# deliberately tiny filter (m = 2048 bits, k = 2 Kirsch-Mitzenmacher
+# probes — sized to force a measurable FPR, unlike the 16 KB
+# production filter of bloom_semi_join) over the high-value order
+# keys (o_totalprice > 450000, the bloom_semi_join cutoff), probe
+# EVERY order key, and compare bloom positives against exact
+# membership.  The member set is a bounded selective pull; the probe
+# pass streams over orders (o_orderkey is unique per row, so no
+# distinct exchange is needed) with the (bitmap, sorted members)
+# broadcast once via ray.put.  SQL rebuilds the bit set from the same
+# splitmix64 (h1 + j*h2) mod m schedule and certifies a positive as
+# all-k-bits-set.
+# --------------------------------------------------------------------------
+
+_FPR_M = 1 << 11  # bits
+_FPR_K = 2
+
+
+def _fpr_positions(keys: np.ndarray) -> list[np.ndarray]:
+    h = _hash64(keys.astype(np.int64))
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = h >> np.uint64(32)
+    return [
+        ((h1 + np.uint64(j) * h2) % np.uint64(_FPR_M)).astype(np.int64)
+        for j in range(_FPR_K)
+    ]
+
+
+def q_bloom_fpr_audit(sf_dir: str):
+    import ray
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    members = np.sort(
+        orders.filter(
+            expr=f"o_totalprice > {_BLOOM_CUTOFF}"
+        )
+        .select_columns(["o_orderkey"])
+        .to_pandas()["o_orderkey"]  # bounded: the selective member set
+        .to_numpy(np.int64)
+    )
+    bits = np.zeros(_FPR_M, bool)
+    for p in _fpr_positions(members):
+        bits[p] = True
+    ref = ray.put((bits, members))
+
+    def probe(t: pa.Table, _ref=ref) -> pa.Table:
+        b, mem = ray.get(_ref)
+        u = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.ones(len(u), bool)
+        for p in _fpr_positions(u):
+            pos &= b[p]
+        if len(mem):
+            idx = np.searchsorted(mem, u)
+            idx[idx == len(mem)] = 0
+            is_mem = mem[idx] == u
+        else:
+            is_mem = np.zeros(len(u), bool)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(1, np.int64)),
+                "n_probe": pa.array([len(u)]),
+                "n_positive": pa.array([int(pos.sum())]),
+                "n_true": pa.array([int((pos & is_mem).sum())]),
+                "n_false_pos": pa.array([int((pos & ~is_mem).sum())]),
+            }
+        )
+
+    probes = (
+        orders.select_columns(["o_orderkey"])
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n_probe", alias_name="n_probe"),
+            Sum("n_positive", alias_name="n_positive"),
+            Sum("n_true", alias_name="n_true"),
+            Sum("n_false_pos", alias_name="n_false_pos"),
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_build": [len(members)],
+            "n_probe": probes["n_probe"].astype(np.int64),
+            "n_positive": probes["n_positive"].astype(np.int64),
+            "n_true": probes["n_true"].astype(np.int64),
+            "n_false_pos": probes["n_false_pos"].astype(np.int64),
+        }
+    ).astype(np.int64)
+
+
+_SQL_FPR = f"""
+WITH mem AS (SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_CUTOFF}),
+{_splitmix_ctes("mh", "mem", "o_orderkey", f"CAST(o_orderkey AS HUGEINT) + {_GOLDEN}")},
+j(j) AS (VALUES (0), (1)),
+bits AS (SELECT DISTINCT
+           CAST((x % 4294967296 + j.j * (x // 4294967296)) % {_FPR_M} AS BIGINT)
+             AS pos
+         FROM mh3 CROSS JOIN j),
+pr AS (SELECT o_orderkey FROM orders),
+{_splitmix_ctes("ph", "pr", "o_orderkey", f"CAST(o_orderkey AS HUGEINT) + {_GOLDEN}")},
+ppos AS (SELECT o_orderkey, j.j,
+           CAST((x % 4294967296 + j.j * (x // 4294967296)) % {_FPR_M} AS BIGINT)
+             AS pos
+         FROM ph3 CROSS JOIN j),
+pos AS (SELECT p.o_orderkey FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+        GROUP BY p.o_orderkey HAVING COUNT(b.pos) = {_FPR_K})
+SELECT
+  (SELECT COUNT(*) FROM mem) AS n_build,
+  (SELECT COUNT(*) FROM pr) AS n_probe,
+  (SELECT COUNT(*) FROM pos) AS n_positive,
+  (SELECT COUNT(*) FROM pos
+    WHERE o_orderkey IN (SELECT o_orderkey FROM mem)) AS n_true,
+  (SELECT COUNT(*) FROM pos
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM mem)) AS n_false_pos
+"""
+
+
+QUERIES.update({"bloom_fpr_audit": q_bloom_fpr_audit})
+ORACLE_SQL.update({"bloom_fpr_audit": _SQL_FPR})
