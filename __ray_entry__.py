@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "geo_edge_octant_hist",
+    "event_type_trigrams",
     "bloom_fpr_audit",
     "image_gradient_energy",
     "image_integral_quadrants",

@@ -4993,3 +4993,132 @@ SELECT image_id, gx, gy, gx + gy AS energy FROM s
 
 GEO_QUERIES.update({"image_gradient_energy": q_image_gradient_energy})
 EXTRA_ORACLE_SQL["image_gradient_energy"] = _IMG_GRAD_SQL
+
+
+# --------------------------------------------------------------------------
+# Edge-direction octant histogram over the decomposed ring corpus —
+# the direction/bearing primitive done WITHOUT atan2: each directed
+# edge of each open ring (wraparound included) is classified into one
+# of 8 octants purely by exact integer sign/magnitude comparisons on
+# the floor-e5 deltas (the same .5-safe scaling as the centroid
+# moments), so no transcendental ever enters and both engines agree
+# bit-for-bit.  Per octant: edge count and the exact L1 length sum.
+# The open-vertex table persists (same projection as centroid_verts)
+# and SQL rebuilds the wraparound edges with the (vidx + 1) % m join,
+# replaying the CASE chain in the identical order.
+# --------------------------------------------------------------------------
+
+_OCT_CASES = [
+    ("dx > 0 AND dy >= 0 AND dx >= dy", 0),
+    ("dy > 0 AND dx > 0 AND dy > dx", 1),
+    ("dy > 0 AND dx <= 0 AND dy >= -dx", 2),
+    ("dx < 0 AND dy > 0 AND -dx > dy", 3),
+    ("dx < 0 AND dy <= 0 AND -dx >= -dy", 4),
+    ("dy < 0 AND dx < 0 AND -dy > -dx", 5),
+    ("dy < 0 AND dx >= 0 AND -dy >= dx", 6),
+]
+
+
+def _octants(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    conds = [
+        (dx > 0) & (dy >= 0) & (dx >= dy),
+        (dy > 0) & (dx > 0) & (dy > dx),
+        (dy > 0) & (dx <= 0) & (dy >= -dx),
+        (dx < 0) & (dy > 0) & (-dx > dy),
+        (dx < 0) & (dy <= 0) & (-dx >= -dy),
+        (dy < 0) & (dx < 0) & (-dy > -dx),
+        (dy < 0) & (dx >= 0) & (-dy >= dx),
+    ]
+    return np.select(conds, np.arange(7, dtype=np.int64), default=np.int64(7))
+
+
+def q_geo_edge_octant_hist(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..cells.grid import _rl_arange
+
+    simple = _simple_rings_cached(sf_dir)
+    _persist(
+        simple.map_batches(_verts_batch, batch_format="pyarrow"), "octant_verts"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "octant": pa.array([], pa.int64()),
+                    "n_edges": pa.array([], pa.int64()),
+                    "sum_l1_e5": pa.array([], pa.int64()),
+                }
+            )
+        col = t["ring"].combine_chunks()
+        offs = np.asarray(col.offsets).astype(np.int64)
+        coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+        vlen = offs[1:] - offs[:-1]
+        closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(
+            axis=1
+        )
+        closed &= vlen > 1
+        olen = vlen - closed.astype(np.int64)
+        gather = _rl_arange(offs[:-1], olen)
+        oc = coords[gather]
+        xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+        yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+        ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+        nxt = np.arange(len(oc), dtype=np.int64) + 1
+        nxt[ostart + olen - 1] = ostart
+        dx = xi[nxt] - xi
+        dy = yi[nxt] - yi
+        o = _octants(dx, dy)
+        n = np.bincount(o, minlength=8).astype(np.int64)
+        l1 = np.zeros(8, np.int64)
+        np.add.at(l1, o, np.abs(dx) + np.abs(dy))
+        return pa.table(
+            {
+                "octant": pa.array(np.arange(8, dtype=np.int64)),
+                "n_edges": pa.array(n),
+                "sum_l1_e5": pa.array(l1),
+            }
+        )
+
+    agg = (
+        simple.map_batches(partial, batch_format="pyarrow")
+        .groupby("octant")
+        .aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Sum("sum_l1_e5", alias_name="sum_l1_e5"),
+        )
+    )
+
+    def drop_empty(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t["n_edges"], 0))
+
+    return agg.map_batches(drop_empty, batch_format="pyarrow")
+
+
+_OCT_CASE_SQL = "CASE " + " ".join(
+    f"WHEN {cond} THEN {val}" for cond, val in _OCT_CASES
+) + " ELSE 7 END"
+
+_OCTANT_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/octant_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+e AS (SELECT b.xi - a.xi AS dx, b.yi - a.yi AS dy
+      FROM v a
+      JOIN n USING (geom_id, ring_seq)
+      JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+              AND b.vidx = (a.vidx + 1) % n.m)
+SELECT CAST(({_OCT_CASE_SQL}) AS BIGINT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(abs(dx) + abs(dy)) AS BIGINT) AS sum_l1_e5
+FROM e GROUP BY octant
+"""
+
+
+GEO_QUERIES.update({"geo_edge_octant_hist": q_geo_edge_octant_hist})
+EXTRA_ORACLE_SQL["geo_edge_octant_hist"] = _OCTANT_SQL

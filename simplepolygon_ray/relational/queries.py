@@ -13344,3 +13344,80 @@ SELECT
 
 QUERIES.update({"bloom_fpr_audit": q_bloom_fpr_audit})
 ORACLE_SQL.update({"bloom_fpr_audit": _SQL_FPR})
+
+
+# --------------------------------------------------------------------------
+# Order-2 Markov transitions: per-user event-type TRIGRAM counts —
+# the sequence-mining step above event_transitions' bigrams (the
+# order-1 chain): the order-2 chain distinguishes "view→click after
+# signup" from "view→click after purchase", which a bigram model
+# cannot.  Same one-shuffle plan: user-hash bucket groupby, in-frame
+# lexsort, and a double shifted-compare so only triples fully inside
+# one user's run count; codes pack into base-|types| ints and
+# bincount folds per block before the (8^3)-bounded Sum exchange.
+# --------------------------------------------------------------------------
+
+
+def q_event_type_trigrams(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    etypes = pa.array(_ETYPES)
+
+    def tri(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "t0": pa.array([], pa.string()),
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) < 3:
+            return empty
+        uid0 = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts0 = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid0 = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid0, ts0, uid0))
+        uid = uid0[order]
+        ia = pc.index_in(g["event_type"], value_set=etypes)
+        if ia.null_count:
+            raise ValueError("event_type outside the known set")
+        code = ia.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ne = len(_ETYPES)
+        same = uid[1:] == uid[:-1]
+        tri_ok = same[:-1] & same[1:]
+        key = (
+            code[:-2][tri_ok] * ne * ne
+            + code[1:-1][tri_ok] * ne
+            + code[2:][tri_ok]
+        )
+        if len(key) == 0:
+            return empty
+        cnt = np.bincount(key, minlength=ne * ne * ne).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "t0": etypes.take(pa.array(nz // (ne * ne))),
+                "t1": etypes.take(pa.array((nz // ne) % ne)),
+                "t2": etypes.take(pa.array(nz % ne)),
+                "n": pa.array(cnt[nz]),
+            }
+        )
+
+    tris = _bucket_groupby(ev, "user_id", tri, batch_format="pyarrow")
+    return tris.groupby(["t0", "t1", "t2"]).aggregate(Sum("n", alias_name="n"))
+
+
+_SQL_TRIGRAMS = """
+SELECT p2 AS t0, p1 AS t1, event_type AS t2, COUNT(*) AS n
+FROM (SELECT user_id, event_type,
+             LAG(event_type) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE p2 IS NOT NULL
+GROUP BY p2, p1, event_type
+"""
+
+
+QUERIES.update({"event_type_trigrams": q_event_type_trigrams})
+ORACLE_SQL.update({"event_type_trigrams": _SQL_TRIGRAMS})
