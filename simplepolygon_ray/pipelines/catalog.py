@@ -5122,3 +5122,127 @@ FROM e GROUP BY octant
 
 GEO_QUERIES.update({"geo_edge_octant_hist": q_geo_edge_octant_hist})
 EXTRA_ORACLE_SQL["geo_edge_octant_hist"] = _OCTANT_SQL
+
+
+# --------------------------------------------------------------------------
+# Image RLE run counts — the compressibility audit used to flag
+# synthetic/flat regions in image-corpus curation: per image, on the
+# channel-summed decoded grid, the number of horizontal runs (each row
+# contributes 1 + its value-change count) and vertical runs (each
+# column likewise), both exact integers.  A low runs/n_pix ratio means
+# the image RLE-compresses well (flat banner / solid-color detection).
+# The SQL oracle re-decodes the persisted payload int-list and counts
+# neighbor inequalities with the same CASE-decoded pixel expression as
+# the gradient oracle — no shared kernel with the Ray side.
+# --------------------------------------------------------------------------
+
+
+def q_image_rle_runs(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def rle(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        hr, vr, npx = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            hr.append(h + int((np.diff(px, axis=1) != 0).sum()))
+            vr.append(w + int((np.diff(px, axis=0) != 0).sum()))
+            npx.append(w * h)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "h_runs": pa.array(hr, pa.int64()),
+                "v_runs": pa.array(vr, pa.int64()),
+                "n_pix": pa.array(npx, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(rle, batch_format="pyarrow")
+
+
+_IMG_RLE_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  CAST(h + list_sum([CASE WHEN p % w > 0
+       AND {_gq_pix("p")} != {_gq_pix("p - 1")} THEN 1 ELSE 0 END
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS h_runs,
+  CAST(w + list_sum([CASE WHEN p >= w
+       AND {_gq_pix("p")} != {_gq_pix("p - w")} THEN 1 ELSE 0 END
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS v_runs,
+  n_pix
+FROM base
+"""
+
+GEO_QUERIES.update({"image_rle_runs": q_image_rle_runs})
+EXTRA_ORACLE_SQL["image_rle_runs"] = _IMG_RLE_SQL
+
+
+# --------------------------------------------------------------------------
+# Image brightness moments — raw spatial moments m00/m10/m01/m11/m20/
+# m02 of the channel-summed grid (x = column, y = row), the primitive
+# behind brightness-centroid crops, orientation estimates and
+# blur/vignette audits.  All six are exact int64 sums (p <= 765,
+# x,y < 256, n_pix <= 2^16 -> far inside int64).  Vectorized on the
+# Ray side with per-image row/column index folds (no meshgrid: column
+# sums x weights, row sums x weights), replayed in SQL with x = p % w,
+# y = p // w inside a list comprehension over the persisted payload.
+# --------------------------------------------------------------------------
+
+
+def q_image_moments(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def moments(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        out = {k: [] for k in ("m00", "m10", "m01", "m11", "m20", "m02")}
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            xs = np.arange(w, dtype=np.int64)
+            ys = np.arange(h, dtype=np.int64)
+            col = px.sum(axis=0)  # weight per column
+            row = px.sum(axis=1)  # weight per row
+            out["m00"].append(int(col.sum()))
+            out["m10"].append(int((col * xs).sum()))
+            out["m01"].append(int((row * ys).sum()))
+            out["m20"].append(int((col * xs * xs).sum()))
+            out["m02"].append(int((row * ys * ys).sum()))
+            out["m11"].append(int(((px @ xs) * ys).sum()))
+        cols = {"image_id": t["image_id"]}
+        cols.update({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        return pa.table(cols)
+
+    return imgs.map_batches(moments, batch_format="pyarrow")
+
+
+_IMG_MOM_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  CAST(list_sum([{_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS m00,
+  CAST(list_sum([(p % w) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS m10,
+  CAST(list_sum([(p // w) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS m01,
+  CAST(list_sum([(p % w) * (p // w) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS m11,
+  CAST(list_sum([(p % w) * (p % w) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS m20,
+  CAST(list_sum([(p // w) * (p // w) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS m02
+FROM base
+"""
+
+GEO_QUERIES.update({"image_moments": q_image_moments})
+EXTRA_ORACLE_SQL["image_moments"] = _IMG_MOM_SQL
