@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "join_size_audit",
+    "degree_assortativity",
     "image_rle_runs",
     "image_moments",
     "geo_edge_octant_hist",

@@ -13421,3 +13421,191 @@ GROUP BY p2, p1, event_type
 
 QUERIES.update({"event_type_trigrams": q_event_type_trigrams})
 ORACLE_SQL.update({"event_type_trigrams": _SQL_TRIGRAMS})
+
+
+# --------------------------------------------------------------------------
+# Join-size audit (planner cardinality, computed WITHOUT the join):
+# for each (table, key) pair the exact self-join cardinality
+# Σ_k c(k)², row count, distinct-key count and max key multiplicity —
+# the numbers a cost-based planner needs to predict join explosion,
+# derived from per-key count histograms (partial per-block counts →
+# keyed Sum → tiny per-block scalar partials), never materializing a
+# single joined row.  The SQL oracle takes the OPPOSITE path: it runs
+# the actual self-join and COUNT(*)s it, so agreement certifies the
+# histogram-product identity end-to-end.  All exact int64.
+# --------------------------------------------------------------------------
+
+
+def q_join_size_audit(sf_dir: str):
+    def side_stats(ds, key: str, label: str) -> dict:
+        def cnt(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table({"k": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+        per_key = (
+            ds.map_batches(cnt, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+        def fold(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(c) == 0:
+                return pa.table(
+                    {
+                        "n_rows": pa.array([], pa.int64()),
+                        "n_keys": pa.array([], pa.int64()),
+                        "max_mult": pa.array([], pa.int64()),
+                        "self_join_size": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "n_rows": pa.array([int(c.sum())]),
+                    "n_keys": pa.array([len(c)]),
+                    "max_mult": pa.array([int(c.max())]),
+                    "self_join_size": pa.array([int((c * c).sum())]),
+                }
+            )
+
+        p = per_key.map_batches(fold, batch_format="pyarrow").to_pandas()
+        # block-bounded: one row per block of the keyed aggregate
+        return {
+            "side": label,
+            "n_rows": int(p["n_rows"].sum()),
+            "n_keys": int(p["n_keys"].sum()),
+            "max_mult": int(p["max_mult"].max()),
+            "self_join_size": int(p["self_join_size"].sum()),
+        }
+
+    rows = [
+        side_stats(
+            _t(sf_dir, "lineitem", columns=["l_partkey"]),
+            "l_partkey",
+            "lineitem.partkey",
+        ),
+        side_stats(
+            _t(sf_dir, "events", columns=["user_id"]), "user_id", "events.user_id"
+        ),
+    ]
+    rows.sort(key=lambda r: r["side"])
+    return pd.DataFrame(rows)[
+        ["side", "n_rows", "n_keys", "max_mult", "self_join_size"]
+    ]
+
+
+_SQL_JOIN_SIZE = """
+WITH l AS (
+  SELECT 'lineitem.partkey' AS side,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_keys,
+         CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem
+               GROUP BY l_partkey)) AS BIGINT) AS max_mult,
+         CAST((SELECT COUNT(*) FROM lineitem a JOIN lineitem b
+               ON a.l_partkey = b.l_partkey) AS BIGINT) AS self_join_size
+  FROM lineitem),
+e AS (
+  SELECT 'events.user_id' AS side,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+         CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM events
+               GROUP BY user_id)) AS BIGINT) AS max_mult,
+         CAST((SELECT COUNT(*) FROM events a JOIN events b
+               ON a.user_id = b.user_id) AS BIGINT) AS self_join_size
+  FROM events)
+SELECT * FROM e UNION ALL SELECT * FROM l ORDER BY side
+"""
+
+QUERIES.update({"join_size_audit": q_join_size_audit})
+ORACLE_SQL.update({"join_size_audit": _SQL_JOIN_SIZE})
+
+
+# --------------------------------------------------------------------------
+# Degree-assortativity moment sums over the co-purchase graph — the
+# exact integer ingredients of Pearson's r between the endpoint
+# degrees of every directed edge (n, Σx, Σxy, Σx²; Σy/Σy² equal Σx/Σx²
+# by symmetry since both orientations are counted).  Degrees are
+# distinct-neighbor counts; the degree vector is node-bounded (parts ≪
+# edges, the same broadcast assumption pagerank_copurchase documents)
+# and ships once via ray.put; each edge block then folds its own
+# moment partials, so the driver merges blocks × 1 rows.  One row out.
+# --------------------------------------------------------------------------
+
+
+def q_degree_assortativity(sf_dir: str):
+    import ray
+
+    edges = _copurchase_pair_counts(sf_dir).select_columns(["part_a", "part_b"])
+
+    def degp(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table({"part": pa.array(u), "dg": pa.array(c.astype(np.int64))})
+
+    deg = (
+        edges.map_batches(degp, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Sum("dg", alias_name="dg"))
+        .to_pandas()  # node-bounded: one row per part in the graph
+    )
+    parts_arr = deg["part"].to_numpy(np.int64)
+    dg_arr = deg["dg"].to_numpy(np.int64)
+    order = np.argsort(parts_arr, kind="stable")
+    ref = ray.put((parts_arr[order], dg_arr[order]))
+
+    def moments(t: pa.Table, _ref=ref) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_edges": pa.array([], pa.int64()),
+                "sum_x": pa.array([], pa.int64()),
+                "sum_xy": pa.array([], pa.int64()),
+                "sum_x2": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        import ray as _ray
+
+        nodes, dg = _ray.get(_ref)
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = dg[np.searchsorted(nodes, a)]
+        db = dg[np.searchsorted(nodes, b)]
+        # both orientations: x over concat(da, db), y over concat(db, da)
+        return pa.table(
+            {
+                "n_edges": pa.array([2 * len(a)]),
+                "sum_x": pa.array([int(da.sum() + db.sum())]),
+                "sum_xy": pa.array([2 * int((da * db).sum())]),
+                "sum_x2": pa.array([int((da * da).sum() + (db * db).sum())]),
+            }
+        )
+
+    p = edges.map_batches(moments, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_edges": [int(p["n_edges"].sum())],
+            "sum_x": [int(p["sum_x"].sum())],
+            "sum_xy": [int(p["sum_xy"].sum())],
+            "sum_x2": [int(p["sum_x2"].sum())],
+        }
+    )
+
+
+_SQL_ASSORT = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY u)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(du.dg) AS BIGINT) AS sum_x,
+       CAST(SUM(du.dg * dv.dg) AS BIGINT) AS sum_xy,
+       CAST(SUM(du.dg * du.dg) AS BIGINT) AS sum_x2
+FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+"""
+
+QUERIES.update({"degree_assortativity": q_degree_assortativity})
+ORACLE_SQL.update({"degree_assortativity": _SQL_ASSORT})
