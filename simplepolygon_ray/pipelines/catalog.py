@@ -5246,3 +5246,178 @@ FROM base
 
 GEO_QUERIES.update({"image_moments": q_image_moments})
 EXTRA_ORACLE_SQL["image_moments"] = _IMG_MOM_SQL
+
+
+# --------------------------------------------------------------------------
+# Otsu adaptive threshold — the classic histogram-based binarization
+# operator (document scans / mask extraction in image curation), made
+# engine-exact: per image, over the channel-summed value histogram,
+# pick the threshold t (class 0 = pixels ≤ t) maximizing the between-
+# class variance ∝ (S0·n − S·n0)² / (n0·(n−n0)).  Scores are compared
+# as exact integers — floor((S0·n − S·n0)² / den) needs >int64 for the
+# square, so the per-candidate scan runs on Python ints over the
+# value-bounded (≤766-candidate) domain; ties break to the smallest t
+# on both engines.  The SQL oracle replays the whole thing from the
+# persisted payload: pixel UNNEST → per-value histogram → window
+# cumsums → HUGEINT score → QUALIFY argmax.  Candidates exclude each
+# image's max value (n1 = 0 is undefined), identically on both sides.
+# --------------------------------------------------------------------------
+
+
+def q_image_otsu_threshold(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def otsu(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        ids = t["image_id"].to_pylist()
+        out_id, out_t, out_n0, out_s0, out_sc = [], [], [], [], []
+        for img_id, w, h, fmt, payload in zip(ids, ws, hs, fmts, payloads):
+            v = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2).ravel()
+            u, c = np.unique(v, return_counts=True)
+            if len(u) < 2:
+                continue  # constant image: no valid threshold (SQL omits too)
+            n0 = np.cumsum(c)
+            s0 = np.cumsum(u * c)
+            ntot, stot = int(n0[-1]), int(s0[-1])
+            best = None  # (score, t, n0, s0)
+            for k in range(len(u) - 1):  # value-bounded: ≤ 765 candidates
+                nk, sk = int(n0[k]), int(s0[k])
+                num = sk * ntot - stot * nk  # exact int
+                score = (num * num) // (nk * (ntot - nk))  # Python ints
+                if best is None or score > best[0]:
+                    best = (score, int(u[k]), nk, sk)
+            out_id.append(img_id)
+            out_t.append(best[1])
+            out_n0.append(best[2])
+            out_s0.append(best[3])
+            out_sc.append(best[0])
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "otsu_t": pa.array(out_t, pa.int64()),
+                "n0": pa.array(out_n0, pa.int64()),
+                "s0": pa.array(out_s0, pa.int64()),
+                "score": pa.array(out_sc, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(otsu, batch_format="pyarrow")
+
+
+_IMG_OTSU_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+px AS (SELECT image_id,
+              unnest([{_gq_pix("p")}
+                      for p in generate_series(0, n_pix - 1)]) AS v
+       FROM base),
+hist AS (SELECT image_id, CAST(v AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM px GROUP BY 1, 2),
+tot AS (SELECT image_id, SUM(c) AS n, SUM(v * c) AS s FROM hist GROUP BY 1),
+cum AS (SELECT image_id, v,
+               SUM(c) OVER w AS n0, SUM(v * c) OVER w AS s0,
+               ROW_NUMBER() OVER
+                 (PARTITION BY image_id ORDER BY v DESC) AS rn
+        FROM hist WINDOW w AS (PARTITION BY image_id ORDER BY v)),
+sc AS (SELECT c.image_id, c.v, c.n0, c.s0,
+              CAST(CAST(c.s0 * t.n - t.s * c.n0 AS HUGEINT)
+                   * CAST(c.s0 * t.n - t.s * c.n0 AS HUGEINT)
+                   // (c.n0 * (t.n - c.n0)) AS BIGINT) AS score
+       FROM cum c JOIN tot t USING (image_id) WHERE c.rn > 1)
+SELECT image_id, v AS otsu_t, CAST(n0 AS BIGINT) AS n0,
+       CAST(s0 AS BIGINT) AS s0, score
+FROM sc
+QUALIFY ROW_NUMBER() OVER
+  (PARTITION BY image_id ORDER BY score DESC, v ASC) = 1
+"""
+
+GEO_QUERIES.update({"image_otsu_threshold": q_image_otsu_threshold})
+EXTRA_ORACLE_SQL["image_otsu_threshold"] = _IMG_OTSU_SQL
+
+
+# --------------------------------------------------------------------------
+# Strided template match — min-SSD localization of a fixed 4×4
+# template over a stride-4 offset grid, per image: the patch-lookup
+# primitive behind logo/watermark detection in image-corpus curation.
+# The template is specified by the formula t[i,j] = ((7i + 13j + 3)
+# mod 16) · 40 (both engines derive it independently); SSD values are
+# exact int64 (≤ 16 · 765²).  The Ray kernel folds the 16 cell
+# contributions over the whole offset grid with np.ix_ views (16
+# vectorized adds per image, no per-offset loop); ties break to the
+# smallest (off_y, off_x).  SQL replays every (offset, cell) term from
+# the persisted payload and QUALIFY-picks the argmin.
+# --------------------------------------------------------------------------
+
+_TMPL44 = np.array(
+    [[((7 * i + 13 * j + 3) % 16) * 40 for j in range(4)] for i in range(4)],
+    np.int64,
+)
+
+
+def q_image_template_match(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def match(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        oys, oxs, ssds = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            gy = np.arange(0, h - 3, 4)
+            gx = np.arange(0, w - 3, 4)
+            acc = np.zeros((len(gy), len(gx)), np.int64)
+            for i in range(4):
+                for j in range(4):
+                    d = px[np.ix_(gy + i, gx + j)] - _TMPL44[i, j]
+                    acc += d * d
+            k = int(np.argmin(acc))  # first min in (oy, ox) row-major order
+            oys.append(int(gy[k // len(gx)]))
+            oxs.append(int(gx[k % len(gx)]))
+            ssds.append(int(acc.ravel()[k]))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "off_y": pa.array(oys, pa.int64()),
+                "off_x": pa.array(oxs, pa.int64()),
+                "min_ssd": pa.array(ssds, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(match, batch_format="pyarrow")
+
+
+_TMPL44_SQL = "[" + ", ".join(
+    str(((7 * i + 13 * j + 3) % 16) * 40) for i in range(4) for j in range(4)
+) + "]"
+
+_IMG_TMPL_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, {_TMPL44_SQL} AS tmpl
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+offs AS (SELECT image_id, fmt, b, w, tmpl,
+                4 * gy.g AS oy, 4 * gx.g AS ox
+         FROM base,
+              UNNEST(generate_series(0, (h - 4) // 4)) AS gy(g),
+              UNNEST(generate_series(0, (w - 4) // 4)) AS gx(g)),
+sc AS (SELECT image_id, oy, ox,
+  CAST(list_sum([({_gq_pix("(oy + c // 4) * w + ox + c % 4")} - tmpl[c + 1])
+                 * ({_gq_pix("(oy + c // 4) * w + ox + c % 4")} - tmpl[c + 1])
+                 for c in generate_series(0, 15)]) AS BIGINT) AS ssd
+  FROM offs)
+SELECT image_id, CAST(oy AS BIGINT) AS off_y, CAST(ox AS BIGINT) AS off_x,
+       ssd AS min_ssd
+FROM sc
+QUALIFY ROW_NUMBER() OVER
+  (PARTITION BY image_id ORDER BY ssd ASC, oy ASC, ox ASC) = 1
+"""
+
+GEO_QUERIES.update({"image_template_match": q_image_template_match})
+EXTRA_ORACLE_SQL["image_template_match"] = _IMG_TMPL_SQL
