@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "rfm_segments",
+    "ttl_dedup_stats",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

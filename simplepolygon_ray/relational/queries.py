@@ -13609,3 +13609,224 @@ FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
 
 QUERIES.update({"degree_assortativity": q_degree_assortativity})
 ORACLE_SQL.update({"degree_assortativity": _SQL_ASSORT})
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary scoring) — the
+# classic CRM cube over the orders table.  Per customer: recency = days
+# from the last order to a FIXED anchor date (2001-12-31, past the corpus
+# max so recency is never negative), frequency = order count, monetary =
+# exact-cents revenue.  Scores 1..4 come from fixed thresholds (quartile
+# landmarks measured once on the corpus family), so both engines compute
+# them from constants — no cross-engine NTILE/rank ambiguity.  Shape: one
+# custkey-partial groupby (pre-combined per block), then the scored rows
+# re-aggregate into at most 64 (r,f,m) cells via per-block partials; the
+# driver merges 64 × blocks rows.  Scales: no full-key materialization.
+# --------------------------------------------------------------------------
+
+_RFM_ANCHOR_DAY = 11687  # epoch day of 2001-12-31
+_RFM_R_EDGES = (365, 1095, 1825)  # recency days: <=365 -> 4 ... >1825 -> 1
+_RFM_F_EDGES = (12, 10, 8)  # order count: >=12 -> 4 ... <8 -> 1
+_RFM_M_EDGES = (316_000_000, 248_000_000, 176_000_000)  # cents
+
+
+def q_rfm_segments(sf_dir: str):
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        part = (
+            pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "cents": pa.array(cents),
+                    "day": pa.array(ts // 86_400_000_000),
+                }
+            )
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum"), ("day", "max"), ("o_custkey", "count")])
+        )
+        return part.select(["o_custkey", "cents_sum", "day_max", "o_custkey_count"])
+
+    per_cust = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("cents_sum", alias_name="m"),
+            Max("day_max", alias_name="last_day"),
+            Sum("o_custkey_count", alias_name="f"),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "r_score": pa.array([], pa.int64()),
+                "f_score": pa.array([], pa.int64()),
+                "m_score": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "monetary_cents": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rec = _RFM_ANCHOR_DAY - t["last_day"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        r1, r2, r3 = _RFM_R_EDGES
+        rs = np.where(rec <= r1, 4, np.where(rec <= r2, 3, np.where(rec <= r3, 2, 1)))
+        f1, f2, f3 = _RFM_F_EDGES
+        fs = np.where(f >= f1, 4, np.where(f >= f2, 3, np.where(f >= f3, 2, 1)))
+        m1, m2, m3 = _RFM_M_EDGES
+        ms = np.where(m >= m1, 4, np.where(m >= m2, 3, np.where(m >= m3, 2, 1)))
+        cell = rs * 100 + fs * 10 + ms
+        uniq, inv = np.unique(cell, return_inverse=True)
+        return pa.table(
+            {
+                "r_score": pa.array((uniq // 100).astype(np.int64)),
+                "f_score": pa.array((uniq // 10 % 10).astype(np.int64)),
+                "m_score": pa.array((uniq % 10).astype(np.int64)),
+                "n_customers": pa.array(np.bincount(inv).astype(np.int64)),
+                "monetary_cents": pa.array(
+                    np.bincount(inv, weights=m).astype(np.int64)
+                ),
+            }
+        )
+
+    parts = per_cust.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["r_score", "f_score", "m_score"], as_index=False)
+        .agg(n_customers=("n_customers", "sum"), monetary_cents=("monetary_cents", "sum"))
+        .sort_values(["r_score", "f_score", "m_score"], ignore_index=True)
+    )
+    return out
+
+
+_SQL_RFM = f"""
+WITH c AS (
+  SELECT o_custkey,
+         COUNT(*) AS f,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m,
+         {_RFM_ANCHOR_DAY} - MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+           AS rec
+  FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT m,
+         CASE WHEN rec <= {_RFM_R_EDGES[0]} THEN 4
+              WHEN rec <= {_RFM_R_EDGES[1]} THEN 3
+              WHEN rec <= {_RFM_R_EDGES[2]} THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN f >= {_RFM_F_EDGES[0]} THEN 4
+              WHEN f >= {_RFM_F_EDGES[1]} THEN 3
+              WHEN f >= {_RFM_F_EDGES[2]} THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN m >= {_RFM_M_EDGES[0]} THEN 4
+              WHEN m >= {_RFM_M_EDGES[1]} THEN 3
+              WHEN m >= {_RFM_M_EDGES[2]} THEN 2 ELSE 1 END AS m_score
+  FROM c
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(m) AS BIGINT) AS monetary_cents
+FROM s GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+QUERIES.update({"rfm_segments": q_rfm_segments})
+ORACLE_SQL.update({"rfm_segments": _SQL_RFM})
+
+
+# --------------------------------------------------------------------------
+# TTL streaming dedup audit — the suppression rule every event-ingest
+# dedupe layer applies: an event is KEPT iff it is the first for its
+# (user_id, event_type) key or arrived more than TTL (1 day) after the
+# PREVIOUS event of that key (last-seen semantics, LAG in SQL).  Ties on
+# ts are harmless: an equal-ts successor has gap 0 <= TTL and is dropped
+# under either tie order, and the first of an equal-ts run compares
+# against the previous DISTINCT ts — so the per-type counts are
+# order-insensitive.  Shape: one user_id-bucket shuffle co-locates every
+# key's events; inside each bucket the scan is one lexsort + vectorized
+# run/gap masks across ALL keys (no per-key groups); the driver merges
+# n_buckets × n_types partial rows.
+# --------------------------------------------------------------------------
+
+_TTL_DEDUP_US = 86_400_000_000  # 1 day
+
+
+def q_ttl_dedup_stats(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def dedup(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_total": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        types, code = np.unique(
+            g["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        order = np.lexsort((ts, code, uid))
+        u, c, t = uid[order], code[order], ts[order]
+        n = len(u)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        kept = start.copy()
+        if n > 1:
+            kept[1:] |= np.diff(t) > _TTL_DEDUP_US
+        k = len(types)
+        return pa.table(
+            {
+                "event_type": pa.array(types),
+                "n_total": pa.array(np.bincount(c, minlength=k).astype(np.int64)),
+                "n_kept": pa.array(
+                    np.bincount(c[kept], minlength=k).astype(np.int64)
+                ),
+                "n_keys": pa.array(
+                    np.bincount(c[start], minlength=k).astype(np.int64)
+                ),
+            }
+        )
+
+    parts = _bucket_groupby(ev, "user_id", dedup, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("event_type", as_index=False)
+        .agg(
+            n_total=("n_total", "sum"),
+            n_kept=("n_kept", "sum"),
+            n_keys=("n_keys", "sum"),
+        )
+        .sort_values("event_type", ignore_index=True)
+    )
+
+
+_SQL_TTL_DEDUP = f"""
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_TTL_DEDUP_US}
+              THEN 1 ELSE 0 END AS kept,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS first_of_key
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+)
+SELECT event_type, COUNT(*) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(first_of_key) AS BIGINT) AS n_keys
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES.update({"ttl_dedup_stats": q_ttl_dedup_stats})
+ORACLE_SQL.update({"ttl_dedup_stats": _SQL_TTL_DEDUP})
