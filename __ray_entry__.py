@@ -41,6 +41,12 @@ _PRIORITY = [
     # round-5-new (never driver-checked)
     "rfm_segments",
     "ttl_dedup_stats",
+    "kmv_set_algebra",
+    "hourly_xcorr",
+    "dataset_split_balance",
+    "lang_rebalance_plan",
+    "itemset3_topk",
+    "consistent_hash_ring",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

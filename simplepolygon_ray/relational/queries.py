@@ -13830,3 +13830,609 @@ FROM d GROUP BY event_type ORDER BY event_type
 
 QUERIES.update({"ttl_dedup_stats": q_ttl_dedup_stats})
 ORACLE_SQL.update({"ttl_dedup_stats": _SQL_TTL_DEDUP})
+
+
+# --------------------------------------------------------------------------
+# KMV / theta-sketch SET ALGEBRA — intersection and union cardinality
+# estimates between the 'click' and 'purchase' user sets, the sketch
+# operation audience-overlap systems run instead of a distinct-join.
+# Deterministic end-to-end: splitmix64 is a bijection on uint64, each
+# side keeps its bottom-k distinct user-id hashes (k x blocks rows move,
+# never the users), theta = min of the two kth-smallest values, the
+# intersection estimate counts common hashes strictly below theta and
+# rescales by 2^64/theta in exact integer arithmetic; the union sketch
+# is the bottom-k of the merged sets (standard KMV union).  The SQL
+# oracle replays the identical hash limb-exactly (HUGEINT mulmod).
+# --------------------------------------------------------------------------
+
+_KSA_K = 32
+_T64_INT = 1 << 64
+
+
+def q_kmv_set_algebra(sf_dir: str):
+    from .sketches import _hash64
+
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    k = _KSA_K
+    off = np.uint64(1 << 63)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"side": pa.array([], pa.int64()), "hs": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sides, hss = [], []
+        for tag, typ in ((0, "click"), (1, "purchase")):
+            m = et == typ
+            if not m.any():
+                continue
+            h = _hash64(uid[m].view(np.uint64))
+            hs = np.unique((h ^ off).view(np.int64))[:k]  # order-preserving map
+            sides.append(np.full(len(hs), tag, np.int64))
+            hss.append(hs)
+        if not sides:
+            return empty
+        return pa.table(
+            {
+                "side": pa.array(np.concatenate(sides)),
+                "hs": pa.array(np.concatenate(hss)),
+            }
+        )
+
+    p = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def sketch(side: int) -> np.ndarray:
+        v = np.unique(p.loc[p["side"] == side, "hs"].to_numpy(np.int64))
+        return v[:k]
+
+    def theta_of(v: np.ndarray) -> int:
+        # exclusive upper bound of the retained region: kth smallest when
+        # truncated, else 2^64 (the sketch IS the whole distinct set)
+        if len(v) >= k:
+            return (int(v[k - 1]) % _T64_INT) ^ (1 << 63)
+        return _T64_INT
+
+    a, b = sketch(0), sketch(1)
+    th = min(theta_of(a), theta_of(b))
+    common = np.intersect1d(a, b)
+    if th < _T64_INT:
+        th_i64 = np.int64(np.uint64(th) ^ np.uint64(1 << 63))
+        n_common = int((common < th_i64).sum())
+        est_intersect = (n_common << 64) // th
+    else:
+        n_common = int(len(common))
+        est_intersect = n_common
+    u = np.unique(np.concatenate([a, b]))[:k]
+    if len(u) >= k:
+        theta_u = (int(u[k - 1]) % _T64_INT) ^ (1 << 63)
+        est_union = ((k - 1) << 64) // theta_u
+    else:
+        est_union = int(len(u))
+    return pd.DataFrame(
+        {
+            "k": [k],
+            "n_common": [n_common],
+            "est_intersect": [est_intersect],
+            "est_union": [est_union],
+        }
+    ).astype(np.int64)
+
+
+_SQL_KSA = f"""
+WITH ca AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+{_splitmix_ctes("kaa", "ca", "user_id", f"CAST(user_id AS HUGEINT) + {_GOLDEN}")},
+sa AS (SELECT x FROM kaa3 ORDER BY x LIMIT {_KSA_K}),
+cb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+{_splitmix_ctes("kab", "cb", "user_id", f"CAST(user_id AS HUGEINT) + {_GOLDEN}")},
+sb AS (SELECT x FROM kab3 ORDER BY x LIMIT {_KSA_K}),
+ta AS (SELECT CASE WHEN COUNT(*) >= {_KSA_K} THEN MAX(x)
+                   ELSE CAST('18446744073709551616' AS HUGEINT) END AS th FROM sa),
+tb AS (SELECT CASE WHEN COUNT(*) >= {_KSA_K} THEN MAX(x)
+                   ELSE CAST('18446744073709551616' AS HUGEINT) END AS th FROM sb),
+th AS (SELECT LEAST(ta.th, tb.th) AS th FROM ta, tb),
+com AS (SELECT COUNT(*) AS c FROM sa JOIN sb USING (x), th
+        WHERE sa.x < th.th),
+su AS (SELECT x FROM (SELECT x FROM sa UNION SELECT x FROM sb)
+       ORDER BY x LIMIT {_KSA_K}),
+tu AS (SELECT COUNT(*) AS cu, MAX(x) AS thu FROM su)
+SELECT CAST({_KSA_K} AS BIGINT) AS k,
+       CAST(com.c AS BIGINT) AS n_common,
+       CAST(CASE WHEN th.th < CAST('18446744073709551616' AS HUGEINT)
+                 THEN com.c * CAST('18446744073709551616' AS HUGEINT) // th.th
+                 ELSE com.c END AS BIGINT) AS est_intersect,
+       CAST(CASE WHEN tu.cu >= {_KSA_K}
+                 THEN ({_KSA_K} - 1) * CAST('18446744073709551616' AS HUGEINT) // tu.thu
+                 ELSE tu.cu END AS BIGINT) AS est_union
+FROM com, th, tu
+"""
+
+QUERIES.update({"kmv_set_algebra": q_kmv_set_algebra})
+ORACLE_SQL.update({"kmv_set_algebra": _SQL_KSA})
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation moments between the 'click' and 'purchase'
+# hourly count series (lags 0..3 hours) — the signal a growth/forecast
+# pipeline extracts to ask "do purchases follow clicks?".  The wide part
+# is the hourly pre-aggregate (per-block bincounts -> one groupby whose
+# key space is TIME-RANGE bounded, ~720 rows/month, independent of data
+# volume); the zero-filled series and the lag products run on the driver
+# over that bounded table.  All moments are exact int64 sums (headroom:
+# per-hour counts up to ~3e9 keep a*b within int64).  Pearson r at each
+# lag is recoverable from (n, sum_a, sum_b, sum_ab, sum_a2, sum_b2).
+# --------------------------------------------------------------------------
+
+_XCORR_LAGS = 4
+
+
+def q_hourly_xcorr(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        hrs = t["ts"].to_numpy(zero_copy_only=False).view(np.int64) // 3_600_000_000
+        am = et == "click"
+        bm = et == "purchase"
+        m = am | bm
+        if not m.any():
+            return empty
+        hu, inv = np.unique(hrs[m], return_inverse=True)
+        return pa.table(
+            {
+                "h": pa.array(hu),
+                "a": pa.array(
+                    np.bincount(inv, weights=am[m].astype(np.float64)).astype(np.int64)
+                ),
+                "b": pa.array(
+                    np.bincount(inv, weights=bm[m].astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .to_pandas()  # time-range bounded: one row per hour with activity
+    )
+    hs = agg["h"].to_numpy(np.int64)
+    mn, mx = int(hs.min()), int(hs.max())
+    T = mx - mn + 1
+    A = np.zeros(T, np.int64)
+    B = np.zeros(T, np.int64)
+    A[hs - mn] = agg["a"].to_numpy(np.int64)
+    B[hs - mn] = agg["b"].to_numpy(np.int64)
+    rows = []
+    for lag in range(_XCORR_LAGS):
+        x = A[: T - lag]
+        y = B[lag:]
+        rows.append(
+            {
+                "lag": lag,
+                "n_hours": T - lag,
+                "sum_a": int(x.sum()),
+                "sum_b": int(y.sum()),
+                "sum_ab": int((x * y).sum()),
+                "sum_a2": int((x * x).sum()),
+                "sum_b2": int((y * y).sum()),
+            }
+        )
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+_SQL_XCORR = f"""
+WITH hc AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+            FROM events WHERE event_type IN ('click', 'purchase') GROUP BY h),
+bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hc),
+hours AS (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds),
+f AS (SELECT hours.h AS h, COALESCE(hc.a, 0) AS a, COALESCE(hc.b, 0) AS b
+      FROM hours LEFT JOIN hc ON hours.h = hc.h),
+lags(l) AS (VALUES (0), (1), (2), (3))
+SELECT CAST(l AS BIGINT) AS lag, COUNT(*) AS n_hours,
+       CAST(SUM(x.a) AS BIGINT) AS sum_a,
+       CAST(SUM(y.b) AS BIGINT) AS sum_b,
+       CAST(SUM(x.a * y.b) AS BIGINT) AS sum_ab,
+       CAST(SUM(x.a * x.a) AS BIGINT) AS sum_a2,
+       CAST(SUM(y.b * y.b) AS BIGINT) AS sum_b2
+FROM lags CROSS JOIN f x JOIN f y ON y.h = x.h + l
+GROUP BY l ORDER BY lag
+"""
+
+QUERIES.update({"hourly_xcorr": q_hourly_xcorr})
+ORACLE_SQL.update({"hourly_xcorr": _SQL_XCORR})
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split audit — the reproducible 80/10/10
+# hash split every training-data pipeline applies before export, plus
+# the per-split language balance a curation report checks.  The split
+# is a pure function of doc_id (splitmix64 % 100: <80 train, <90 val,
+# else test) so it is stable across reruns, engines and cluster sizes;
+# the SQL oracle replays the hash limb-exactly.  Per-block partials
+# pre-combine to <= 15 rows each; the driver merges blocks x 15 rows.
+# --------------------------------------------------------------------------
+
+
+def q_dataset_split_balance(sf_dir: str):
+    from .sketches import _hash64
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "split": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "sum_chars": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (_hash64(did.view(np.uint64)) % np.uint64(100)).astype(np.int64)
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        g = (
+            pa.table(
+                {
+                    "split": pa.array(split),
+                    "lang": t["lang"],
+                    "n_chars": t["n_chars"],
+                }
+            )
+            .group_by(["split", "lang"])
+            .aggregate([([], "count_all"), ("n_chars", "sum")])
+        )
+        return pa.table(
+            {
+                "split": g["split"],
+                "lang": g["lang"],
+                "n_docs": g["count_all"],
+                "sum_chars": g["n_chars_sum"],
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby(["split", "lang"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        .sort_values(["split", "lang"], ignore_index=True)
+    )
+
+
+_SQL_SPLIT_BALANCE = f"""
+WITH {_splitmix_ctes("sh", "documents", "doc_id, lang, n_chars",
+                     f"CAST(doc_id AS HUGEINT) + {_GOLDEN}")},
+s AS (SELECT lang, n_chars,
+             CASE WHEN x % 100 < 80 THEN 'train'
+                  WHEN x % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      FROM sh3)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+QUERIES.update({"dataset_split_balance": q_dataset_split_balance})
+ORACLE_SQL.update({"dataset_split_balance": _SQL_SPLIT_BALANCE})
+
+
+# --------------------------------------------------------------------------
+# Language rebalance plan — deterministic undersampling to a per-language
+# quota (the "cap English at N docs" curation step): within each lang,
+# keep the `quota` docs with the SMALLEST splitmix64(doc_id) hash.  The
+# selection is a per-lang bottom-k by hash, so the engine moves only
+# quota x langs x blocks candidate rows (per-block bottom-quota
+# partials), never the corpus; the hash boundary of the kept set is
+# reported (hi/lo 32-bit limbs of the uint64 threshold) so a later run
+# can re-apply the SAME selection as a pure per-row predicate.  splitmix
+# is a bijection on uint64 -> no hash ties, fully deterministic.
+# --------------------------------------------------------------------------
+
+_REBALANCE_QUOTA = 75
+
+
+def q_lang_rebalance_plan(sf_dir: str):
+    from .sketches import _hash64
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang"])
+    q = _REBALANCE_QUOTA
+    off = np.uint64(1 << 63)
+
+    def cand(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "hs": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hm = (_hash64(did.view(np.uint64)) ^ off).view(np.int64)  # order-preserving
+        order = np.lexsort((hm, lang))
+        lg, hs, dd = lang[order], hm[order], did[order]
+        n = len(lg)
+        start = np.ones(n, bool)
+        start[1:] = lg[1:] != lg[:-1]
+        starts = np.flatnonzero(start)
+        glens = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, glens)
+        keep = rank < q
+        # per-lang block totals ride along on the first kept row (rank 0
+        # is always kept, so no count is ever dropped by the bottom-q cut)
+        cnt = np.zeros(n, np.int64)
+        cnt[starts] = glens
+        return pa.table(
+            {
+                "lang": pa.array(lg[keep]),
+                "hs": pa.array(hs[keep]),
+                "doc_id": pa.array(dd[keep]),
+                "cnt": pa.array(cnt[keep]),
+            }
+        )
+
+    parts = ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["lang", "hs"], ignore_index=True)
+    rows = []
+    for lang, g in parts.groupby("lang", sort=True):
+        kept = g.head(q)
+        boundary = (int(kept["hs"].iloc[-1]) % _T64_INT) ^ (1 << 63)
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(g["cnt"].sum()),
+                "n_kept": int(len(kept)),
+                "boundary_hi": boundary >> 32,
+                "boundary_lo": boundary & 0xFFFFFFFF,
+                "kept_id_sum": int(kept["doc_id"].sum()),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+_SQL_REBALANCE = f"""
+WITH {_splitmix_ctes("rh", "documents", "doc_id, lang",
+                     f"CAST(doc_id AS HUGEINT) + {_GOLDEN}")},
+r AS (SELECT lang, doc_id, x,
+             row_number() OVER (PARTITION BY lang ORDER BY x) AS rn
+      FROM rh3),
+kept AS (SELECT lang, doc_id, x FROM r WHERE rn <= {_REBALANCE_QUOTA}),
+tot AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+SELECT tot.lang AS lang, CAST(tot.n_docs AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(kept.x) // 4294967296 AS BIGINT) AS boundary_hi,
+       CAST(MAX(kept.x) % 4294967296 AS BIGINT) AS boundary_lo,
+       CAST(SUM(kept.doc_id) AS BIGINT) AS kept_id_sum
+FROM kept JOIN tot ON kept.lang = tot.lang
+GROUP BY tot.lang, tot.n_docs ORDER BY lang
+"""
+
+QUERIES.update({"lang_rebalance_plan": q_lang_rebalance_plan})
+ORACLE_SQL.update({"lang_rebalance_plan": _SQL_REBALANCE})
+
+
+# --------------------------------------------------------------------------
+# 3-itemset support mining (market-basket, one level past the pair
+# graph): distinct part triples co-occurring within an order, counted
+# and top-k'd with a full deterministic tiebreak.  Orders are hash-
+# bucketed so each order's parts are co-located; triple emission is
+# vectorized per run-length class (C(L,3) index template broadcast over
+# all L-part orders at once — no per-order Python); per-bucket partial
+# counts pre-combine before the (pa,pb,pc) groupby, and the top-k is a
+# per-block partial top-k merged on the driver (blocks x k rows).
+# --------------------------------------------------------------------------
+
+_ITEMSET3_K = 20
+
+
+def q_itemset3_topk(sf_dir: str):
+    from itertools import combinations
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    _EMPTY3 = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "part_c": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+
+    def triples(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _EMPTY3
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ok)))
+        pas, pbs, pcs = [], [], []
+        for L in np.unique(lens[lens >= 3]):
+            runs = starts[lens == L]
+            combo = np.array(list(combinations(range(int(L)), 3)), np.int64)
+            idx = runs[:, None, None] + combo[None, :, :]
+            pas.append(pk[idx[:, :, 0]].ravel())
+            pbs.append(pk[idx[:, :, 1]].ravel())
+            pcs.append(pk[idx[:, :, 2]].ravel())
+        if not pas:
+            return _EMPTY3
+        a = np.concatenate(pas)
+        b = np.concatenate(pbs)
+        c = np.concatenate(pcs)
+        # partial count per triple within the bucket frame
+        o2 = np.lexsort((c, b, a))
+        a, b, c = a[o2], b[o2], c[o2]
+        nw = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (c[1:] != c[:-1])]
+        st = np.flatnonzero(nw)
+        cnt = np.diff(np.append(st, len(a)))
+        return pa.table(
+            {
+                "part_a": pa.array(a[st]),
+                "part_b": pa.array(b[st]),
+                "part_c": pa.array(c[st]),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        _bucket_groupby(li, "l_orderkey", triples, batch_format="pyarrow")
+        .groupby(["part_a", "part_b", "part_c"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    k = _ITEMSET3_K
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(["part_a", "part_b", "part_c", "n_orders"])
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["part_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((c, b, a, -n))[:k]
+        return pa.table(
+            {
+                "part_a": pa.array(a[sel]),
+                "part_b": pa.array(b[sel]),
+                "part_c": pa.array(c[sel]),
+                "n_orders": pa.array(n[sel]),
+            }
+        )
+
+    merged = counts.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(
+        ["n_orders", "part_a", "part_b", "part_c"],
+        ascending=[False, True, True, True],
+        ignore_index=True,
+    ).head(k)
+    return merged.reset_index(drop=True)
+
+
+_SQL_ITEMSET3 = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+             COUNT(*) AS n_orders
+      FROM d a
+      JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN d c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      GROUP BY pa, pb, pc)
+SELECT CAST(pa AS BIGINT) AS part_a, CAST(pb AS BIGINT) AS part_b,
+       CAST(pc AS BIGINT) AS part_c, n_orders
+FROM t ORDER BY n_orders DESC, pa, pb, pc LIMIT {_ITEMSET3_K}
+"""
+
+QUERIES.update({"itemset3_topk": q_itemset3_topk})
+ORACLE_SQL.update({"itemset3_topk": _SQL_ITEMSET3})
+
+
+# --------------------------------------------------------------------------
+# Consistent-hashing ring assignment audit — the placement function a
+# sharded store uses, checked for load balance: 32 nodes x 4 virtual
+# points hashed onto the uint64 ring (splitmix64 over vnode ids); each
+# distinct user maps to the first ring point clockwise from its own
+# hash (wraparound to the ring minimum).  The ring is 128 constants
+# (computed in-closure, trivially broadcast); the only exchange is the
+# exact distinct-user groupby; assignment is one searchsorted per
+# block and the driver merges 32 x blocks partial rows.  The SQL
+# oracle replays both hashes limb-exactly and assigns via the same
+# ">= h, else ring min" rule.
+# --------------------------------------------------------------------------
+
+_RING_NODES = 32
+_RING_VNODES = 128
+_RING_SALT = 10**12
+
+
+def q_consistent_hash_ring(sf_dir: str):
+    from .sketches import _hash64
+
+    off = np.uint64(1 << 63)
+    vids = np.arange(_RING_VNODES, dtype=np.int64)
+    # salt vnode ids into a space disjoint from user ids (else a user id
+    # equal to a vnode id hashes onto its own ring point — degenerate)
+    ring = (_hash64((vids + _RING_SALT).view(np.uint64)) ^ off).view(np.int64)
+    rorder = np.argsort(ring, kind="stable")
+    ring_sorted = ring[rorder]
+    node_sorted = (vids % _RING_NODES)[rorder]
+
+    ev = _t(sf_dir, "events", columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="_n"))
+
+    def assign(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+                "id_sum": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (_hash64(uid.view(np.uint64)) ^ off).view(np.int64)
+        pos = np.searchsorted(ring_sorted, h, side="left")
+        pos[pos == len(ring_sorted)] = 0  # wraparound to the ring minimum
+        node = node_sorted[pos]
+        id_sum = np.zeros(_RING_NODES, np.int64)
+        np.add.at(id_sum, node, uid)  # exact int64, no float53 ceiling
+        return pa.table(
+            {
+                "node": pa.array(np.arange(_RING_NODES, dtype=np.int64)),
+                "n_keys": pa.array(
+                    np.bincount(node, minlength=_RING_NODES).astype(np.int64)
+                ),
+                "id_sum": pa.array(id_sum),
+            }
+        )
+
+    parts = users.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("node", as_index=False)
+        .agg(n_keys=("n_keys", "sum"), id_sum=("id_sum", "sum"))
+        .sort_values("node", ignore_index=True)
+    )
+    return out[out["n_keys"] > 0].reset_index(drop=True)
+
+
+_SQL_RING = f"""
+WITH vn AS (SELECT unnest(generate_series(0, {_RING_VNODES - 1})) AS vid),
+{_splitmix_ctes("rr", "vn", "vid", f"CAST(vid AS HUGEINT) + {_RING_SALT} + {_GOLDEN}")},
+ring AS (SELECT CAST(vid % {_RING_NODES} AS BIGINT) AS node, x FROM rr3),
+du AS (SELECT DISTINCT user_id FROM events),
+{_splitmix_ctes("ku", "du", "user_id", f"CAST(user_id AS HUGEINT) + {_GOLDEN}")},
+asg AS (
+  SELECT k.user_id,
+         COALESCE(
+           (SELECT r.node FROM ring r WHERE r.x >= k.x ORDER BY r.x LIMIT 1),
+           (SELECT r.node FROM ring r ORDER BY r.x LIMIT 1)) AS node
+  FROM ku3 k)
+SELECT node, COUNT(*) AS n_keys, CAST(SUM(user_id) AS BIGINT) AS id_sum
+FROM asg GROUP BY node ORDER BY node
+"""
+
+QUERIES.update({"consistent_hash_ring": q_consistent_hash_ring})
+ORACLE_SQL.update({"consistent_hash_ring": _SQL_RING})

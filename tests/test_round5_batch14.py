@@ -1,0 +1,246 @@
+"""Round-5 batch-14 operator tests: RFM segmentation, TTL streaming
+dedup, KMV set algebra, lagged hourly cross-correlation, deterministic
+train/val/test split audit and language rebalance plan — each checked
+against an independent brute-force recompute at sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders():
+    return pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+
+
+def test_rfm_segments_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _RFM_ANCHOR_DAY,
+        _RFM_F_EDGES,
+        _RFM_M_EDGES,
+        _RFM_R_EDGES,
+        q_rfm_segments,
+    )
+
+    got = q_rfm_segments(SF)
+    od = _orders()
+    od["cents"] = np.rint(od["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    od["day"] = od["o_orderdate"].astype("int64") // 86_400_000_000
+    per = od.groupby("o_custkey").agg(
+        f=("cents", "size"), m=("cents", "sum"), last_day=("day", "max")
+    )
+    rec = _RFM_ANCHOR_DAY - per["last_day"]
+
+    def sc(v, edges, kind):
+        if kind == "le":
+            return np.where(
+                v <= edges[0], 4, np.where(v <= edges[1], 3, np.where(v <= edges[2], 2, 1))
+            )
+        return np.where(
+            v >= edges[0], 4, np.where(v >= edges[1], 3, np.where(v >= edges[2], 2, 1))
+        )
+
+    per["r_score"] = sc(rec, _RFM_R_EDGES, "le")
+    per["f_score"] = sc(per["f"], _RFM_F_EDGES, "ge")
+    per["m_score"] = sc(per["m"], _RFM_M_EDGES, "ge")
+    exp = (
+        per.groupby(["r_score", "f_score", "m_score"], as_index=False)
+        .agg(n_customers=("f", "size"), monetary_cents=("m", "sum"))
+        .sort_values(["r_score", "f_score", "m_score"], ignore_index=True)
+    )
+    assert int(got["n_customers"].sum()) == per.shape[0]
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), exp.astype(np.int64), check_dtype=False
+    )
+
+
+def test_ttl_dedup_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import _TTL_DEDUP_US, q_ttl_dedup_stats
+
+    got = q_ttl_dedup_stats(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).to_pandas()
+    ev["tus"] = ev["ts"].astype("int64")
+    rows = {}
+    for (uid, et), g in ev.sort_values("tus").groupby(["user_id", "event_type"]):
+        t = g["tus"].to_numpy()
+        kept = 1 + int((np.diff(t) > _TTL_DEDUP_US).sum())
+        n_tot, n_kept, n_keys = rows.get(et, (0, 0, 0))
+        rows[et] = (n_tot + len(t), n_kept + kept, n_keys + 1)
+    exp = (
+        pd.DataFrame(
+            [
+                {"event_type": et, "n_total": a, "n_kept": b, "n_keys": c}
+                for et, (a, b, c) in rows.items()
+            ]
+        )
+        .sort_values("event_type", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_kmv_set_algebra_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import _KSA_K, q_kmv_set_algebra
+    from simplepolygon_ray.relational.sketches import _hash64
+
+    got = q_kmv_set_algebra(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type"]
+    ).to_pandas()
+    k, off = _KSA_K, np.uint64(1 << 63)
+
+    def sk(typ):
+        u = ev.loc[ev["event_type"] == typ, "user_id"].to_numpy(np.int64)
+        return np.unique((_hash64(u.view(np.uint64)) ^ off).view(np.int64))[:k]
+
+    a, b = sk("click"), sk("purchase")
+
+    def theta(v):
+        return ((int(v[k - 1]) % (1 << 64)) ^ (1 << 63)) if len(v) >= k else (1 << 64)
+
+    th = min(theta(a), theta(b))
+    common = np.intersect1d(a, b)
+    if th < (1 << 64):
+        c = int((common < np.int64(np.uint64(th) ^ np.uint64(1 << 63))).sum())
+        ei = (c << 64) // th
+    else:
+        c, ei = len(common), len(common)
+    u = np.unique(np.concatenate([a, b]))[:k]
+    eu = (
+        ((k - 1) << 64) // (((int(u[k - 1]) % (1 << 64)) ^ (1 << 63)))
+        if len(u) >= k
+        else len(u)
+    )
+    assert got.iloc[0].tolist() == [k, c, ei, eu]
+    # set-algebra sanity: intersection <= min side, union >= max side est
+    assert got["est_intersect"].iloc[0] <= got["est_union"].iloc[0]
+
+
+def test_hourly_xcorr_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import _XCORR_LAGS, q_hourly_xcorr
+
+    got = q_hourly_xcorr(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev["h"] = ev["ts"].astype("int64") // 3_600_000_000
+    sub = ev[ev["event_type"].isin(["click", "purchase"])]
+    mn, mx = int(sub["h"].min()), int(sub["h"].max())
+    T = mx - mn + 1
+    A = np.zeros(T, np.int64)
+    B = np.zeros(T, np.int64)
+    for h, g in sub.groupby("h"):
+        A[h - mn] = int((g["event_type"] == "click").sum())
+        B[h - mn] = int((g["event_type"] == "purchase").sum())
+    for lag in range(_XCORR_LAGS):
+        x, y = A[: T - lag], B[lag:]
+        row = got[got["lag"] == lag].iloc[0]
+        assert row["n_hours"] == T - lag
+        assert row["sum_a"] == x.sum() and row["sum_b"] == y.sum()
+        assert row["sum_ab"] == (x * y).sum()
+        assert row["sum_a2"] == (x * x).sum() and row["sum_b2"] == (y * y).sum()
+
+
+def test_split_balance_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import q_dataset_split_balance
+    from simplepolygon_ray.relational.sketches import _hash64
+
+    got = q_dataset_split_balance(SF)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    h = _hash64(docs["doc_id"].to_numpy(np.int64).view(np.uint64)) % np.uint64(100)
+    h = h.astype(np.int64)
+    docs["split"] = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    exp = (
+        docs.groupby(["split", "lang"], as_index=False)
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+        .sort_values(["split", "lang"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every doc lands in exactly one split
+    assert int(got["n_docs"].sum()) == len(docs)
+
+
+def test_lang_rebalance_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _REBALANCE_QUOTA,
+        q_lang_rebalance_plan,
+    )
+    from simplepolygon_ray.relational.sketches import _hash64
+
+    got = q_lang_rebalance_plan(SF)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    off = np.uint64(1 << 63)
+    docs["hs"] = (
+        _hash64(docs["doc_id"].to_numpy(np.int64).view(np.uint64)) ^ off
+    ).view(np.int64)
+    for lang, g in docs.groupby("lang"):
+        kept = g.sort_values("hs").head(_REBALANCE_QUOTA)
+        row = got[got["lang"] == lang].iloc[0]
+        assert row["n_docs"] == len(g)
+        assert row["n_kept"] == len(kept)
+        assert row["kept_id_sum"] == int(kept["doc_id"].sum())
+        boundary = (int(row["boundary_hi"]) << 32) | int(row["boundary_lo"])
+        assert boundary == (int(kept["hs"].iloc[-1]) % (1 << 64)) ^ (1 << 63)
+        # the boundary re-applies the plan as a pure per-row predicate
+        # (unmap the order-preserving int64 back to the true uint64 hash)
+        hs_u = (
+            g["hs"].to_numpy(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+        ).astype(object)
+        assert int((hs_u <= boundary).sum()) == len(kept)
+
+
+def test_itemset3_matches_brute(ray_session):
+    from itertools import combinations
+
+    from simplepolygon_ray.relational.queries import _ITEMSET3_K, q_itemset3_topk
+
+    got = q_itemset3_topk(SF)
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    cnt = {}
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g["l_partkey"].tolist()))
+        for tri in combinations(parts, 3):
+            cnt[tri] = cnt.get(tri, 0) + 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_ITEMSET3_K]
+    assert len(got) == len(exp)
+    for row, (tri, n) in zip(got.itertuples(index=False), exp):
+        assert (row.part_a, row.part_b, row.part_c) == tri
+        assert row.n_orders == n
+
+
+def test_consistent_hash_ring_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _RING_NODES,
+        _RING_SALT,
+        _RING_VNODES,
+        q_consistent_hash_ring,
+    )
+    from simplepolygon_ray.relational.sketches import _hash64
+
+    got = q_consistent_hash_ring(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    users = np.unique(ev["user_id"].to_numpy(np.int64))
+    ring_u = _hash64((np.arange(_RING_VNODES, dtype=np.int64) + _RING_SALT).view(np.uint64))
+    order = np.argsort(ring_u, kind="stable")
+    ring_s, node_s = ring_u[order], (np.arange(_RING_VNODES) % _RING_NODES)[order]
+    h = _hash64(users.view(np.uint64))
+    pos = np.searchsorted(ring_s, h, side="left")
+    pos[pos == len(ring_s)] = 0
+    nodes = node_s[pos]
+    exp = {}
+    for u, nd in zip(users.tolist(), nodes.tolist()):
+        a, b = exp.get(nd, (0, 0))
+        exp[nd] = (a + 1, b + u)
+    assert len(got) == len(exp)
+    for row in got.itertuples(index=False):
+        assert exp[row.node] == (row.n_keys, row.id_sum)
+    # every distinct user is assigned exactly once
+    assert int(got["n_keys"].sum()) == len(users)
