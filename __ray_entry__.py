@@ -47,6 +47,8 @@ _PRIORITY = [
     "lang_rebalance_plan",
     "itemset3_topk",
     "consistent_hash_ring",
+    "image_hist_equalize",
+    "image_border_contrast",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

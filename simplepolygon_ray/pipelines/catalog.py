@@ -5421,3 +5421,145 @@ QUALIFY ROW_NUMBER() OVER
 
 GEO_QUERIES.update({"image_template_match": q_image_template_match})
 EXTRA_ORACLE_SQL["image_template_match"] = _IMG_TMPL_SQL
+
+
+# --------------------------------------------------------------------------
+# Histogram equalization audit — the contrast-normalization transform an
+# image-curation pipeline applies before feature extraction, verified by
+# its exact integer output moments.  Per image: 766-bin channel-sum
+# histogram, integer CDF remap e(v) = ((cdf(v) - cdf_min) * 765) //
+# (n_pix - cdf_min), and the audit reports the equalized SUM plus the
+# level count — all exact ints, value-bounded per image.  Constant
+# images (n_pix == cdf_min) have no valid remap and are omitted on both
+# sides, mirroring the Otsu convention.
+# --------------------------------------------------------------------------
+
+
+def q_image_hist_equalize(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def equalize(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        ids = t["image_id"].to_pylist()
+        out_id, out_sum, out_lvl = [], [], []
+        for img_id, w, h, fmt, payload in zip(ids, ws, hs, fmts, payloads):
+            v = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2).ravel()
+            u, c = np.unique(v, return_counts=True)
+            cdf = np.cumsum(c)
+            npix, c0 = int(cdf[-1]), int(cdf[0])
+            if npix == c0:
+                continue  # constant image: no valid remap (SQL omits too)
+            e = ((cdf - c0) * 765) // (npix - c0)
+            out_id.append(img_id)
+            out_sum.append(int((c * e).sum()))
+            out_lvl.append(len(u))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "sum_eq": pa.array(out_sum, pa.int64()),
+                "n_levels": pa.array(out_lvl, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(equalize, batch_format="pyarrow")
+
+
+_IMG_EQ_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+px AS (SELECT image_id,
+              unnest([{_gq_pix("p")}
+                      for p in generate_series(0, n_pix - 1)]) AS v
+       FROM base),
+hist AS (SELECT image_id, CAST(v AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM px GROUP BY 1, 2),
+cum AS (SELECT image_id, v, c,
+               SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS cdf
+        FROM hist),
+tot AS (SELECT image_id, MAX(cdf) AS n, MIN(cdf) AS c0 FROM cum GROUP BY 1),
+eq AS (SELECT c.image_id, c.c,
+              ((c.cdf - t.c0) * 765) // (t.n - t.c0) AS e
+       FROM cum c JOIN tot t USING (image_id) WHERE t.n > t.c0)
+SELECT image_id, CAST(SUM(c * e) AS BIGINT) AS sum_eq,
+       COUNT(*) AS n_levels
+FROM eq GROUP BY image_id
+"""
+
+GEO_QUERIES.update({"image_hist_equalize": q_image_hist_equalize})
+EXTRA_ORACLE_SQL["image_hist_equalize"] = _IMG_EQ_SQL
+
+
+# --------------------------------------------------------------------------
+# Border-vs-interior contrast audit — the vignetting / frame-artifact
+# screen an image-QA stage runs: exact channel-sum totals and pixel
+# counts for the 1-px border ring vs the interior, per image.  Python
+# side reads the four edge slices of the decoded plane (no mask
+# materialization); the SQL oracle reconstructs coordinates from the
+# flat pixel index (x = p % w, y = p // w) and filters in a DuckDB
+# list comprehension.
+# --------------------------------------------------------------------------
+
+
+def q_image_border_contrast(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def contrast(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        out_b, out_nb, out_i, out_ni = [], [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            total = int(px.sum())
+            if w > 1 and h > 1:
+                interior = int(px[1:-1, 1:-1].sum())
+                n_border = 2 * w + 2 * h - 4
+            else:
+                interior = 0
+                n_border = w * h
+            out_b.append(total - interior)
+            out_nb.append(n_border)
+            out_i.append(interior)
+            out_ni.append(w * h - n_border)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "sum_border": pa.array(out_b, pa.int64()),
+                "n_border": pa.array(out_nb, pa.int64()),
+                "sum_interior": pa.array(out_i, pa.int64()),
+                "n_interior": pa.array(out_ni, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(contrast, batch_format="pyarrow")
+
+
+_IMG_BORDER_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  CAST(list_sum([{_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)
+       if (p % w) = 0 OR (p % w) = w - 1
+          OR (p // w) = 0 OR (p // w) = h - 1]) AS BIGINT) AS sum_border,
+  CAST(CASE WHEN w > 1 AND h > 1 THEN 2 * w + 2 * h - 4
+            ELSE w * h END AS BIGINT) AS n_border,
+  CAST(COALESCE(list_sum([{_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)
+       if (p % w) > 0 AND (p % w) < w - 1
+          AND (p // w) > 0 AND (p // w) < h - 1]), 0) AS BIGINT) AS sum_interior,
+  CAST(n_pix - (CASE WHEN w > 1 AND h > 1 THEN 2 * w + 2 * h - 4
+                     ELSE w * h END) AS BIGINT) AS n_interior
+FROM base
+"""
+
+GEO_QUERIES.update({"image_border_contrast": q_image_border_contrast})
+EXTRA_ORACLE_SQL["image_border_contrast"] = _IMG_BORDER_SQL

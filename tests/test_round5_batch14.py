@@ -244,3 +244,46 @@ def test_consistent_hash_ring_matches_brute(ray_session):
         assert exp[row.node] == (row.n_keys, row.id_sum)
     # every distinct user is assigned exactly once
     assert int(got["n_keys"].sum()) == len(users)
+
+
+def test_hist_equalize_matches_brute(ray_session):
+    from simplepolygon_ray.images.codec import decode
+    from simplepolygon_ray.images.synth import gen_images
+    from simplepolygon_ray.pipelines.catalog import q_image_hist_equalize
+
+    got = q_image_hist_equalize(SF).to_pandas().set_index("image_id")
+    rows = gen_images(5).take_all()
+    for r in rows:
+        v = decode(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64).sum(2).ravel()
+        u, c = np.unique(v, return_counts=True)
+        cdf = np.cumsum(c)
+        npix, c0 = int(cdf[-1]), int(cdf[0])
+        if npix == c0:
+            assert r["image_id"] not in got.index
+            continue
+        e = ((cdf - c0) * 765) // (npix - c0)
+        g = got.loc[r["image_id"]]
+        assert g["sum_eq"] == int((c * e).sum())
+        assert g["n_levels"] == len(u)
+        # equalized range invariant: max level maps to exactly 765
+        assert e[-1] == 765
+    # global bound: 0 <= sum_eq <= 765 * n_pix for every image
+    assert (got["sum_eq"] >= 0).all()
+
+
+def test_border_contrast_partitions_pixels(ray_session):
+    from simplepolygon_ray.images.codec import decode
+    from simplepolygon_ray.images.synth import gen_images
+    from simplepolygon_ray.pipelines.catalog import q_image_border_contrast
+
+    got = q_image_border_contrast(SF).to_pandas().set_index("image_id")
+    rows = gen_images(5).take_all()
+    for r in rows:
+        px = decode(r["bytes"], r["w"], r["h"], r["fmt"]).astype(np.int64).sum(2)
+        g = got.loc[r["image_id"]]
+        # border + interior partition the plane exactly
+        assert g["sum_border"] + g["sum_interior"] == px.sum()
+        assert g["n_border"] + g["n_interior"] == r["w"] * r["h"]
+        if r["w"] > 1 and r["h"] > 1:
+            assert g["sum_interior"] == px[1:-1, 1:-1].sum()
+            assert g["n_border"] == 2 * r["w"] + 2 * r["h"] - 4
