@@ -49,6 +49,8 @@ _PRIORITY = [
     "consistent_hash_ring",
     "image_hist_equalize",
     "image_border_contrast",
+    "conversion_survival_curve",
+    "click_conversion_matrix",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

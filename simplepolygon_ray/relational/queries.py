@@ -8443,6 +8443,41 @@ ORACLE_SQL.update(
 # weighted exact median — three analytics shapes the catalog lacked.
 # --------------------------------------------------------------------------
 
+def _first_event_after(users, times, ev_uid, ev_t):
+    """For each (user, t0) query find min ev_t with ev_t >= t0 for that
+    user — fully vectorized: tag queries into the event stream, sort
+    once (queries before events at equal t), and a segment-offset
+    suffix-min yields each query's next event index.  No per-user
+    Python.  Returns (next_t, found) aligned to the query order; shared
+    by the strict funnel and the click-conversion matrix."""
+    nq, ne = len(users), len(ev_uid)
+    au = np.r_[ev_uid, users]
+    at = np.r_[ev_t, times]
+    isq = np.r_[np.zeros(ne, np.int64), np.ones(nq, np.int64)]
+    order = np.lexsort((1 - isq, at, au))
+    au_s, isq_s = au[order], isq[order]
+    # index of each EVENT row, +inf for queries; suffix-min per uid
+    # segment via the big-offset trick
+    n_all = ne + nq
+    big = n_all + 1
+    seg = np.unique(au_s, return_inverse=True)[1]
+    idx = np.where(isq_s == 0, np.arange(n_all, dtype=np.int64), big)
+    key = seg * (2 * big) + idx
+    sfx = np.minimum.accumulate(key[::-1])[::-1]
+    nxt_seg, nxt_idx = sfx // (2 * big), sfx % (2 * big)
+    qpos = np.flatnonzero(isq_s == 1)
+    ok_s = (nxt_seg[qpos] == seg[qpos]) & (nxt_idx[qpos] < big)
+    res_t = np.full(n_all, -1, np.int64)
+    res_t[qpos[ok_s]] = at[order][nxt_idx[qpos[ok_s]].astype(np.int64)]
+    # map back to the original query order
+    qorig = order[qpos] - ne  # position in `users`
+    out = np.full(nq, -1, np.int64)
+    okq = np.zeros(nq, bool)
+    out[qorig] = res_t[qpos]
+    okq[qorig] = ok_s
+    return out, okq
+
+
 _FUNNEL_STEP_US = 7 * 86_400_000_000  # each step must follow within 7 days
 
 
@@ -8483,47 +8518,14 @@ def q_strict_funnel_3step(sf_dir: str):
         order = np.lexsort((t, stp, uid))
         uid, t, stp = uid[order], t[order], stp[order]
 
-        def first_after(users, times, ev_uid, ev_t):
-            """for each (user, t0) find min ev_t with ev_t >= t0 for
-            that user — fully vectorized: tag queries into the event
-            stream, sort once (queries before events at equal t), and
-            a segment-offset suffix-min yields each query's next event
-            index.  No per-user Python."""
-            nq, ne = len(users), len(ev_uid)
-            au = np.r_[ev_uid, users]
-            at = np.r_[ev_t, times]
-            isq = np.r_[np.zeros(ne, np.int64), np.ones(nq, np.int64)]
-            order = np.lexsort((1 - isq, at, au))
-            au_s, isq_s = au[order], isq[order]
-            # index of each EVENT row, +inf for queries; suffix-min per
-            # uid segment via the big-offset trick
-            n_all = ne + nq
-            big = n_all + 1
-            seg = np.unique(au_s, return_inverse=True)[1]
-            idx = np.where(isq_s == 0, np.arange(n_all, dtype=np.int64), big)
-            key = seg * (2 * big) + idx
-            sfx = np.minimum.accumulate(key[::-1])[::-1]
-            nxt_seg, nxt_idx = sfx // (2 * big), sfx % (2 * big)
-            qpos = np.flatnonzero(isq_s == 1)
-            ok_s = (nxt_seg[qpos] == seg[qpos]) & (nxt_idx[qpos] < big)
-            res_t = np.full(n_all, -1, np.int64)
-            res_t[qpos[ok_s]] = at[order][nxt_idx[qpos[ok_s]].astype(np.int64)]
-            # map back to the original query order
-            qorig = order[qpos] - ne  # position in `users`
-            out = np.full(nq, -1, np.int64)
-            okq = np.zeros(nq, bool)
-            out[qorig] = res_t[qpos]
-            okq[qorig] = ok_s
-            return out, okq
-
         sm = stp == 0
         su, sidx = np.unique(uid[sm], return_index=True)
         s0 = t[sm][sidx]
         cu, ct = uid[stp == 1], t[stp == 1]
         pu, pt = uid[stp == 2], t[stp == 2]
-        c1, ok1 = first_after(su, s0, cu, ct)
+        c1, ok1 = _first_event_after(su, s0, cu, ct)
         ok1 &= (c1 - s0) <= _FUNNEL_STEP_US
-        p1, ok2 = first_after(su[ok1], c1[ok1], pu, pt)
+        p1, ok2 = _first_event_after(su[ok1], c1[ok1], pu, pt)
         ok2 &= (p1 - c1[ok1]) <= _FUNNEL_STEP_US
         done = su[ok1][ok2]
         lat = (p1[ok2] - s0[ok1][ok2]) // 86_400_000_000
@@ -14436,3 +14438,198 @@ FROM asg GROUP BY node ORDER BY node
 
 QUERIES.update({"consistent_hash_ring": q_consistent_hash_ring})
 ORACLE_SQL.update({"consistent_hash_ring": _SQL_RING})
+
+
+# --------------------------------------------------------------------------
+# Kaplan–Meier-style conversion survival curve — signup → first purchase
+# with right-censoring at the stream horizon: per day-offset k (0..13),
+# n_at_risk = signed-up users still unconverted and observable at day k,
+# n_converted = users whose first post-signup purchase lands on day k.
+# The retention/churn primitive every growth pipeline computes, with
+# censoring handled exactly (a user signed up 3 days before the horizon
+# is at risk only for k <= 3).  Whole users co-locate per bucket frame;
+# the per-bucket fold is 14 vectorized mask reductions; the driver
+# merges buckets x 14 partial rows.  The horizon is the global max ts
+# (one pruned-column pre-pass, same scan the SQL oracle runs).
+# --------------------------------------------------------------------------
+
+_SURV_DAYS = 14
+_DAY_US = 86_400_000_000
+
+
+def q_conversion_survival_curve(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    hmax = ev.map_batches(
+        lambda t: pa.table(
+            {"h": pa.array([int(t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).max())] if len(t) else [], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    H = int(hmax["h"].max())
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"], value_set=pa.array(["signup", "purchase"], pa.string())
+        )
+        sub = t.filter(m)
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(
+                    sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "is_p": pa.array(
+                    pc.equal(sub["event_type"], "purchase")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        isp = df["is_p"].to_numpy(np.int64)
+        sm = isp == 0
+        so = np.lexsort((t[sm], uid[sm]))  # (uid, ts): run head = MIN signup
+        uu, tt = uid[sm][so], t[sm][so]
+        first = np.r_[True, uu[1:] != uu[:-1]] if len(uu) else np.zeros(0, bool)
+        su, s0 = uu[first], tt[first]
+        p1, ok = _first_event_after(su, s0, uid[isp == 1], t[isp == 1])
+        obs_day = (H - s0) // _DAY_US
+        conv_day = np.where(ok, (p1 - s0) // _DAY_US, -1)
+        ks = np.arange(_SURV_DAYS, dtype=np.int64)
+        at_risk = np.array(
+            [
+                int(((obs_day >= k) & ((conv_day == -1) | (conv_day >= k))).sum())
+                for k in ks
+            ],
+            np.int64,
+        )
+        conv = np.array([int((conv_day == k).sum()) for k in ks], np.int64)
+        return pd.DataFrame({"day": ks, "n_at_risk": at_risk, "n_converted": conv})
+
+    parts = _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket
+    ).to_pandas()
+    return (
+        parts.groupby("day", as_index=False)
+        .agg(n_at_risk=("n_at_risk", "sum"), n_converted=("n_converted", "sum"))
+        .sort_values("day", ignore_index=True)
+    )
+
+
+_SQL_SURVIVAL = f"""
+WITH hz AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+u AS (SELECT user_id, MIN(epoch_us(ts)) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT u.user_id, MIN(epoch_us(e.ts)) AS p
+      FROM u JOIN events e ON e.user_id = u.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= u.s
+      GROUP BY u.user_id),
+d AS (SELECT u.user_id,
+             CAST((hz.h - u.s) // {_DAY_US} AS BIGINT) AS obs_day,
+             CASE WHEN p.p IS NULL THEN -1
+                  ELSE CAST((p.p - u.s) // {_DAY_US} AS BIGINT) END AS conv_day
+      FROM u LEFT JOIN p USING (user_id) CROSS JOIN hz),
+k AS (SELECT unnest(generate_series(0, {_SURV_DAYS - 1})) AS day)
+SELECT CAST(k.day AS BIGINT) AS day,
+       CAST(SUM(CASE WHEN d.obs_day >= k.day
+                      AND (d.conv_day = -1 OR d.conv_day >= k.day)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+       CAST(SUM(CASE WHEN d.conv_day = k.day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM k CROSS JOIN d GROUP BY k.day ORDER BY day
+"""
+
+QUERIES.update({"conversion_survival_curve": q_conversion_survival_curve})
+ORACLE_SQL.update({"conversion_survival_curve": _SQL_SURVIVAL})
+
+
+# --------------------------------------------------------------------------
+# Click→purchase conversion matrix by day-of-week × hour — the campaign
+# timing readout: per (dow, hour) cell of the CLICK timestamp, how many
+# clicks and how many converted (a purchase by the same user strictly
+# after the click and within 1 hour).  dow/hour are pure epoch
+# arithmetic ((days+4) % 7, Monday=... engine-independent — no locale
+# calendar functions on either side).  Whole users co-locate per bucket
+# frame; next-purchase lookup is the shared tagged-merge suffix-min
+# kernel; the driver merges buckets × ≤168 partial rows.
+# --------------------------------------------------------------------------
+
+_CONV_WINDOW_US = 3_600_000_000
+
+
+def q_click_conversion_matrix(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "purchase"], pa.string())
+        )
+        sub = t.filter(m)
+        return pa.table(
+            {
+                "user_id": sub["user_id"],
+                "ts_us": pa.array(
+                    sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "is_p": pa.array(
+                    pc.equal(sub["event_type"], "purchase")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts_us"].to_numpy(np.int64)
+        isp = df["is_p"].to_numpy(np.int64)
+        cu, ct = uid[isp == 0], t[isp == 0]
+        pu, pt = uid[isp == 1], t[isp == 1]
+        nxt, ok = _first_event_after(cu, ct + 1, pu, pt)  # strictly after
+        cv = ok & (nxt - ct <= _CONV_WINDOW_US)
+        cell = ((ct // _DAY_US + 4) % 7) * 24 + (ct // 3_600_000_000) % 24
+        n_clicks = np.bincount(cell, minlength=168).astype(np.int64)
+        n_conv = np.bincount(cell[cv], minlength=168).astype(np.int64)
+        nz = np.flatnonzero(n_clicks)
+        return pd.DataFrame(
+            {
+                "dow": nz // 24,
+                "hour": nz % 24,
+                "n_clicks": n_clicks[nz],
+                "n_converted": n_conv[nz],
+            }
+        )
+
+    parts = _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket
+    ).to_pandas()
+    return (
+        parts.groupby(["dow", "hour"], as_index=False)
+        .agg(n_clicks=("n_clicks", "sum"), n_converted=("n_converted", "sum"))
+        .sort_values(["dow", "hour"], ignore_index=True)
+    )
+
+
+_SQL_CONV_MATRIX = f"""
+WITH c AS (SELECT user_id, epoch_us(ts) AS tu FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS tu FROM events
+      WHERE event_type = 'purchase'),
+conv AS (SELECT c.user_id, c.tu,
+                EXISTS(SELECT 1 FROM p WHERE p.user_id = c.user_id
+                        AND p.tu > c.tu
+                        AND p.tu <= c.tu + {_CONV_WINDOW_US}) AS cv
+         FROM c)
+SELECT CAST((tu // {_DAY_US} + 4) % 7 AS BIGINT) AS dow,
+       CAST((tu // 3600000000) % 24 AS BIGINT) AS hour,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM conv GROUP BY dow, hour ORDER BY dow, hour
+"""
+
+QUERIES.update({"click_conversion_matrix": q_click_conversion_matrix})
+ORACLE_SQL.update({"click_conversion_matrix": _SQL_CONV_MATRIX})

@@ -287,3 +287,62 @@ def test_border_contrast_partitions_pixels(ray_session):
         if r["w"] > 1 and r["h"] > 1:
             assert g["sum_interior"] == px[1:-1, 1:-1].sum()
             assert g["n_border"] == 2 * r["w"] + 2 * r["h"] - 4
+
+
+def test_survival_curve_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _DAY_US,
+        _SURV_DAYS,
+        q_conversion_survival_curve,
+    )
+
+    got = q_conversion_survival_curve(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    ev["tu"] = ev["ts"].astype("int64")
+    H = int(ev["tu"].max())
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        s = g.loc[g["event_type"] == "signup", "tu"]
+        if s.empty:
+            continue
+        s0 = int(s.min())
+        p = g.loc[(g["event_type"] == "purchase") & (g["tu"] >= s0), "tu"]
+        conv = (int(p.min()) - s0) // _DAY_US if not p.empty else -1
+        rows.append(((H - s0) // _DAY_US, conv))
+    for k in range(_SURV_DAYS):
+        at_risk = sum(1 for o, c in rows if o >= k and (c == -1 or c >= k))
+        conv = sum(1 for o, c in rows if c == k)
+        r = got[got["day"] == k].iloc[0]
+        assert (r["n_at_risk"], r["n_converted"]) == (at_risk, conv), k
+    # survival invariants: risk set shrinks, conversions never exceed it
+    ar = got.sort_values("day")["n_at_risk"].to_numpy(np.int64)
+    assert (np.diff(ar) <= 0).all()
+    assert (got["n_converted"] <= got["n_at_risk"]).all()
+
+
+def test_click_conversion_matrix_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _CONV_WINDOW_US,
+        _DAY_US,
+        q_click_conversion_matrix,
+    )
+
+    got = q_click_conversion_matrix(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    ev["tu"] = ev["ts"].astype("int64")
+    cells = {}
+    for uid, g in ev.groupby("user_id"):
+        pt = np.sort(g.loc[g["event_type"] == "purchase", "tu"].to_numpy(np.int64))
+        for ct in g.loc[g["event_type"] == "click", "tu"].to_numpy(np.int64):
+            i = np.searchsorted(pt, ct, side="right")  # strictly after
+            cv = i < len(pt) and pt[i] - ct <= _CONV_WINDOW_US
+            key = (int((ct // _DAY_US + 4) % 7), int((ct // 3_600_000_000) % 24))
+            a, b = cells.get(key, (0, 0))
+            cells[key] = (a + 1, b + int(cv))
+    assert len(got) == len(cells)
+    for r in got.itertuples(index=False):
+        assert cells[(r.dow, r.hour)] == (r.n_clicks, r.n_converted)
