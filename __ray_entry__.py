@@ -51,6 +51,10 @@ _PRIORITY = [
     "image_border_contrast",
     "conversion_survival_curve",
     "click_conversion_matrix",
+    "ship_lag_histogram",
+    "dominant_line_share",
+    "latest_order_rank_hist",
+    "bootstrap_mean_spread",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

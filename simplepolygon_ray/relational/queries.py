@@ -14633,3 +14633,344 @@ FROM conv GROUP BY dow, hour ORDER BY dow, hour
 
 QUERIES.update({"click_conversion_matrix": q_click_conversion_matrix})
 ORACLE_SQL.update({"click_conversion_matrix": _SQL_CONV_MATRIX})
+
+
+# --------------------------------------------------------------------------
+# Order-to-ship lag histogram — the FK-enrichment shape: every lineitem
+# needs its parent order's date, but the engine never runs a row-level
+# join.  Both tables project to (orderkey, day) rows tagged by side,
+# union, and co-partition by a hash BUCKET of the orderkey; inside each
+# bucket frame one searchsorted maps every lineitem to its order row,
+# and the output collapses immediately to a 61-bin day-lag histogram
+# (clamped to ±30), so the exchange carries tagged day pairs and the
+# driver merges buckets × 61 rows.  Lag is a difference of POSITIVE
+# floored epoch days on both sides — immune to the //-floor-vs-truncate
+# divergence on negatives (CLAUDE.md).
+# --------------------------------------------------------------------------
+
+
+def q_ship_lag_histogram(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "day": pa.array(
+                    t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // _DAY_US
+                ),
+                "tag": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    def prep_l(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "day": pa.array(
+                    t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // _DAY_US
+                ),
+                "tag": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(prep_o, batch_format="pyarrow").union(
+        li.map_batches(prep_l, batch_format="pyarrow")
+    )
+
+    def hist(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"lag_days": pa.array([], pa.int64()), "n_items": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = g["tag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        om = tag == 0
+        ok = key[om]
+        od = day[om]
+        oo = np.argsort(ok, kind="stable")
+        ok, od = ok[oo], od[oo]
+        lk, ld = key[~om], day[~om]
+        if len(ok) == 0:
+            return empty
+        pos = np.searchsorted(ok, lk)
+        # inner-join semantics: drop orphans (keys with no order row)
+        pc_ = np.minimum(pos, len(ok) - 1)
+        valid = ok[pc_] == lk
+        lag = ld[valid] - od[pc_[valid]]
+        b = np.clip(lag, -30, 30) + 30
+        cnt = np.bincount(b, minlength=61).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "lag_days": pa.array(nz.astype(np.int64) - 30),
+                "n_items": pa.array(cnt[nz]),
+            }
+        )
+
+    parts = _bucket_groupby(tagged, "key", hist, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("lag_days", as_index=False)
+        .agg(n_items=("n_items", "sum"))
+        .sort_values("lag_days", ignore_index=True)
+    )
+
+
+_SQL_SHIP_LAG = f"""
+SELECT LEAST(GREATEST(
+         CAST(epoch_us(l_shipdate) // {_DAY_US} AS BIGINT)
+         - CAST(epoch_us(o_orderdate) // {_DAY_US} AS BIGINT), -30), 30) AS lag_days,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"ship_lag_histogram": q_ship_lag_histogram})
+ORACLE_SQL.update({"ship_lag_histogram": _SQL_SHIP_LAG})
+
+
+# --------------------------------------------------------------------------
+# Dominant-line share histogram — the ratio-to-parent window shape
+# (SQL's ratio_to_report): per order, the largest line's share of the
+# order's revenue in exact basis points (10000·max_cents // total_cents,
+# both exact ints), bucketed by 10%-of-share deciles.  Lineitems
+# co-partition by orderkey bucket; one lexsort + reduceat per frame
+# computes every order's total and max; the driver merges buckets × ≤11
+# rows.  No window function materializes per-row shares anywhere.
+# --------------------------------------------------------------------------
+
+
+def q_dominant_line_share(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "cents": pa.array(
+                    np.rint(
+                        t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def shares(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "share_decile": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((cents, key))
+        key, cents = key[o], cents[o]
+        new = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(key)) - 1
+        tot = np.add.reduceat(cents, starts)
+        mx = cents[ends]  # within-run cents ascending: last is the max
+        share_bp = (10000 * mx) // tot
+        dec = np.minimum(share_bp // 1000, 10)
+        cnt = np.bincount(dec, minlength=11).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "share_decile": pa.array(nz.astype(np.int64)),
+                "n_orders": pa.array(cnt[nz]),
+            }
+        )
+
+    parts = _bucket_groupby(
+        li.map_batches(prep, batch_format="pyarrow"), "key", shares,
+        batch_format="pyarrow",
+    ).to_pandas()
+    return (
+        parts.groupby("share_decile", as_index=False)
+        .agg(n_orders=("n_orders", "sum"))
+        .sort_values("share_decile", ignore_index=True)
+    )
+
+
+_SQL_DOM_SHARE = """
+WITH l AS (SELECT l_orderkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+o AS (SELECT l_orderkey, SUM(cents) AS tot, MAX(cents) AS mx
+      FROM l GROUP BY l_orderkey),
+s AS (SELECT LEAST((10000 * mx) // tot // 1000, 10) AS share_decile FROM o)
+SELECT CAST(share_decile AS BIGINT) AS share_decile, COUNT(*) AS n_orders
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"dominant_line_share": q_dominant_line_share})
+ORACLE_SQL.update({"dominant_line_share": _SQL_DOM_SHARE})
+
+
+# --------------------------------------------------------------------------
+# Rank-of-latest-order histogram — "is a customer's most recent order
+# also their biggest?": per customer, the revenue rank (1 = highest,
+# ties broken by orderkey) of their most RECENT order (latest orderdate,
+# ties by orderkey), histogrammed over all customers.  The windowed
+# rank-within-parent shape (SQL row_number over two different orderings)
+# computed with two lexsorts per bucket frame and no per-customer
+# Python; the driver merges buckets × ≤max_orders rows.
+# --------------------------------------------------------------------------
+
+
+def q_latest_order_rank_hist(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": t["o_custkey"],
+                "okey": t["o_orderkey"],
+                "day": pa.array(
+                    t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "cents": pa.array(
+                    np.rint(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def ranks(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rank_of_latest": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cust = g["cust"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = g["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(cust)
+        # revenue rank within customer: sort (cust, -cents, okey)
+        ro = np.lexsort((okey, -cents, cust))
+        starts = np.flatnonzero(np.r_[True, cust[ro][1:] != cust[ro][:-1]])
+        lens = np.diff(np.append(starts, n))
+        rank = np.empty(n, np.int64)
+        rank[ro] = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        # latest order within customer: max (day, okey)
+        lo = np.lexsort((okey, day, cust))
+        lstarts = np.flatnonzero(np.r_[True, cust[lo][1:] != cust[lo][:-1]])
+        last = lo[np.append(lstarts[1:], n) - 1]  # run tails = latest rows
+        cnt = np.bincount(rank[last]).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "rank_of_latest": pa.array(nz.astype(np.int64)),
+                "n_customers": pa.array(cnt[nz]),
+            }
+        )
+
+    parts = _bucket_groupby(
+        orders.map_batches(prep, batch_format="pyarrow"), "cust", ranks,
+        batch_format="pyarrow",
+    ).to_pandas()
+    return (
+        parts.groupby("rank_of_latest", as_index=False)
+        .agg(n_customers=("n_customers", "sum"))
+        .sort_values("rank_of_latest", ignore_index=True)
+    )
+
+
+_SQL_LATEST_RANK = """
+WITH r AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rev_rank,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rec_rank
+  FROM orders)
+SELECT CAST(rev_rank AS BIGINT) AS rank_of_latest, COUNT(*) AS n_customers
+FROM r WHERE rec_rank = 1 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"latest_order_rank_hist": q_latest_order_rank_hist})
+ORACLE_SQL.update({"latest_order_rank_hist": _SQL_LATEST_RANK})
+
+
+# --------------------------------------------------------------------------
+# Deterministic bootstrap resample spread — the CI primitive computed
+# the distributed way: B=16 half-rate resamples of the orders table,
+# membership a pure function splitmix64(orderkey + b·salt) % 2, each
+# resample reporting exact (n, sum_cents).  One pass over the data
+# emits B partial rows per block (the resample loop is over B bincount
+# masks, not rows); the driver merges blocks × B rows.  The SQL oracle
+# replays the hash limb-exactly per replicate.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 16
+_BOOT_SALT = 10**15
+
+
+def q_bootstrap_mean_spread(sf_dir: str):
+    from .sketches import _hash64
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bs, ns, ss = [], [], []
+        for b in range(_BOOT_B):
+            h = _hash64((okey + b * _BOOT_SALT).view(np.uint64))
+            m = (h % np.uint64(2)) == 0
+            bs.append(b)
+            ns.append(int(m.sum()))
+            ss.append(int(cents[m].sum()))
+        return pa.table(
+            {
+                "b": pa.array(np.array(bs, np.int64)),
+                "n": pa.array(np.array(ns, np.int64)),
+                "sum_cents": pa.array(np.array(ss, np.int64)),
+            }
+        )
+
+    parts = orders.map_batches(part, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("b", as_index=False)
+        .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        .sort_values("b", ignore_index=True)
+    )
+
+
+_SQL_BOOTSTRAP = f"""
+WITH bb AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+src AS (SELECT o_orderkey, round(o_totalprice * 100) AS cents, b
+        FROM orders CROSS JOIN bb),
+{_splitmix_ctes("bh", "src", "cents, b",
+                f"CAST(o_orderkey AS HUGEINT) + CAST(b AS HUGEINT) * {_BOOT_SALT} + {_GOLDEN}")}
+SELECT CAST(b AS BIGINT) AS b, COUNT(*) AS n,
+       CAST(SUM(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+FROM bh3 WHERE x % 2 = 0 GROUP BY b ORDER BY b
+"""
+
+QUERIES.update({"bootstrap_mean_spread": q_bootstrap_mean_spread})
+ORACLE_SQL.update({"bootstrap_mean_spread": _SQL_BOOTSTRAP})

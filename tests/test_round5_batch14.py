@@ -346,3 +346,86 @@ def test_click_conversion_matrix_matches_brute(ray_session):
     assert len(got) == len(cells)
     for r in got.itertuples(index=False):
         assert cells[(r.dow, r.hour)] == (r.n_clicks, r.n_converted)
+
+
+def test_ship_lag_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import _DAY_US, q_ship_lag_histogram
+
+    got = q_ship_lag_histogram(SF)
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (
+        j["l_shipdate"].astype("int64") // _DAY_US
+        - j["o_orderdate"].astype("int64") // _DAY_US
+    ).clip(-30, 30)
+    exp = lag.value_counts().sort_index()
+    assert got["lag_days"].tolist() == exp.index.tolist()
+    assert got["n_items"].tolist() == exp.tolist()
+    assert int(got["n_items"].sum()) == len(j)
+
+
+def test_dominant_share_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import q_dominant_line_share
+
+    got = q_dominant_line_share(SF)
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).to_pandas()
+    li["cents"] = np.rint(li["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    per = li.groupby("l_orderkey")["cents"].agg(["sum", "max"])
+    dec = np.minimum((10000 * per["max"]) // per["sum"] // 1000, 10)
+    exp = dec.value_counts().sort_index()
+    assert got["share_decile"].tolist() == exp.index.tolist()
+    assert got["n_orders"].tolist() == exp.tolist()
+    # share of the max line is always > 0 and the deciles partition orders
+    assert int(got["n_orders"].sum()) == per.shape[0]
+
+
+def test_latest_order_rank_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import q_latest_order_rank_hist
+
+    got = q_latest_order_rank_hist(SF)
+    od = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    od["cents"] = np.rint(od["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    od["day"] = od["o_orderdate"].astype("int64")
+    cnt = {}
+    for cust, g in od.groupby("o_custkey"):
+        g = g.sort_values(["cents", "o_orderkey"], ascending=[False, True])
+        g = g.reset_index(drop=True)
+        latest = g.sort_values(["day", "o_orderkey"], ascending=False).index[0]
+        r = int(latest) + 1
+        cnt[r] = cnt.get(r, 0) + 1
+    assert got["rank_of_latest"].tolist() == sorted(cnt)
+    assert got["n_customers"].tolist() == [cnt[k] for k in sorted(cnt)]
+    assert int(got["n_customers"].sum()) == od["o_custkey"].nunique()
+
+
+def test_bootstrap_spread_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _BOOT_B,
+        _BOOT_SALT,
+        q_bootstrap_mean_spread,
+    )
+    from simplepolygon_ray.relational.sketches import _hash64
+
+    got = q_bootstrap_mean_spread(SF)
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    okey = od["o_orderkey"].to_numpy(np.int64)
+    cents = np.rint(od["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    assert len(got) == _BOOT_B
+    for b in range(_BOOT_B):
+        m = (_hash64((okey + b * _BOOT_SALT).view(np.uint64)) % np.uint64(2)) == 0
+        row = got[got["b"] == b].iloc[0]
+        assert (row["n"], row["sum_cents"]) == (int(m.sum()), int(cents[m].sum()))
+    # half-rate resamples hover near half the table
+    assert (got["n"] > 0).all() and (got["n"] < len(od)).all()
