@@ -55,6 +55,8 @@ _PRIORITY = [
     "dominant_line_share",
     "latest_order_rank_hist",
     "bootstrap_mean_spread",
+    "cdc_delete_apply",
+    "cell_density_drift",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

@@ -5563,3 +5563,70 @@ FROM base
 
 GEO_QUERIES.update({"image_border_contrast": q_image_border_contrast})
 EXTRA_ORACLE_SQL["image_border_contrast"] = _IMG_BORDER_SQL
+
+
+# --------------------------------------------------------------------------
+# Spatial density drift — does the geotag distribution differ between
+# the even- and odd-id halves of the image corpus?  The snapshot
+# distribution-shift audit run on SPATIAL data: per level-6 cell,
+# exact point counts for each half (the cell grid bounds the output at
+# 4096 rows regardless of data volume; per-block bincount partials ×
+# one cell groupby, same exchange shape as image_cell_density).  The
+# SQL oracle recomputes point→cell AND the half split independently
+# from the persisted points.
+# --------------------------------------------------------------------------
+
+
+def q_cell_density_drift(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(min(n_images, 50_000)), "drift_pts")
+    pts = rd.read_parquet(pts_dir, columns=["image_id", "lon", "lat"])
+    n = 64  # level 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        idx = (
+            pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        i = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        j = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        cell = i * n + j
+        even = np.bincount(cell[idx % 2 == 0], minlength=n * n).astype(np.int64)
+        odd = np.bincount(cell[idx % 2 == 1], minlength=n * n).astype(np.int64)
+        nz = np.flatnonzero(even + odd)
+        return pa.table(
+            {
+                "cx": pa.array(nz // n),
+                "cy": pa.array(nz % n),
+                "n_even": pa.array(even[nz]),
+                "n_odd": pa.array(odd[nz]),
+            }
+        )
+
+    parts = pts.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby(["cx", "cy"], as_index=False)
+        .agg(n_even=("n_even", "sum"), n_odd=("n_odd", "sum"))
+        .sort_values(["cx", "cy"], ignore_index=True)
+    )
+
+
+_CELL_DRIFT_SQL = f"""
+SELECT cx, cy,
+       CAST(SUM(CASE WHEN idx % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+       CAST(SUM(CASE WHEN idx % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+FROM (SELECT
+        CAST(substr(image_id, 4) AS BIGINT) AS idx,
+        LEAST(GREATEST(CAST(trunc((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+        LEAST(GREATEST(CAST(trunc((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+      FROM read_parquet('{_ORACLE_DIR}/drift_pts/*.parquet'))
+GROUP BY cx, cy ORDER BY cx, cy
+"""
+
+GEO_QUERIES.update({"cell_density_drift": q_cell_density_drift})
+EXTRA_ORACLE_SQL["cell_density_drift"] = _CELL_DRIFT_SQL

@@ -14974,3 +14974,103 @@ FROM bh3 WHERE x % 2 = 0 GROUP BY b ORDER BY b
 
 QUERIES.update({"bootstrap_mean_spread": q_bootstrap_mean_spread})
 ORACLE_SQL.update({"bootstrap_mean_spread": _SQL_BOOTSTRAP})
+
+
+# --------------------------------------------------------------------------
+# CDC apply WITH tombstones — the full change-feed merge (SCD1 +
+# deletes): the deterministic log deletes customers with
+# custkey % 11 == 3, bumps the balance of surviving custkey % 7 == 0
+# rows, and inserts one synthetic customer per nation; the audited
+# result is per-nation (n_rows, balance checksum) AFTER the merge.
+# Same streamed-rule shape as q_cdc_upsert_apply (no row-level join:
+# delete + update are pure per-row predicates applied in one
+# map_batches; inserts union in), extended with the tombstone path.
+# --------------------------------------------------------------------------
+
+_CDC_DEL_BUMP_CENTS = 12_345
+
+
+def q_cdc_delete_apply(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def apply_log(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ck % 11 != 3  # tombstones
+        cents = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = cents + np.where(ck % 7 == 0, _CDC_DEL_BUMP_CENTS, 0)
+        return pa.table(
+            {
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    import ray.data as rd
+
+    nk = (
+        _t(sf_dir, "nation", columns=["n_nationkey"])
+        .to_pandas()["n_nationkey"]
+        .to_numpy(np.int64)
+    )
+    nats = np.sort(nk)
+    inserts = rd.from_arrow(
+        pa.table(
+            {
+                "c_nationkey": pa.array(nats),
+                "cents": pa.array(np.full(len(nats), 1_000_00, np.int64)),
+            }
+        )
+    )
+    merged = cust.map_batches(apply_log, batch_format="pyarrow").union(inserts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "bal_cents": pa.array([], pa.int64()),
+                }
+            )
+        k = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(u),
+                "n_rows": pa.array(np.bincount(inv).astype(np.int64)),
+                "bal_cents": pa.array(s),
+            }
+        )
+
+    parts = merged.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("c_nationkey", as_index=False)
+        .agg(n_rows=("n_rows", "sum"), bal_cents=("bal_cents", "sum"))
+        .sort_values("c_nationkey", ignore_index=True)
+    )
+
+
+_SQL_CDC_DEL = f"""
+WITH live AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN {_CDC_DEL_BUMP_CENTS} ELSE 0 END
+           AS cents
+  FROM customer WHERE c_custkey % 11 <> 3
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) AS c_nationkey, 100000 AS cents FROM nation
+)
+SELECT c_nationkey, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS bal_cents
+FROM live GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+QUERIES.update({"cdc_delete_apply": q_cdc_delete_apply})
+ORACLE_SQL.update({"cdc_delete_apply": _SQL_CDC_DEL})

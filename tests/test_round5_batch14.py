@@ -429,3 +429,53 @@ def test_bootstrap_spread_matches_brute(ray_session):
         assert (row["n"], row["sum_cents"]) == (int(m.sum()), int(cents[m].sum()))
     # half-rate resamples hover near half the table
     assert (got["n"] > 0).all() and (got["n"] < len(od)).all()
+
+
+def test_cdc_delete_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _CDC_DEL_BUMP_CENTS,
+        q_cdc_delete_apply,
+    )
+
+    got = q_cdc_delete_apply(SF)
+    cu = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet", columns=["n_nationkey"]).to_pandas()
+    ck = cu["c_custkey"].to_numpy(np.int64)
+    live = cu[ck % 11 != 3].copy()
+    lk = live["c_custkey"].to_numpy(np.int64)
+    cents = np.rint(live["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+    cents = cents + np.where(lk % 7 == 0, _CDC_DEL_BUMP_CENTS, 0)
+    live["cents"] = cents
+    agg = live.groupby("c_nationkey")["cents"].agg(["size", "sum"])
+    for r in got.itertuples(index=False):
+        base = (
+            (int(agg.loc[r.c_nationkey, "size"]), int(agg.loc[r.c_nationkey, "sum"]))
+            if r.c_nationkey in agg.index
+            else (0, 0)
+        )
+        ins = (1, 100000) if r.c_nationkey in set(na["n_nationkey"]) else (0, 0)
+        assert (r.n_rows, r.bal_cents) == (base[0] + ins[0], base[1] + ins[1])
+    # deletes really removed rows: total < customers + inserts
+    assert int(got["n_rows"].sum()) == len(live) + len(na)
+
+
+def test_cell_density_drift_halves_sum_to_density(ray_session):
+    from simplepolygon_ray.pipelines.catalog import (
+        q_cell_density_drift,
+        q_image_cell_density,
+    )
+
+    drift = q_cell_density_drift(SF).sort_values(["cx", "cy"], ignore_index=True)
+    dens = (
+        q_image_cell_density(SF)
+        .to_pandas()
+        .sort_values(["cx", "cy"], ignore_index=True)
+    )
+    # the two halves partition the same point set the heatmap counts
+    assert drift["cx"].tolist() == dens["cx"].tolist()
+    assert drift["cy"].tolist() == dens["cy"].tolist()
+    assert (
+        drift["n_even"] + drift["n_odd"]
+    ).tolist() == dens["n_images"].tolist()
