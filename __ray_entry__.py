@@ -57,6 +57,8 @@ _PRIORITY = [
     "bootstrap_mean_spread",
     "cdc_delete_apply",
     "cell_density_drift",
+    "geo_selfisect_hist",
+    "geo_snap_dup_verts",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

@@ -5630,3 +5630,220 @@ GROUP BY cx, cy ORDER BY cx, cy
 
 GEO_QUERIES.update({"cell_density_drift": q_cell_density_drift})
 EXTRA_ORACLE_SQL["cell_density_drift"] = _CELL_DRIFT_SQL
+
+
+# --------------------------------------------------------------------------
+# Raw-corpus validity profile on the e5 snap grid — two QA audits a
+# geometry-ingest pipeline runs BEFORE decompose, on the raw (self-
+# intersecting) polygon corpus:
+#   geo_selfisect_hist  — per outer ring, the count of PROPER edge
+#     crossings (strict double-straddle sign test) between non-adjacent
+#     edges, histogrammed (clamped at 20+);
+#   geo_snap_dup_verts  — per outer ring, how many duplicate vertices
+#     the e5 floor-snap introduces (the degeneracy the reference's
+#     dup-vertex guard would reject), histogrammed.
+# Coordinates floor-snap to the 1e-5-degree grid (np.floor ↔ SQL floor,
+# immune to the rint/round half-rule divergence), making every cross
+# product an exact int64 (|coord| ≤ 1.9e7 ⇒ |cross| ≤ 1.5e15 < 2^53) —
+# the SQL oracle replays the predicate from one persisted edge table.
+# Capped at 3000 rings (QA audit, not a throughput path; cap documented
+# here, not silent).
+# --------------------------------------------------------------------------
+
+_SNAP_CAP = 3000
+
+
+def _snap_edge_rows(sf_dir: str):
+    """Persist (geom_id, eid, ne, x1..y2) int64 snapped outer-ring edges
+    once per (process, sf_dir); both snap audits read the same table."""
+    key = ("snap_edges", sf_dir)
+    if _SNAP_CACHE.get("key") == key:
+        return _SNAP_CACHE["dir"]
+    from ..stages.decompose_stage import _rings_from_arrow, polygons_source
+
+    n_polys, _ = scale_counts(sf_dir)
+    polys = polygons_source(min(n_polys, _SNAP_CAP))
+
+    def edges(t: pa.Table) -> pa.Table:
+        gids, gkeys, eids, nes = [], [], [], []
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        ring_lists = _rings_from_arrow(t["rings"])
+        for gid, rlist in zip(t["geom_id"].to_pylist(), ring_lists):
+            pts = np.asarray(rlist[0], np.float64)
+            if len(pts) > 1 and (pts[0] == pts[-1]).all():
+                pts = pts[:-1]  # drop the closing vertex
+            p = np.floor(pts * 1e5).astype(np.int64)
+            e = len(p)
+            q = np.roll(p, -1, axis=0)
+            gids.extend([gid] * e)
+            gkeys.append(np.full(e, int(gid[4:]), np.int64))
+            eids.append(np.arange(e, dtype=np.int64))
+            nes.append(np.full(e, e, np.int64))
+            xs1.append(p[:, 0]); ys1.append(p[:, 1])
+            xs2.append(q[:, 0]); ys2.append(q[:, 1])
+        return pa.table(
+            {
+                "geom_id": pa.array(gids, pa.string()),
+                "gkey": pa.array(np.concatenate(gkeys)),
+                "eid": pa.array(np.concatenate(eids)),
+                "ne": pa.array(np.concatenate(nes)),
+                "x1": pa.array(np.concatenate(xs1)),
+                "y1": pa.array(np.concatenate(ys1)),
+                "x2": pa.array(np.concatenate(xs2)),
+                "y2": pa.array(np.concatenate(ys2)),
+            }
+        )
+
+    out = _persist(polys.map_batches(edges, batch_format="pyarrow"), "snap_edges")
+    _SNAP_CACHE["key"] = key
+    _SNAP_CACHE["dir"] = out
+    return out
+
+
+_SNAP_CACHE: dict = {}
+
+
+def q_geo_selfisect_hist(sf_dir: str):
+    import ray.data as rd
+
+    edges_dir = _snap_edge_rows(sf_dir)
+    ed = rd.read_parquet(
+        edges_dir, columns=["gkey", "eid", "x1", "y1", "x2", "y2"]
+    )
+
+    def isect(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"n_isects": pa.array([], pa.int64()), "n_rings": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        gid = g["gkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        x1 = g["x1"].to_numpy(zero_copy_only=False)
+        y1 = g["y1"].to_numpy(zero_copy_only=False)
+        x2 = g["x2"].to_numpy(zero_copy_only=False)
+        y2 = g["y2"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, gid))
+        gid, x1, y1, x2, y2 = gid[o], x1[o], y1[o], x2[o], y2[o]
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        lens = np.diff(np.append(starts, len(gid)))
+        counts = []
+        for s, e in zip(starts, starts + lens):
+            p1x, p1y = x1[s:e], y1[s:e]
+            p2x, p2y = x2[s:e], y2[s:e]
+            E = e - s
+            if E < 4:
+                counts.append(0)
+                continue
+            i, j = np.triu_indices(E, 2)
+            keep = ~((i == 0) & (j == E - 1))
+            i, j = i[keep], j[keep]
+            d1 = (p2x[i] - p1x[i]) * (p1y[j] - p1y[i]) - (p2y[i] - p1y[i]) * (p1x[j] - p1x[i])
+            d2 = (p2x[i] - p1x[i]) * (p2y[j] - p1y[i]) - (p2y[i] - p1y[i]) * (p2x[j] - p1x[i])
+            d3 = (p2x[j] - p1x[j]) * (p1y[i] - p1y[j]) - (p2y[j] - p1y[j]) * (p1x[i] - p1x[j])
+            d4 = (p2x[j] - p1x[j]) * (p2y[i] - p1y[j]) - (p2y[j] - p1y[j]) * (p2x[i] - p1x[j])
+            proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+                ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+            )
+            counts.append(int(proper.sum()))
+        b = np.minimum(np.array(counts, np.int64), 20)
+        cnt = np.bincount(b, minlength=21).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"n_isects": pa.array(nz.astype(np.int64)), "n_rings": pa.array(cnt[nz])}
+        )
+
+    from ..relational.queries import _bucket_groupby
+
+    parts = _bucket_groupby(ed, "gkey", isect, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("n_isects", as_index=False)
+        .agg(n_rings=("n_rings", "sum"))
+        .sort_values("n_isects", ignore_index=True)
+    )
+
+
+def _selfisect_sql(edges_dir: str) -> str:
+    return f"""
+WITH e AS (SELECT * FROM read_parquet('{edges_dir}/*.parquet')),
+pr AS (SELECT a.geom_id,
+              (a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS d1,
+              (a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS d2,
+              (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3,
+              (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4
+       FROM e a JOIN e b ON a.geom_id = b.geom_id AND b.eid >= a.eid + 2
+        AND NOT (a.eid = 0 AND b.eid = a.ne - 1)),
+per AS (SELECT geom_id,
+               SUM(CASE WHEN ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                         AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+                        THEN 1 ELSE 0 END) AS c
+        FROM pr GROUP BY geom_id),
+allg AS (SELECT DISTINCT geom_id FROM e),
+f AS (SELECT LEAST(COALESCE(per.c, 0), 20) AS n_isects
+      FROM allg LEFT JOIN per USING (geom_id))
+SELECT CAST(n_isects AS BIGINT) AS n_isects, COUNT(*) AS n_rings
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_geo_snap_dup_verts(sf_dir: str):
+    import ray.data as rd
+
+    edges_dir = _snap_edge_rows(sf_dir)
+    ed = rd.read_parquet(edges_dir, columns=["gkey", "x1", "y1"])
+
+    def dups(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"n_dups": pa.array([], pa.int64()), "n_rings": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        gid = g["gkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g["x1"].to_numpy(zero_copy_only=False)
+        y = g["y1"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((y, x, gid))
+        gid, x, y = gid[o], x[o], y[o]
+        n = len(gid)
+        newg = np.r_[True, gid[1:] != gid[:-1]]
+        newv = newg | np.r_[True, (x[1:] != x[:-1]) | (y[1:] != y[:-1])]
+        starts = np.flatnonzero(newg)
+        tot = np.diff(np.append(starts, n))
+        # distinct snapped vertices per ring
+        seg = np.cumsum(newg) - 1
+        dis = np.bincount(seg[newv], minlength=len(starts))
+        d = np.minimum(tot - dis, 20)
+        cnt = np.bincount(d, minlength=21).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"n_dups": pa.array(nz.astype(np.int64)), "n_rings": pa.array(cnt[nz])}
+        )
+
+    from ..relational.queries import _bucket_groupby
+
+    parts = _bucket_groupby(ed, "gkey", dups, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("n_dups", as_index=False)
+        .agg(n_rings=("n_rings", "sum"))
+        .sort_values("n_dups", ignore_index=True)
+    )
+
+
+def _snap_dups_sql(edges_dir: str) -> str:
+    return f"""
+WITH e AS (SELECT geom_id, x1, y1 FROM read_parquet('{edges_dir}/*.parquet')),
+per AS (SELECT geom_id,
+               LEAST(COUNT(*) - COUNT(DISTINCT (x1, y1)), 20) AS n_dups
+        FROM e GROUP BY geom_id)
+SELECT CAST(n_dups AS BIGINT) AS n_dups, COUNT(*) AS n_rings
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+GEO_QUERIES.update(
+    {
+        "geo_selfisect_hist": q_geo_selfisect_hist,
+        "geo_snap_dup_verts": q_geo_snap_dup_verts,
+    }
+)
+EXTRA_ORACLE_SQL["geo_selfisect_hist"] = _selfisect_sql(f"{_ORACLE_DIR}/snap_edges")
+EXTRA_ORACLE_SQL["geo_snap_dup_verts"] = _snap_dups_sql(f"{_ORACLE_DIR}/snap_edges")

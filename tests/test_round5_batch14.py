@@ -479,3 +479,55 @@ def test_cell_density_drift_halves_sum_to_density(ray_session):
     assert (
         drift["n_even"] + drift["n_odd"]
     ).tolist() == dens["n_images"].tolist()
+
+
+def test_geo_snap_audits_match_brute(ray_session):
+    from itertools import combinations
+
+    from simplepolygon_ray.pipelines.catalog import (
+        _SNAP_CAP,
+        q_geo_selfisect_hist,
+        q_geo_snap_dup_verts,
+    )
+    from simplepolygon_ray.pipelines.flagship import scale_counts
+    from simplepolygon_ray.stages.decompose_stage import polygons_source
+
+    isect = q_geo_selfisect_hist(SF)
+    dups = q_geo_snap_dup_verts(SF)
+    n_polys, _ = scale_counts(SF)
+    n = min(n_polys, _SNAP_CAP)
+    assert int(isect["n_rings"].sum()) == n
+    assert int(dups["n_rings"].sum()) == n
+
+    # brute recompute per ring over the whole corpus
+    rows = polygons_source(n).take_all()
+    ic, dc = {}, {}
+    for r in rows:
+        pts = np.asarray(r["rings"][0], np.float64)
+        if len(pts) > 1 and (pts[0] == pts[-1]).all():
+            pts = pts[:-1]
+        p = np.floor(pts * 1e5).astype(np.int64)
+        E = len(p)
+        nd = min(E - len({(int(a), int(b)) for a, b in p}), 20)
+        dc[nd] = dc.get(nd, 0) + 1
+        cnt = 0
+        for i, j in combinations(range(E), 2):
+            if j == i + 1 or (i == 0 and j == E - 1):
+                continue
+            a1, a2, b1, b2 = p[i], p[(i + 1) % E], p[j], p[(j + 1) % E]
+
+            def cross(u, v, w):
+                return int((v[0] - u[0]) * (w[1] - u[1]) - (v[1] - u[1]) * (w[0] - u[0]))
+
+            d1, d2 = cross(a1, a2, b1), cross(a1, a2, b2)
+            d3, d4 = cross(b1, b2, a1), cross(b1, b2, a2)
+            if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0) and (
+                (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0
+            ):
+                cnt += 1
+        k = min(cnt, 20)
+        ic[k] = ic.get(k, 0) + 1
+    assert isect["n_isects"].tolist() == sorted(ic)
+    assert isect["n_rings"].tolist() == [ic[k] for k in sorted(ic)]
+    assert dups["n_dups"].tolist() == sorted(dc)
+    assert dups["n_rings"].tolist() == [dc[k] for k in sorted(dc)]
