@@ -59,6 +59,10 @@ _PRIORITY = [
     "cell_density_drift",
     "geo_selfisect_hist",
     "geo_snap_dup_verts",
+    "needle_scan_counts",
+    "event_run_compression",
+    "ann_rrf_fusion",
+    "nation_trend_moments",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

@@ -5847,3 +5847,46 @@ GEO_QUERIES.update(
 )
 EXTRA_ORACLE_SQL["geo_selfisect_hist"] = _selfisect_sql(f"{_ORACLE_DIR}/snap_edges")
 EXTRA_ORACLE_SQL["geo_snap_dup_verts"] = _snap_dups_sql(f"{_ORACLE_DIR}/snap_edges")
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval paths — the standard way a
+# retrieval pipeline merges an exact ranking with an ANN shortlist:
+# each method's top-10 contributes floor(1e6 / (60 + rank)) integer
+# points per vec_id (the RRF constant 60, fixed-point so the fusion is
+# exact and order-independent); the fused top-10 ties break by vec_id.
+# Reuses the brute and LSH paths as-is (the LSH bucket assignment
+# persists for the oracle), so the SQL replay composes the two ranking
+# oracles verbatim and fuses them in SQL.
+# --------------------------------------------------------------------------
+
+
+def q_ann_rrf_fusion(sf_dir: str):
+    brute = q_ann_brute(sf_dir)
+    lsh = q_ann_lsh(sf_dir)
+    both = pd.concat([brute, lsh], ignore_index=True)
+    both["pts"] = 10**6 // (60 + both["rank"].to_numpy(np.int64))
+    fused = (
+        both.groupby("vec_id", as_index=False)
+        .agg(rrf_score=("pts", "sum"))
+        .sort_values(["rrf_score", "vec_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    fused["rrf_score"] = fused["rrf_score"].astype(np.int64)
+    return fused
+
+
+_RRF_SQL = f"""
+WITH brute AS ({_ann_sql(10)}),
+lsh AS ({_ann_lsh_sql(10)}),
+both_ AS (SELECT vec_id, 1000000 // (60 + "rank") AS pts FROM brute
+          UNION ALL
+          SELECT vec_id, 1000000 // (60 + "rank") AS pts FROM lsh)
+SELECT vec_id, CAST(SUM(pts) AS BIGINT) AS rrf_score
+FROM both_ GROUP BY vec_id
+ORDER BY rrf_score DESC, vec_id LIMIT 10
+"""
+
+GEO_QUERIES.update({"ann_rrf_fusion": q_ann_rrf_fusion})
+EXTRA_ORACLE_SQL["ann_rrf_fusion"] = _RRF_SQL

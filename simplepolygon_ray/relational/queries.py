@@ -15074,3 +15074,293 @@ FROM live GROUP BY c_nationkey ORDER BY c_nationkey
 
 QUERIES.update({"cdc_delete_apply": q_cdc_delete_apply})
 ORACLE_SQL.update({"cdc_delete_apply": _SQL_CDC_DEL})
+
+
+# --------------------------------------------------------------------------
+# Multi-needle literal scan — the PII/keyword screening pass a corpus
+# curation pipeline runs before release: for each fixed literal needle,
+# how many documents contain it and how many (non-overlapping, left-to-
+# right) occurrences exist corpus-wide.  One vectorized
+# pc.count_substring pass per needle per block, 5-row partials; the SQL
+# oracle counts via length-difference/replace, which uses the same
+# non-overlapping convention (the needles are chosen self-overlap-free
+# so the conventions coincide exactly).
+# --------------------------------------------------------------------------
+
+_NEEDLES = ("join", "hash scan", "merge part", "customer", "order sort")
+
+
+def q_needle_scan_counts(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "needle": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        needles, nd, no = [], [], []
+        for needle in _NEEDLES:
+            c = pc.count_substring(t["text"], needle).to_numpy(zero_copy_only=False)
+            needles.append(needle)
+            nd.append(int((c > 0).sum()))
+            no.append(int(c.sum()))
+        return pa.table(
+            {
+                "needle": pa.array(needles, pa.string()),
+                "n_docs": pa.array(np.array(nd, np.int64)),
+                "n_occurrences": pa.array(np.array(no, np.int64)),
+            }
+        )
+
+    parts = docs.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("needle", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), n_occurrences=("n_occurrences", "sum"))
+        .sort_values("needle", ignore_index=True)
+    )
+
+
+_NEEDLE_VALUES = ", ".join(f"('{n}')" for n in _NEEDLES)
+_SQL_NEEDLES = f"""
+WITH needles(needle) AS (VALUES {_NEEDLE_VALUES}),
+c AS (SELECT n.needle,
+             (length(d.text) - length(replace(d.text, n.needle, '')))
+               // length(n.needle) AS occ
+      FROM documents d CROSS JOIN needles n)
+SELECT needle,
+       CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(occ) AS BIGINT) AS n_occurrences
+FROM c GROUP BY needle ORDER BY needle
+"""
+
+QUERIES.update({"needle_scan_counts": q_needle_scan_counts})
+ORACLE_SQL.update({"needle_scan_counts": _SQL_NEEDLES})
+
+
+# --------------------------------------------------------------------------
+# Event-type run compression — how compressible is each user's event
+# stream?  Per user the time-ordered (ts, event_id tiebreak) type
+# sequence collapses to runs; the ratio decile (10·n_runs // n_events,
+# 0..10) histograms across users — a behavioral-diversity profile and
+# the exact size estimate for an RLE-encoded event log.  One lexsort +
+# change mask per bucket frame, buckets × 11 partial rows.
+# --------------------------------------------------------------------------
+
+
+def q_event_run_compression(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        types, code = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        # a GLOBAL type code is required (np.unique codes are block-local):
+        # hash the type string deterministically instead
+        from ..text._hash import fnv64_batch
+
+        th = fnv64_batch([s.encode() for s in types]).view(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "tcode": pa.array(th[code]),
+            }
+        )
+
+    def runs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ratio_decile": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = g["tcode"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        uid, tc = uid[o], tc[o]
+        n = len(uid)
+        newu = np.r_[True, uid[1:] != uid[:-1]]
+        newrun = newu | np.r_[True, tc[1:] != tc[:-1]]
+        ustarts = np.flatnonzero(newu)
+        n_events = np.diff(np.append(ustarts, n))
+        seg = np.cumsum(newu) - 1
+        n_runs = np.bincount(seg[newrun], minlength=len(ustarts))
+        dec = np.minimum((10 * n_runs) // n_events, 10)
+        cnt = np.bincount(dec, minlength=11).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "ratio_decile": pa.array(nz.astype(np.int64)),
+                "n_users": pa.array(cnt[nz]),
+            }
+        )
+
+    parts = _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", runs,
+        batch_format="pyarrow",
+    ).to_pandas()
+    return (
+        parts.groupby("ratio_decile", as_index=False)
+        .agg(n_users=("n_users", "sum"))
+        .sort_values("ratio_decile", ignore_index=True)
+    )
+
+
+_SQL_RUN_COMPRESSION = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), u AS (
+  SELECT user_id, LEAST((10 * SUM(new_run)) // COUNT(*), 10) AS ratio_decile
+  FROM d GROUP BY user_id
+)
+SELECT CAST(ratio_decile AS BIGINT) AS ratio_decile, COUNT(*) AS n_users
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"event_run_compression": q_event_run_compression})
+ORACLE_SQL.update({"event_run_compression": _SQL_RUN_COMPRESSION})
+
+
+# --------------------------------------------------------------------------
+# Per-nation revenue trend moments — the grouped-OLS primitive ("is
+# revenue growing, per market?"): for each nation, the exact integer
+# moment sums (n, Σx, Σy, Σxy, Σx²) of y = order cents against
+# x = epoch-day − 9000 (shifted to keep products small); slope and
+# intercept are recoverable downstream without any cross-engine float.
+# The customer→nation attribute joins in by custkey co-partitioning
+# (tagged union, searchsorted within the bucket frame — never a
+# row-level join), and the exchange is 25 nations × buckets moment
+# rows.  int64 headroom: |Σxy| < 2^63 up to ~2·10^8 orders/nation; past
+# that, ship the partials as decimal strings (see value_moment_sums).
+# --------------------------------------------------------------------------
+
+_TREND_X0 = 9000  # epoch-day shift (corpus starts 1995 ≈ day 9131)
+
+
+def q_nation_trend_moments(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "k": t["c_custkey"],
+                "tag": pa.array(np.zeros(n, np.int64)),
+                "a": t["c_nationkey"].cast(pa.int64()),
+                "b": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        )
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": t["o_custkey"],
+                "tag": pa.array(np.ones(len(t), np.int64)),
+                "a": pa.array(day - _TREND_X0),
+                "b": pa.array(cents),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def moments(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nation": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_x": pa.array([], pa.int64()),
+                "sum_y": pa.array([], pa.int64()),
+                "sum_xy": pa.array([], pa.int64()),
+                "sum_x2": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        k = g["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = g["tag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = tag == 0
+        ck, cn = k[cm], a[cm]
+        co = np.argsort(ck, kind="stable")
+        ck, cn = ck[co], cn[co]
+        okk, x, y = k[~cm], a[~cm], b[~cm]
+        if len(ck) == 0 or len(okk) == 0:
+            return empty
+        pos = np.searchsorted(ck, okk)
+        pc_ = np.minimum(pos, len(ck) - 1)
+        valid = ck[pc_] == okk  # inner-join semantics on custkey
+        nat = cn[pc_[valid]]
+        x, y = x[valid], y[valid]
+        u, inv = np.unique(nat, return_inverse=True)
+        def fold(v):
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, v)
+            return s
+        return pa.table(
+            {
+                "nation": pa.array(u),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sum_x": pa.array(fold(x)),
+                "sum_y": pa.array(fold(y)),
+                "sum_xy": pa.array(fold(x * y)),
+                "sum_x2": pa.array(fold(x * x)),
+            }
+        )
+
+    parts = _bucket_groupby(tagged, "k", moments, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("nation", as_index=False)
+        .agg(
+            n=("n", "sum"),
+            sum_x=("sum_x", "sum"),
+            sum_y=("sum_y", "sum"),
+            sum_xy=("sum_xy", "sum"),
+            sum_x2=("sum_x2", "sum"),
+        )
+        .sort_values("nation", ignore_index=True)
+    )
+
+
+_SQL_TREND = f"""
+WITH j AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+         CAST(epoch_us(o.o_orderdate) // {_DAY_US} AS BIGINT) - {_TREND_X0} AS x,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT nation, COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2
+FROM j GROUP BY nation ORDER BY nation
+"""
+
+QUERIES.update({"nation_trend_moments": q_nation_trend_moments})
+ORACLE_SQL.update({"nation_trend_moments": _SQL_TREND})

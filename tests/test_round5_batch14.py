@@ -531,3 +531,84 @@ def test_geo_snap_audits_match_brute(ray_session):
     assert isect["n_rings"].tolist() == [ic[k] for k in sorted(ic)]
     assert dups["n_dups"].tolist() == sorted(dc)
     assert dups["n_rings"].tolist() == [dc[k] for k in sorted(dc)]
+
+
+def test_needle_scan_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import _NEEDLES, q_needle_scan_counts
+
+    got = q_needle_scan_counts(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    for needle in _NEEDLES:
+        occ = docs["text"].str.count(needle.replace(" ", r"\ "))
+        row = got[got["needle"] == needle].iloc[0]
+        assert (row["n_docs"], row["n_occurrences"]) == (
+            int((occ > 0).sum()),
+            int(occ.sum()),
+        ), needle
+
+
+def test_run_compression_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import q_event_run_compression
+
+    got = q_event_run_compression(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ).to_pandas()
+    ev["tu"] = ev["ts"].astype("int64")
+    cnt = {}
+    for uid, g in ev.sort_values(["tu", "event_id"]).groupby("user_id"):
+        et = g["event_type"].tolist()
+        runs = 1 + sum(1 for a, b in zip(et, et[1:]) if a != b)
+        d = min((10 * runs) // len(et), 10)
+        cnt[d] = cnt.get(d, 0) + 1
+    assert got["ratio_decile"].tolist() == sorted(cnt)
+    assert got["n_users"].tolist() == [cnt[k] for k in sorted(cnt)]
+
+
+def test_rrf_fusion_matches_brute(ray_session):
+    from simplepolygon_ray.pipelines.catalog import (
+        q_ann_brute,
+        q_ann_lsh,
+        q_ann_rrf_fusion,
+    )
+
+    got = q_ann_rrf_fusion(SF)
+    brute = q_ann_brute(SF)
+    lsh = q_ann_lsh(SF)
+    pts = {}
+    for df in (brute, lsh):
+        for r in df.itertuples(index=False):
+            pts[r.vec_id] = pts.get(r.vec_id, 0) + 10**6 // (60 + r.rank)
+    exp = sorted(pts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["vec_id"], got["rrf_score"])) == exp
+    # a vec ranked top by BOTH methods must outscore any single-method vec
+    assert got["rrf_score"].iloc[0] >= got["rrf_score"].iloc[-1]
+
+
+def test_nation_trend_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _DAY_US,
+        _TREND_X0,
+        q_nation_trend_moments,
+    )
+
+    got = q_nation_trend_moments(SF)
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    cu = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    x = (j["o_orderdate"].astype("int64") // _DAY_US - _TREND_X0).to_numpy(np.int64)
+    y = np.rint(j["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    j["x"], j["y"] = x, y
+    for nat, g in j.groupby("c_nationkey"):
+        row = got[got["nation"] == nat].iloc[0]
+        gx = g["x"].to_numpy(np.int64)
+        gy = g["y"].to_numpy(np.int64)
+        assert row["n"] == len(g)
+        assert row["sum_x"] == gx.sum() and row["sum_y"] == gy.sum()
+        assert row["sum_xy"] == (gx * gy).sum()
+        assert row["sum_x2"] == (gx * gx).sum()
+    assert int(got["n"].sum()) == len(j)
