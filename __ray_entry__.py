@@ -63,6 +63,8 @@ _PRIORITY = [
     "event_run_compression",
     "ann_rrf_fusion",
     "nation_trend_moments",
+    "transition_dwell_matrix",
+    "fiscal_445_revenue",
     "image_otsu_threshold",
     "image_template_match",
     "join_size_audit",

@@ -15364,3 +15364,181 @@ FROM j GROUP BY nation ORDER BY nation
 
 QUERIES.update({"nation_trend_moments": q_nation_trend_moments})
 ORACLE_SQL.update({"nation_trend_moments": _SQL_TREND})
+
+
+# --------------------------------------------------------------------------
+# Transition dwell matrix — process-mining's time-in-state: for every
+# consecutive event pair within a user's (ts, event_id)-ordered stream,
+# accumulate exact (count, Σ dwell-seconds) by (from_type, to_type).
+# Extends the transition-count matrix with the duration dimension an
+# operations dashboard needs ("how long do users sit between click and
+# purchase?").  One lexsort + shifted compare per bucket frame; the
+# driver merges buckets × ≤25 type-pair rows.  Ties on ts pair by
+# event_id on both sides, so the pairing is fully deterministic.
+# --------------------------------------------------------------------------
+
+
+def q_transition_dwell_matrix(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                ),
+                "etype": t["event_type"],
+            }
+        )
+
+    def dwell(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "dwell_sec": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types, code = np.unique(
+            g["etype"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        o = np.lexsort((eid, ts, uid))
+        uid, ts, code = uid[o], ts[o], code[o]
+        same = uid[1:] == uid[:-1]
+        f, t2 = code[:-1][same], code[1:][same]
+        dt = (ts[1:] - ts[:-1])[same] // 1_000_000
+        k = len(types)
+        cell = f * k + t2
+        n = np.bincount(cell, minlength=k * k)
+        s = np.zeros(k * k, np.int64)
+        np.add.at(s, cell, dt)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "from_type": pa.array(types[nz // k], pa.string()),
+                "to_type": pa.array(types[nz % k], pa.string()),
+                "n": pa.array(n[nz].astype(np.int64)),
+                "dwell_sec": pa.array(s[nz]),
+            }
+        )
+
+    parts = _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", dwell,
+        batch_format="pyarrow",
+    ).to_pandas()
+    return (
+        parts.groupby(["from_type", "to_type"], as_index=False)
+        .agg(n=("n", "sum"), dwell_sec=("dwell_sec", "sum"))
+        .sort_values(["from_type", "to_type"], ignore_index=True)
+    )
+
+
+_SQL_DWELL = """
+WITH d AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_type, to_type, COUNT(*) AS n,
+       CAST(SUM(dt) AS BIGINT) AS dwell_sec
+FROM d WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+QUERIES.update({"transition_dwell_matrix": q_transition_dwell_matrix})
+ORACLE_SQL.update({"transition_dwell_matrix": _SQL_DWELL})
+
+
+# --------------------------------------------------------------------------
+# 4-4-5 fiscal calendar revenue — enterprise reporting's retail
+# calendar: weeks anchor at epoch-day 9128 (1994-12-29, chosen <= the
+# corpus minimum so every day offset is NON-NEGATIVE and // floor ==
+# truncate on both engines), quarters are 13 weeks split 4-4-5, revenue
+# rolls up by (fiscal_year, fiscal_period 1..12).  Pure integer
+# arithmetic on both sides (no locale calendar functions); per-block
+# partial groupby, period-bounded exchange.
+# --------------------------------------------------------------------------
+
+_FISCAL_ANCHOR_DAY = 9128  # 1994-12-29; <= min(o_orderdate) at every sf
+
+
+def q_fiscal_445_revenue(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "fiscal_year": pa.array([], pa.int64()),
+                "fiscal_period": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        day = (
+            t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        )
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        week = (day - _FISCAL_ANCHOR_DAY) // 7
+        fy = week // 52
+        wiy = week - fy * 52
+        q = wiy // 13
+        wiq = wiy - q * 13
+        p = np.where(wiq < 4, 0, np.where(wiq < 8, 1, 2))
+        period = q * 3 + p + 1
+        key = fy * 100 + period
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {
+                "fiscal_year": pa.array((u // 100).astype(np.int64)),
+                "fiscal_period": pa.array((u % 100).astype(np.int64)),
+                "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+                "revenue_cents": pa.array(s),
+            }
+        )
+
+    parts = orders.map_batches(part, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby(["fiscal_year", "fiscal_period"], as_index=False)
+        .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+        .sort_values(["fiscal_year", "fiscal_period"], ignore_index=True)
+    )
+
+
+_SQL_FISCAL = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) // {_DAY_US} AS BIGINT) - {_FISCAL_ANCHOR_DAY}
+           AS doff,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+w AS (SELECT doff // 7 AS week, cents FROM d),
+f AS (SELECT week // 52 AS fy, week % 52 AS wiy, cents FROM w),
+p AS (SELECT fy, (wiy // 13) * 3
+              + (CASE WHEN wiy % 13 < 4 THEN 0
+                      WHEN wiy % 13 < 8 THEN 1 ELSE 2 END) + 1 AS period,
+             cents
+      FROM f)
+SELECT CAST(fy AS BIGINT) AS fiscal_year,
+       CAST(period AS BIGINT) AS fiscal_period,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM p GROUP BY fy, period ORDER BY fiscal_year, fiscal_period
+"""
+
+QUERIES.update({"fiscal_445_revenue": q_fiscal_445_revenue})
+ORACLE_SQL.update({"fiscal_445_revenue": _SQL_FISCAL})

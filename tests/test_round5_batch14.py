@@ -612,3 +612,55 @@ def test_nation_trend_matches_brute(ray_session):
         assert row["sum_xy"] == (gx * gy).sum()
         assert row["sum_x2"] == (gx * gx).sum()
     assert int(got["n"].sum()) == len(j)
+
+
+def test_transition_dwell_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import q_transition_dwell_matrix
+
+    got = q_transition_dwell_matrix(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ).to_pandas()
+    ev["tu"] = ev["ts"].astype("int64")
+    agg = {}
+    for uid, g in ev.sort_values(["tu", "event_id"]).groupby("user_id"):
+        et = g["event_type"].tolist()
+        tu = g["tu"].tolist()
+        for a, b, t0, t1 in zip(et, et[1:], tu, tu[1:]):
+            n, s = agg.get((a, b), (0, 0))
+            agg[(a, b)] = (n + 1, s + (t1 - t0) // 1_000_000)
+    assert len(got) == len(agg)
+    for r in got.itertuples(index=False):
+        assert agg[(r.from_type, r.to_type)] == (r.n, r.dwell_sec)
+    # each user's stream of E events yields exactly E-1 transitions
+    n_users = ev["user_id"].nunique()
+    assert int(got["n"].sum()) == len(ev) - n_users
+
+
+def test_fiscal_445_matches_brute(ray_session):
+    from simplepolygon_ray.relational.queries import (
+        _DAY_US,
+        _FISCAL_ANCHOR_DAY,
+        q_fiscal_445_revenue,
+    )
+
+    got = q_fiscal_445_revenue(SF)
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    day = (od["o_orderdate"].astype("int64") // _DAY_US).to_numpy(np.int64)
+    assert (day >= _FISCAL_ANCHOR_DAY).all()  # anchor below the corpus min
+    cents = np.rint(od["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    week = (day - _FISCAL_ANCHOR_DAY) // 7
+    fy, wiy = week // 52, week % 52
+    q, wiq = wiy // 13, wiy % 13
+    period = q * 3 + np.where(wiq < 4, 0, np.where(wiq < 8, 1, 2)) + 1
+    agg = {}
+    for f, p, c in zip(fy.tolist(), period.tolist(), cents.tolist()):
+        n, s = agg.get((f, p), (0, 0))
+        agg[(f, p)] = (n + 1, s + c)
+    assert len(got) == len(agg)
+    for r in got.itertuples(index=False):
+        assert agg[(r.fiscal_year, r.fiscal_period)] == (r.n_orders, r.revenue_cents)
+    # a 4-4-5 quarter is 13 weeks: periods stay in 1..12
+    assert got["fiscal_period"].between(1, 12).all()
