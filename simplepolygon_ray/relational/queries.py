@@ -15542,3 +15542,248 @@ FROM p GROUP BY fy, period ORDER BY fiscal_year, fiscal_period
 
 QUERIES.update({"fiscal_445_revenue": q_fiscal_445_revenue})
 ORACLE_SQL.update({"fiscal_445_revenue": _SQL_FISCAL})
+
+
+# --------------------------------------------------------------------------
+# Trailing-24h sliding DISTINCT users — the "active right now" gauge a
+# monitoring dashboard polls hourly.  Distinct-count over a sliding
+# window is holistic, so the naive plan (each event joins to 24 output
+# hours, then COUNT(DISTINCT)) multiplies the event stream 24× through
+# a shuffle.  Instead: dedupe (user, hour) per block, merge each
+# user's [h, h+24) coverage intervals inside one user-bucketed frame
+# (fixed-length intervals sorted by start merge with a single shifted
+# compare), and emit ±1 boundary deltas — the exchange then carries
+# only interval endpoints (≤2 per user run), and a bounded-size
+# difference array (≤ calendar hours, independent of data volume)
+# integrates to the per-hour gauge on the driver.
+# --------------------------------------------------------------------------
+
+_HOUR_US_SLIDE = 3_600_000_000
+
+
+def q_sliding_distinct_users_24h(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _HOUR_US_SLIDE
+        o = np.lexsort((h, uid))
+        uid, h = uid[o], h[o]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (h[1:] != h[:-1])]
+        return pa.table({"user_id": pa.array(uid[keep]), "h": pa.array(h[keep])})
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        o = np.lexsort((h, uid))
+        uid, h = uid[o], h[o]
+        # cross-block duplicates survive the per-block dedupe; drop them
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (h[1:] != h[:-1])]
+        uid, h = uid[keep], h[keep]
+        # fixed 24h intervals sorted by start: a run breaks on a new
+        # user or a gap >= 24 hours between consecutive event-hours
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (h[1:] - h[:-1] >= 24)]
+        starts = h[new]
+        last = np.r_[new[1:], True]  # last element of each run
+        ends = h[last] + 24
+        return pd.DataFrame(
+            {
+                "hour": np.r_[starts, ends],
+                "d": np.r_[
+                    np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)
+                ],
+            }
+        )
+
+    parts = (
+        _bucket_groupby(ev.map_batches(dedupe, batch_format="pyarrow"), "user_id", deltas)
+        .map_batches(_partial_groupby(["hour"], [("d", "sum", "d")]), batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
+    )
+    parts = parts.sort_values("hour", ignore_index=True)
+    pts = parts["hour"].to_numpy(np.int64)
+    lvl = parts["d"].to_numpy(np.int64).cumsum()
+    # coverage is piecewise-constant between delta points; expand the
+    # positive segments into per-hour rows (bounded by calendar span)
+    seg_len = np.diff(pts)
+    lvl = lvl[:-1]
+    pos = lvl > 0
+    seg_len, lvl, start = seg_len[pos], lvl[pos], pts[:-1][pos]
+    total = int(seg_len.sum())
+    base = np.repeat(start, seg_len)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.r_[0, seg_len.cumsum()[:-1]], seg_len
+    )
+    return pd.DataFrame(
+        {"hour_id": base + offs, "n_users": np.repeat(lvl, seg_len)}
+    )
+
+
+_SQL_SLIDE24 = f"""
+WITH eh AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // {_HOUR_US_SLIDE} AS BIGINT) AS h
+            FROM events),
+uh AS (SELECT DISTINCT user_id, h + g.range AS hh
+       FROM eh CROSS JOIN range(0, 24) g)
+SELECT hh AS hour_id, COUNT(*) AS n_users
+FROM uh GROUP BY hh ORDER BY hh
+"""
+
+QUERIES.update({"sliding_distinct_users_24h": q_sliding_distinct_users_24h})
+ORACLE_SQL.update({"sliding_distinct_users_24h": _SQL_SLIDE24})
+
+
+# --------------------------------------------------------------------------
+# Daily-revenue drawdown per nation — the finance-style "worst
+# peak-to-trough decline" scan, in exact integer cents.  orders join
+# customer on the tagged-union bucket shuffle (same co-location
+# guarantee as a hash join, one frame per bucket), daily cents
+# pre-aggregate INSIDE each bucket frame, and the global exchange then
+# carries at most |nations| x |calendar days| rows — bounded by the
+# calendar, not the data volume — so the running-max fold on the
+# driver is scale-safe.
+# --------------------------------------------------------------------------
+
+
+def q_nation_revenue_drawdown(sf_dir: str):
+    nmap = _nation_name_map(sf_dir)
+    nk_arr = np.fromiter(sorted(nmap.keys()), dtype=np.int64)
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "k": pa.array(
+                    t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "nk": pa.array(
+                    t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "day": pa.array(np.zeros(n, np.int64)),
+                "cents": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "k": pa.array(
+                    t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "side": pa.array(np.ones(n, np.int64)),
+                "nk": pa.array(np.zeros(n, np.int64)),
+                "day": pa.array(
+                    t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // _DAY_US
+                ),
+                "cents": pa.array(
+                    np.rint(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def join_and_fold(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "nk": pd.Series([], dtype=np.int64),
+                    "day": pd.Series([], dtype=np.int64),
+                    "cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = right[["k", "day", "cents"]].merge(left[["k", "nk"]], on="k")
+        key = m["nk"].to_numpy(np.int64) * 1_000_000 + m["day"].to_numpy(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, m["cents"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"nk": u // 1_000_000, "day": u % 1_000_000, "cents": s}
+        )
+
+    daily = (
+        _bucket_groupby(
+            cust.map_batches(cust_side, batch_format="pyarrow").union(
+                orders.map_batches(order_side, batch_format="pyarrow")
+            ),
+            "k",
+            join_and_fold,
+        )
+        .groupby("nk")
+        .map_groups(
+            # zero-row buckets arrive as columnless frames (CLAUDE.md
+            # empty-block hazard) — normalize before grouping
+            lambda df: (
+                df
+                if len(df)
+                else pd.DataFrame(
+                    {c: pd.Series([], dtype=np.int64) for c in ("nk", "day", "cents")}
+                )
+            ).groupby(["nk", "day"], as_index=False)["cents"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    daily = daily.sort_values(["nk", "day"], ignore_index=True)
+    nk = daily["nk"].to_numpy(np.int64)
+    cents = daily["cents"].to_numpy(np.int64)
+    new = np.r_[True, nk[1:] != nk[:-1]]
+    seg = np.cumsum(new) - 1
+    # segment-aware running max via an offset trick (cents >= 0)
+    big = (cents.max() + 1) if len(cents) else 1
+    rm = np.maximum.accumulate(cents + seg * big) - seg * big
+    dd = rm - cents
+    n_seg = int(seg[-1]) + 1 if len(seg) else 0
+    out = pd.DataFrame(
+        {
+            "n_name": np.array([nmap[int(k)] for k in nk[new]], dtype=object),
+            "max_drawdown_cents": np.maximum.reduceat(dd, np.flatnonzero(new))
+            if n_seg
+            else np.array([], np.int64),
+            "peak_daily_cents": np.maximum.reduceat(cents, np.flatnonzero(new))
+            if n_seg
+            else np.array([], np.int64),
+            "n_days": np.bincount(seg, minlength=n_seg).astype(np.int64),
+            "n_peak_days": np.bincount(
+                seg, weights=(cents == rm).astype(np.int64), minlength=n_seg
+            ).astype(np.int64),
+        }
+    )
+    assert set(nk_arr) >= set(nk[new].tolist())
+    return out.sort_values("n_name", ignore_index=True)
+
+
+_SQL_DRAWDOWN = f"""
+WITH d AS (
+  SELECT c_nationkey AS nk,
+         CAST(epoch_us(o_orderdate) // {_DAY_US} AS BIGINT) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY nk, day),
+r AS (
+  SELECT nk, day, cents,
+         MAX(cents) OVER (PARTITION BY nk ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS rm
+  FROM d)
+SELECT n_name,
+       CAST(MAX(rm - cents) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(cents) AS BIGINT) AS peak_daily_cents,
+       COUNT(*) AS n_days,
+       CAST(SUM(CASE WHEN cents = rm THEN 1 ELSE 0 END) AS BIGINT) AS n_peak_days
+FROM r JOIN nation ON n_nationkey = nk
+GROUP BY n_name ORDER BY n_name
+"""
+
+QUERIES.update({"nation_revenue_drawdown": q_nation_revenue_drawdown})
+ORACLE_SQL.update({"nation_revenue_drawdown": _SQL_DRAWDOWN})
