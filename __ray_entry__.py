@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "sliding_distinct_users_24h",
+    "nation_revenue_drawdown",
     "rfm_segments",
     "ttl_dedup_stats",
     "kmv_set_algebra",
