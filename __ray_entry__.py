@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "seq_len_bucket_waste",
+    "geo_quadtree_refine",
+    "cell_smooth_topk",
     "sliding_distinct_users_24h",
     "nation_revenue_drawdown",
     "rfm_segments",

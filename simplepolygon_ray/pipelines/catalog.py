@@ -5890,3 +5890,184 @@ ORDER BY rrf_score DESC, vec_id LIMIT 10
 
 GEO_QUERIES.update({"ann_rrf_fusion": q_ann_rrf_fusion})
 EXTRA_ORACLE_SQL["ann_rrf_fusion"] = _RRF_SQL
+
+
+# --------------------------------------------------------------------------
+# Adaptive quadtree occupancy — data-driven recursive grid refinement:
+# cells at the base level (16×16, level 4) holding more than
+# _QT_SPLIT points split into their 4 children, recursively down to
+# level 6; leaves report (level, cx, cy, n_points).  The distributed
+# pass is ONE bincount-partial scan at the FINEST grid (64×64 — the
+# exchange is bounded by 4096 cells × blocks, never by data volume);
+# the refinement fold is pure numpy over that bounded grid.  Coarser
+# counts derive exactly from the finest grid (floor(16x) ==
+# floor(floor(64x)/4), clipping commutes), so the SQL oracle replays
+# quantization AND the split rule independently from persisted points.
+# --------------------------------------------------------------------------
+
+_QT_SPLIT = 96  # split threshold (points per cell)
+
+
+def _cell64_partial(t: pa.Table, count_col: str) -> pa.Table:
+    lon = t["lon"].to_numpy(zero_copy_only=False)
+    lat = t["lat"].to_numpy(zero_copy_only=False)
+    i = np.clip(((lon + 180.0) / 360.0 * 64).astype(np.int64), 0, 63)
+    j = np.clip(((lat + 90.0) / 180.0 * 64).astype(np.int64), 0, 63)
+    cnt = np.bincount(i * 64 + j, minlength=64 * 64).astype(np.int64)
+    nz = np.flatnonzero(cnt)
+    return pa.table(
+        {"cx": pa.array(nz // 64), "cy": pa.array(nz % 64), count_col: pa.array(cnt[nz])}
+    )
+
+
+def _cell64_counts(sf_dir: str, persist_name: str) -> pd.DataFrame:
+    """Shared finest-grid scan: persist the points (for the SQL replay)
+    and return the (cx, cy, n) level-6 count table (≤ 4096 rows)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(min(n_images, 50_000)), persist_name)
+    pts = rd.read_parquet(pts_dir, columns=["lon", "lat"])
+    return (
+        pts.map_batches(
+            lambda t: _cell64_partial(t, "n"), batch_format="pyarrow"
+        )
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+
+def q_geo_quadtree_refine(sf_dir: str):
+    c6 = _cell64_counts(sf_dir, "quadtree_pts")
+    grid = np.zeros((64, 64), dtype=np.int64)
+    grid[c6["cx"].to_numpy(np.int64), c6["cy"].to_numpy(np.int64)] = c6[
+        "n"
+    ].to_numpy(np.int64)
+    g5 = grid.reshape(32, 2, 32, 2).sum(axis=(1, 3))
+    g4 = g5.reshape(16, 2, 16, 2).sum(axis=(1, 3))
+
+    rows = []
+    split4 = g4 > _QT_SPLIT
+    # level 4 leaves: occupied, not split
+    cx, cy = np.nonzero((g4 > 0) & ~split4)
+    rows.append((np.full(len(cx), 4), cx, cy, g4[cx, cy]))
+    # level 5: children of split level-4 cells
+    in_split5 = split4[np.arange(32)[:, None] // 2, np.arange(32)[None, :] // 2]
+    split5 = (g5 > _QT_SPLIT) & in_split5
+    cx, cy = np.nonzero((g5 > 0) & in_split5 & ~split5)
+    rows.append((np.full(len(cx), 5), cx, cy, g5[cx, cy]))
+    # level 6: children of split level-5 cells (always leaves)
+    in_split6 = split5[np.arange(64)[:, None] // 2, np.arange(64)[None, :] // 2]
+    cx, cy = np.nonzero((grid > 0) & in_split6)
+    rows.append((np.full(len(cx), 6), cx, cy, grid[cx, cy]))
+
+    out = pd.DataFrame(
+        {
+            "level": np.concatenate([r[0] for r in rows]).astype(np.int64),
+            "cx": np.concatenate([r[1] for r in rows]).astype(np.int64),
+            "cy": np.concatenate([r[2] for r in rows]).astype(np.int64),
+            "n_points": np.concatenate([r[3] for r in rows]).astype(np.int64),
+        }
+    )
+    return out.sort_values(["level", "cx", "cy"], ignore_index=True)
+
+
+def _quadtree_sql(pts_glob: str) -> str:
+    return f"""
+WITH p AS (SELECT
+        LEAST(GREATEST(CAST(trunc((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx6,
+        LEAST(GREATEST(CAST(trunc((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy6
+      FROM read_parquet('{pts_glob}')),
+c6 AS (SELECT cx6, cy6, COUNT(*) AS n FROM p GROUP BY 1, 2),
+c5 AS (SELECT cx6 // 2 AS cx5, cy6 // 2 AS cy5, SUM(n) AS n FROM c6 GROUP BY 1, 2),
+c4 AS (SELECT cx5 // 2 AS cx4, cy5 // 2 AS cy4, SUM(n) AS n FROM c5 GROUP BY 1, 2),
+leaf4 AS (SELECT 4 AS level, cx4 AS cx, cy4 AS cy, n FROM c4 WHERE n <= {_QT_SPLIT}),
+split4 AS (SELECT cx4, cy4 FROM c4 WHERE n > {_QT_SPLIT}),
+c5s AS (SELECT cx5, cy5, n FROM c5 JOIN split4
+        ON cx5 // 2 = cx4 AND cy5 // 2 = cy4),
+leaf5 AS (SELECT 5 AS level, cx5, cy5, n FROM c5s WHERE n <= {_QT_SPLIT}),
+split5 AS (SELECT cx5, cy5 FROM c5s WHERE n > {_QT_SPLIT}),
+leaf6 AS (SELECT 6 AS level, cx6, cy6, n FROM c6 JOIN split5
+          ON cx6 // 2 = cx5 AND cy6 // 2 = cy5)
+SELECT CAST(level AS BIGINT) AS level, CAST(cx AS BIGINT) AS cx,
+       CAST(cy AS BIGINT) AS cy, CAST(n AS BIGINT) AS n_points
+FROM (SELECT * FROM leaf4 UNION ALL SELECT * FROM leaf5
+      UNION ALL SELECT * FROM leaf6)
+ORDER BY level, cx, cy
+"""
+
+
+# --------------------------------------------------------------------------
+# Grid stencil hotspots — the raster-convolution shape: a 3×3
+# neighborhood SUM over the level-6 occupancy grid ranks "hotspot"
+# cells the way a density-based heatmap smoother does.  Same
+# bounded-grid scan as the quadtree (bincount partials, 4096-row
+# exchange); the stencil is one padded numpy slice-sum on the driver
+# over the dense grid, i.e. the convolution never touches row data.
+# Top-20 by (smoothed count desc, cx, cy), with the cell's own count
+# carried for contrast.
+# --------------------------------------------------------------------------
+
+
+def q_cell_smooth_topk(sf_dir: str):
+    c6 = _cell64_counts(sf_dir, "stencil_pts")
+    grid = np.zeros((64, 64), dtype=np.int64)
+    grid[c6["cx"].to_numpy(np.int64), c6["cy"].to_numpy(np.int64)] = c6[
+        "n"
+    ].to_numpy(np.int64)
+    p = np.pad(grid, 1)
+    sm = sum(
+        p[1 + dx : 65 + dx, 1 + dy : 65 + dy]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    cx, cy = np.nonzero(sm > 0)
+    df = pd.DataFrame(
+        {
+            "cx": cx.astype(np.int64),
+            "cy": cy.astype(np.int64),
+            "smooth_n": sm[cx, cy],
+            "n_center": grid[cx, cy],
+        }
+    )
+    return (
+        df.sort_values(["smooth_n", "cx", "cy"], ascending=[False, True, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _stencil_sql(pts_glob: str) -> str:
+    return f"""
+WITH p AS (SELECT
+        LEAST(GREATEST(CAST(trunc((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+        LEAST(GREATEST(CAST(trunc((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+      FROM read_parquet('{pts_glob}')),
+c AS (SELECT cx, cy, COUNT(*) AS n FROM p GROUP BY 1, 2),
+off AS (SELECT a.range AS dx, b.range AS dy
+        FROM range(-1, 2) a CROSS JOIN range(-1, 2) b),
+s AS (SELECT c.cx + dx AS cx, c.cy + dy AS cy, SUM(n) AS sm
+      FROM c CROSS JOIN off
+      WHERE c.cx + dx BETWEEN 0 AND 63 AND c.cy + dy BETWEEN 0 AND 63
+      GROUP BY 1, 2)
+SELECT s.cx, s.cy, CAST(sm AS BIGINT) AS smooth_n,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_center
+FROM s LEFT JOIN c ON s.cx = c.cx AND s.cy = c.cy
+ORDER BY smooth_n DESC, s.cx, s.cy LIMIT 20
+"""
+
+
+GEO_QUERIES.update(
+    {
+        "geo_quadtree_refine": q_geo_quadtree_refine,
+        "cell_smooth_topk": q_cell_smooth_topk,
+    }
+)
+EXTRA_ORACLE_SQL["geo_quadtree_refine"] = _quadtree_sql(
+    f"{_ORACLE_DIR}/quadtree_pts/*.parquet"
+)
+EXTRA_ORACLE_SQL["cell_smooth_topk"] = _stencil_sql(
+    f"{_ORACLE_DIR}/stencil_pts/*.parquet"
+)

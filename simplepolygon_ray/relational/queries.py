@@ -15787,3 +15787,76 @@ GROUP BY n_name ORDER BY n_name
 
 QUERIES.update({"nation_revenue_drawdown": q_nation_revenue_drawdown})
 ORACLE_SQL.update({"nation_revenue_drawdown": _SQL_DRAWDOWN})
+
+
+# --------------------------------------------------------------------------
+# Sequence-length bucket packing waste — the batching-efficiency audit
+# an LLM training pipeline runs before choosing pad buckets: docs are
+# assigned to power-of-two token buckets (16..2048, counts clamped at
+# 2048 = the context budget), and each bucket reports doc count, real
+# tokens, pad waste and exact basis-point utilization.  The whole
+# profile is 8 bucket rows; per-block searchsorted bincount partials
+# mean the exchange carries 8 × blocks rows regardless of corpus size.
+# --------------------------------------------------------------------------
+
+_SEQ_BUCKETS = np.array([16, 32, 64, 128, 256, 512, 1024, 2048], dtype=np.int64)
+
+
+def q_seq_len_bucket_waste(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)[keep]
+        n = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+        c = np.minimum(n, 2048)
+        bi = np.searchsorted(_SEQ_BUCKETS, c)  # c <= 2048 -> bi in 0..7
+        n_docs = np.bincount(bi, minlength=8).astype(np.int64)
+        sum_tok = np.bincount(bi, weights=c, minlength=8).astype(np.int64)
+        nz = np.flatnonzero(n_docs)
+        return pa.table(
+            {
+                "bucket": pa.array(_SEQ_BUCKETS[nz]),
+                "n_docs": pa.array(n_docs[nz]),
+                "sum_tokens": pa.array(sum_tok[nz]),
+            }
+        )
+
+    agg = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_tokens", alias_name="sum_tokens"))
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    b = agg["bucket"].to_numpy(np.int64)
+    nd = agg["n_docs"].to_numpy(np.int64)
+    st = agg["sum_tokens"].to_numpy(np.int64)
+    agg["pad_waste"] = nd * b - st
+    agg["util_bp"] = (10_000 * st) // (nd * b)
+    return agg
+
+
+_SQL_SEQ_WASTE = r"""
+WITH t AS (SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS n
+           FROM documents),
+c AS (SELECT LEAST(n, 2048) AS c FROM t),
+b AS (SELECT c, CASE WHEN c <= 16 THEN 16 WHEN c <= 32 THEN 32
+                     WHEN c <= 64 THEN 64 WHEN c <= 128 THEN 128
+                     WHEN c <= 256 THEN 256 WHEN c <= 512 THEN 512
+                     WHEN c <= 1024 THEN 1024 ELSE 2048 END AS bucket
+      FROM c)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * bucket - SUM(c) AS BIGINT) AS pad_waste,
+       CAST((10000 * SUM(c)) // (COUNT(*) * bucket) AS BIGINT) AS util_bp
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES.update({"seq_len_bucket_waste": q_seq_len_bucket_waste})
+ORACLE_SQL.update({"seq_len_bucket_waste": _SQL_SEQ_WASTE})
