@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "colloc_window_lift",
+    "nation_balance_overlap",
+    "order_seq_disorder",
     "seq_len_bucket_waste",
     "geo_quadtree_refine",
     "cell_smooth_topk",

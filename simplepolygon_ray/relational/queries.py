@@ -15860,3 +15860,330 @@ FROM b GROUP BY bucket ORDER BY bucket
 
 QUERIES.update({"seq_len_bucket_waste": q_seq_len_bucket_waste})
 ORACLE_SQL.update({"seq_len_bucket_waste": _SQL_SEQ_WASTE})
+
+
+# --------------------------------------------------------------------------
+# Windowed collocation lift — tokens co-occurring within a 4-token
+# window (the collocation statistic corpus linguists use, vs
+# bigram_lift's strictly-adjacent pairs): for each unordered token
+# pair observed ≥3 times at distance 1..4 inside a doc, integer lift
+# = n·total·10⁶ // (n_a·n_b) against the unigram model.  Docs are
+# atomic rows, so windows never straddle blocks; per-block pair counts
+# pre-combine before the vocabulary-bounded shuffle, and the unigram
+# model broadcasts once via ray.put (the same two-phase shape as
+# bigram_lift / tfidf).
+# --------------------------------------------------------------------------
+
+_COLLOC_W = 4
+
+
+def q_colloc_window_lift(sf_dir: str):
+    import ray
+
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        flat = toks.values
+        doc = np.repeat(
+            np.arange(len(toks), dtype=np.int64),
+            np.diff(np.asarray(toks.offsets).astype(np.int64)),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+        uni = pa.table({"w1": flat}).group_by(["w1"]).aggregate([([], "count_all")])
+        parts = [
+            pa.table(
+                {
+                    "kind": pa.array(np.zeros(len(uni), dtype=np.int32)),
+                    "w1": uni["w1"],
+                    "w2": pa.array([""] * len(uni), pa.string()),
+                    "n": uni["count_all"],
+                }
+            )
+        ]
+        idx_a, idx_b = [], []
+        for d in range(1, _COLLOC_W + 1):
+            if len(doc) <= d:
+                break
+            m = np.flatnonzero(doc[d:] == doc[:-d])
+            if len(m):
+                idx_a.append(m)
+                idx_b.append(m + d)
+        if idx_a:
+            a = flat.take(pa.array(np.concatenate(idx_a)))
+            b = flat.take(pa.array(np.concatenate(idx_b)))
+            le = pc.less_equal(a, b)  # unordered pair, lexicographic normalize
+            bt = pa.table({"w1": pc.if_else(le, a, b), "w2": pc.if_else(le, b, a)})
+            big = bt.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(len(big), dtype=np.int32)),
+                        "w1": big["w1"],
+                        "w2": big["w2"],
+                        "n": big["count_all"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    counts = (
+        docs.map_batches(grams, batch_format="pyarrow")
+        .groupby(["kind", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    uni_pd = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["w1", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # vocab-bounded
+    total = int(uni_pd["n"].sum())
+    vocab = pd.Index(uni_pd["w1"])
+    cnts = uni_pd["n"].to_numpy(np.int64)
+    ref = ray.put((vocab, cnts, total))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 1))
+        voc, cn, tot = ray.get(ref)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= 3
+        t, n = t.filter(pa.array(keep)), n[keep]
+        w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
+        nx = cn[voc.get_indexer(w1)]
+        ny = cn[voc.get_indexer(w2)]
+        lift = (n * tot * 1_000_000) // (nx * ny)
+        out = pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "n": pa.array(n),
+                "lift": pa.array(lift),
+            }
+        )
+        if len(out) <= 20:
+            return out
+        sel = np.lexsort((w2, w1, -lift))[:20]  # block-local safe prefilter
+        return out.take(pa.array(sel))
+
+    agg = counts.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        agg.sort_values(
+            ["lift", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_COLLOC = rf"""
+WITH t AS (SELECT row_number() OVER () AS did,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS l
+           FROM documents),
+p AS (SELECT did, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+uni AS (SELECT tok, COUNT(*) AS n FROM p GROUP BY tok),
+tot AS (SELECT SUM(n) AS tot FROM uni),
+pairs AS (SELECT LEAST(a.tok, b.tok) AS w1, GREATEST(a.tok, b.tok) AS w2,
+                 COUNT(*) AS n
+          FROM p a JOIN p b
+            ON a.did = b.did AND b.pos > a.pos AND b.pos <= a.pos + {_COLLOC_W}
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 3)
+SELECT w1, w2, CAST(pairs.n AS BIGINT) AS n,
+       CAST((pairs.n * tot * 1000000) // (ua.n * ub.n) AS BIGINT) AS lift
+FROM pairs
+JOIN uni ua ON ua.tok = pairs.w1
+JOIN uni ub ON ub.tok = pairs.w2
+CROSS JOIN tot
+ORDER BY lift DESC, w1, w2 LIMIT 20
+"""
+
+QUERIES.update({"colloc_window_lift": q_colloc_window_lift})
+ORACLE_SQL.update({"colloc_window_lift": _SQL_COLLOC})
+
+
+# --------------------------------------------------------------------------
+# Nation balance-histogram intersection matrix — pairwise distribution
+# similarity between the 25 nations' customer-balance histograms
+# (the histogram-intersection kernel, exact integers): balances bucket
+# into 11 fixed 1000.00-wide bands, each nation's histogram is the
+# bounded 25×11 exchange, and the driver computes Σ_b min(h_a, h_b)
+# for all nation pairs plus the basis-point overlap vs the smaller
+# side.  The data pass is one bincount partial per block; everything
+# pairwise happens on the bounded histogram, never on rows.
+# --------------------------------------------------------------------------
+
+_BAL_OFF_CENTS = 100_000  # acctbal >= -999.99 -> cents + offset >= 0
+_BAL_BAND_CENTS = 100_000  # 1000.00-wide bands -> 11 bands
+
+
+def q_nation_balance_overlap(sf_dir: str):
+    nmap = _nation_name_map(sf_dir)
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def part(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        band = np.clip((cents + _BAL_OFF_CENTS) // _BAL_BAND_CENTS, 0, 10)
+        key = nk * 11 + band
+        cnt = np.bincount(key, minlength=25 * 11).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "nk": pa.array(nz // 11),
+                "band": pa.array(nz % 11),
+                "n": pa.array(cnt[nz]),
+            }
+        )
+
+    hist = (
+        cust.map_batches(part, batch_format="pyarrow")
+        .groupby(["nk", "band"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    H = np.zeros((25, 11), dtype=np.int64)
+    H[hist["nk"].to_numpy(np.int64), hist["band"].to_numpy(np.int64)] = hist[
+        "n"
+    ].to_numpy(np.int64)
+    tot = H.sum(axis=1)
+    rows = []
+    for a in range(25):
+        for b in range(a + 1, 25):
+            inter = int(np.minimum(H[a], H[b]).sum())
+            mn = int(min(tot[a], tot[b]))
+            rows.append(
+                {
+                    "nation_a": nmap[a],
+                    "nation_b": nmap[b],
+                    "intersection": inter,
+                    "overlap_bp": (10_000 * inter) // mn if mn else 0,
+                }
+            )
+    return (
+        pd.DataFrame(rows)
+        .astype({"intersection": np.int64, "overlap_bp": np.int64})
+        .sort_values(["nation_a", "nation_b"], ignore_index=True)
+    )
+
+
+_SQL_BAL_OVERLAP = f"""
+WITH c AS (SELECT c_nationkey AS nk,
+                  LEAST(GREATEST((CAST(round(c_acctbal * 100) AS BIGINT)
+                                  + {_BAL_OFF_CENTS}) // {_BAL_BAND_CENTS},
+                                 0), 10) AS band
+           FROM customer),
+h AS (SELECT nk, band, COUNT(*) AS n FROM c GROUP BY nk, band),
+t AS (SELECT nk, SUM(n) AS tot FROM h GROUP BY nk),
+pairs AS (SELECT a.nk AS nka, b.nk AS nkb,
+                 SUM(LEAST(a.n, b.n)) AS inter
+          FROM h a JOIN h b ON a.band = b.band AND a.nk < b.nk
+          GROUP BY 1, 2)
+SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+       CAST(COALESCE(inter, 0) AS BIGINT) AS intersection,
+       CAST((10000 * COALESCE(inter, 0)) // LEAST(ta.tot, tb.tot) AS BIGINT)
+         AS overlap_bp
+FROM t ta JOIN t tb ON ta.nk < tb.nk
+LEFT JOIN pairs ON nka = ta.nk AND nkb = tb.nk
+JOIN nation na ON na.n_nationkey = ta.nk
+JOIN nation nb ON nb.n_nationkey = tb.nk
+ORDER BY nation_a, nation_b
+"""
+
+QUERIES.update({"nation_balance_overlap": q_nation_balance_overlap})
+ORACLE_SQL.update({"nation_balance_overlap": _SQL_BAL_OVERLAP})
+
+
+# --------------------------------------------------------------------------
+# Order-sequence disorder deciles — how shuffled is each customer's
+# order-date sequence relative to orderkey issue order?  Exact
+# inversion count per customer (pairs i<j by orderkey with
+# date_i > date_j — the Kendall-tau discordant count), normalized to
+# an 11-level decile 2·10·inv // (k·(k−1)), histogrammed across
+# customers with ≥2 orders.  Per bucket frame: one lexsort + the
+# size-class-batched pair kernel (_pairs_in_runs, no per-customer
+# Python loop); the exchange carries buckets × 11 partial rows.
+# --------------------------------------------------------------------------
+
+
+def q_order_seq_disorder(sf_dir: str):
+    from ..text.dedup import _pairs_in_runs
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "day": pa.array(
+                    t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // _DAY_US
+                ),
+            }
+        )
+
+    def disorder(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "decile": pd.Series([], dtype=np.int64),
+                    "n_customers": pd.Series([], dtype=np.int64),
+                }
+            )
+        ck = g["o_custkey"].to_numpy(np.int64)
+        ok = g["okey"].to_numpy(np.int64)
+        dy = g["day"].to_numpy(np.int64)
+        o = np.lexsort((ok, ck))
+        ck, dy = ck[o], dy[o]
+        new = np.r_[True, ck[1:] != ck[:-1]]
+        seg = np.cumsum(new) - 1
+        k = np.bincount(seg).astype(np.int64)
+        da, db = _pairs_in_runs(new, dy)
+        ca, _ = _pairs_in_runs(new, seg)  # same pair order: labels align
+        inv = np.bincount(ca[da > db], minlength=len(k)).astype(np.int64)
+        multi = k >= 2
+        dec = (20 * inv[multi]) // (k[multi] * (k[multi] - 1))
+        cnt = np.bincount(dec, minlength=11).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {"decile": nz.astype(np.int64), "n_customers": cnt[nz]}
+        )
+
+    agg = (
+        _bucket_groupby(
+            orders.map_batches(prep, batch_format="pyarrow"), "o_custkey", disorder
+        )
+        .groupby("decile")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+    )
+    return agg.sort_values("decile", ignore_index=True).astype(np.int64)
+
+
+_SQL_DISORDER = f"""
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  CAST(epoch_us(o_orderdate) // {_DAY_US} AS BIGINT) AS day
+           FROM orders),
+inv AS (SELECT a.o_custkey AS ck,
+               SUM(CASE WHEN a.day > b.day THEN 1 ELSE 0 END) AS inv
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        GROUP BY 1),
+k AS (SELECT o_custkey AS ck, COUNT(*) AS k FROM o GROUP BY 1),
+d AS (SELECT (20 * inv.inv) // (k.k * (k.k - 1)) AS decile
+      FROM k JOIN inv ON inv.ck = k.ck WHERE k.k >= 2)
+SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+QUERIES.update({"order_seq_disorder": q_order_seq_disorder})
+ORACLE_SQL.update({"order_seq_disorder": _SQL_DISORDER})
