@@ -6071,3 +6071,213 @@ EXTRA_ORACLE_SQL["geo_quadtree_refine"] = _quadtree_sql(
 EXTRA_ORACLE_SQL["cell_smooth_topk"] = _stencil_sql(
     f"{_ORACLE_DIR}/stencil_pts/*.parquet"
 )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve bucket locality — the space-filling-curve audit a
+# storage layout planner runs before choosing a clustering key: order-8
+# (256×256) cells map to their Hilbert index (the classic xy2d bit
+# fold, vectorized; bitwise ops on int64 two's complement match DuckDB
+# exactly, so the SQL oracle replays all eight fold steps as chained
+# CTEs — a genuine cross-engine replay of the curve, not a persisted
+# mapping).  Occupied cells then split into 16 EQUAL-CELL-COUNT runs
+# along the curve ((16·rank) // n_cells — the rank bucketing a storage
+# layout actually uses, and exactly replicable as row_number in SQL),
+# and each run reports point mass plus its occupied-cell bounding box
+# — compact boxes = good locality.  Data pass: one sparse unique-count
+# scan; exchange and curve math bounded by occupied cells (≤ 65536).
+# --------------------------------------------------------------------------
+
+_HILBERT_ORDER = 8
+_HILBERT_N = 1 << _HILBERT_ORDER
+
+
+def _hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Vectorized xy2d on the 2^order grid."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        x, y = np.where(ry == 0, y2, x2), np.where(ry == 0, x2, y2)
+        s >>= 1
+    return d
+
+
+def _hilbert_d64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized xy2d on the 64×64 grid (order 6)."""
+    return _hilbert_d(x, y, 6)
+
+
+def q_hilbert_locality(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(min(n_images, 50_000)), "hilbert_pts")
+    pts = rd.read_parquet(pts_dir, columns=["lon", "lat"])
+    n = _HILBERT_N
+
+    def part(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        i = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        j = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        key, cnt = np.unique(i * n + j, return_counts=True)
+        return pa.table(
+            {
+                "cx": pa.array(key // n),
+                "cy": pa.array(key % n),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        pts.map_batches(part, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cx = cells["cx"].to_numpy(np.int64)
+    cy = cells["cy"].to_numpy(np.int64)
+    cn = cells["n"].to_numpy(np.int64)
+    d = _hilbert_d(cx, cy, _HILBERT_ORDER)
+    order = np.argsort(d)  # d is a bijection -> unique, total order
+    cx, cy, cn = cx[order], cy[order], cn[order]
+    m = len(cx)
+    b = (16 * np.arange(m, dtype=np.int64)) // m
+    out = []
+    for bk in np.unique(b):
+        sel = b == bk
+        out.append(
+            {
+                "bucket": int(bk),
+                "n_points": int(cn[sel].sum()),
+                "n_cells": int(sel.sum()),
+                "min_cx": int(cx[sel].min()),
+                "max_cx": int(cx[sel].max()),
+                "min_cy": int(cy[sel].min()),
+                "max_cy": int(cy[sel].max()),
+            }
+        )
+    return pd.DataFrame(out).astype(np.int64).sort_values("bucket", ignore_index=True)
+
+
+def _hilbert_sql(pts_glob: str) -> str:
+    # one CTE per fold step; (x, y, d) carried through s = 128..1.
+    # Negative intermediates are intended (two's-complement & matches
+    # numpy); rx/ry test the sign-safe (x & s) > 0.
+    steps = []
+    prev = "c0"
+    s_list = tuple(1 << k for k in range(_HILBERT_ORDER - 1, -1, -1))
+    for i, s in enumerate(s_list, start=1):
+        cur = f"c{i}"
+        steps.append(
+            f"""{cur} AS (
+  SELECT cx, cy, n,
+         d + {s * s} * (xor(3 * rx, ry)) AS d,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s} - 1 - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s} - 1 - x ELSE x END)
+              ELSE y END AS y
+  FROM (SELECT cx, cy, n, d, x, y,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev}))"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    g = _HILBERT_N
+    return f"""
+WITH p AS (SELECT
+        LEAST(GREATEST(CAST(trunc((lon + 180.0) / 360.0 * {g}) AS BIGINT), 0), {g - 1}) AS cx,
+        LEAST(GREATEST(CAST(trunc((lat + 90.0) / 180.0 * {g}) AS BIGINT), 0), {g - 1}) AS cy
+      FROM read_parquet('{pts_glob}')),
+cells AS (SELECT cx, cy, COUNT(*) AS n FROM p GROUP BY 1, 2),
+c0 AS (SELECT cx, cy, n, CAST(0 AS BIGINT) AS d, CAST(cx AS BIGINT) AS x,
+              CAST(cy AS BIGINT) AS y FROM cells),
+{chain},
+ranked AS (SELECT cx, cy, n,
+                  row_number() OVER (ORDER BY d) - 1 AS rk,
+                  COUNT(*) OVER () AS m
+           FROM {prev})
+SELECT CAST((16 * rk) // m AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS n_points,
+       COUNT(*) AS n_cells,
+       CAST(MIN(cx) AS BIGINT) AS min_cx, CAST(MAX(cx) AS BIGINT) AS max_cx,
+       CAST(MIN(cy) AS BIGINT) AS min_cy, CAST(MAX(cy) AS BIGINT) AS max_cy
+FROM ranked
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Grid non-max-suppression peaks — the detector post-process shape:
+# level-6 cells whose point count STRICTLY exceeds all 8 neighbors
+# (missing neighbor counts as 0) are density peaks; suppressing
+# non-maxima turns the heatmap into a site list.  Bounded-grid scan +
+# driver mask; SQL verifies peakness via NOT EXISTS over the 8-offset
+# neighbor join.
+# --------------------------------------------------------------------------
+
+
+def q_grid_nms_peaks(sf_dir: str):
+    c6 = _cell64_counts(sf_dir, "nms_pts")
+    grid = np.zeros((64, 64), dtype=np.int64)
+    grid[c6["cx"].to_numpy(np.int64), c6["cy"].to_numpy(np.int64)] = c6[
+        "n"
+    ].to_numpy(np.int64)
+    p = np.pad(grid, 1)
+    nbr_max = np.maximum.reduce(
+        [
+            p[1 + dx : 65 + dx, 1 + dy : 65 + dy]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    cx, cy = np.nonzero((grid > 0) & (grid > nbr_max))
+    return pd.DataFrame(
+        {
+            "cx": cx.astype(np.int64),
+            "cy": cy.astype(np.int64),
+            "n_points": grid[cx, cy],
+        }
+    ).sort_values(["cx", "cy"], ignore_index=True)
+
+
+def _nms_sql(pts_glob: str) -> str:
+    return f"""
+WITH p AS (SELECT
+        LEAST(GREATEST(CAST(trunc((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+        LEAST(GREATEST(CAST(trunc((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+      FROM read_parquet('{pts_glob}')),
+c AS (SELECT cx, cy, COUNT(*) AS n FROM p GROUP BY 1, 2),
+off AS (SELECT a.range AS dx, b.range AS dy
+        FROM range(-1, 2) a CROSS JOIN range(-1, 2) b
+        WHERE NOT (a.range = 0 AND b.range = 0))
+SELECT cx, cy, CAST(n AS BIGINT) AS n_points
+FROM c
+WHERE NOT EXISTS (SELECT 1 FROM c nb JOIN off
+                    ON nb.cx = c.cx + dx AND nb.cy = c.cy + dy
+                  WHERE nb.n >= c.n)
+ORDER BY cx, cy
+"""
+
+
+GEO_QUERIES.update(
+    {
+        "hilbert_locality": q_hilbert_locality,
+        "grid_nms_peaks": q_grid_nms_peaks,
+    }
+)
+EXTRA_ORACLE_SQL["hilbert_locality"] = _hilbert_sql(
+    f"{_ORACLE_DIR}/hilbert_pts/*.parquet"
+)
+EXTRA_ORACLE_SQL["grid_nms_peaks"] = _nms_sql(f"{_ORACLE_DIR}/nms_pts/*.parquet")

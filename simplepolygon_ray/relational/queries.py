@@ -16187,3 +16187,132 @@ FROM d GROUP BY decile ORDER BY decile
 
 QUERIES.update({"order_seq_disorder": q_order_seq_disorder})
 ORACLE_SQL.update({"order_seq_disorder": _SQL_DISORDER})
+
+
+# --------------------------------------------------------------------------
+# Capped-gap linear interpolation — the gap-filling step a time-series
+# feature pipeline runs between forward-fill and resampling: for each
+# user, consecutive distinct event-hours (value = last event in the
+# hour by (ts, event_id)) whose gap is 2..48 hours get the missing
+# hours filled by exact floor linear interpolation in e4 fixed point
+# (sign-safe floor division on both engines).  The audit output is
+# per-gap-length totals — ≤47 rows regardless of data volume; per
+# user-bucket frame the expansion is one repeat/arange, and only
+# (gap_len, n_gaps, Σ interp) partials reach the exchange.
+# --------------------------------------------------------------------------
+
+_INTERP_MAX_GAP = 48
+_HOUR_US_INTERP = 3_600_000_000
+
+
+def q_user_value_interp(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "h": pa.array(us // _HOUR_US_INTERP),
+                "t": pa.array(us),
+                "eid": t["event_id"].cast(pa.int64()),
+                "v": pa.array(
+                    np.rint(
+                        t["value"].to_numpy(zero_copy_only=False) * 10000.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def interp(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "gap_hours": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "sum_interp_e4": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy(np.int64)
+        h = g["h"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        o = np.lexsort((eid, t, h, uid))
+        uid, h, v = uid[o], h[o], v[o]
+        # last row of each (user, hour) group == the hour's value
+        last = np.r_[(uid[1:] != uid[:-1]) | (h[1:] != h[:-1]), True]
+        uid, h, v = uid[last], h[last], v[last]
+        same = uid[1:] == uid[:-1]
+        d = h[1:] - h[:-1]
+        m = same & (d >= 2) & (d <= _INTERP_MAX_GAP)
+        if not m.any():
+            return empty
+        d, v0, v1 = d[m], v[:-1][m], v[1:][m]
+        reps = d - 1
+        tot = int(reps.sum())
+        dd = np.repeat(d, reps)
+        k = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.r_[0, reps.cumsum()[:-1]], reps
+        ) + 1
+        val = np.floor_divide(
+            np.repeat(v0, reps) * (dd - k) + np.repeat(v1, reps) * k, dd
+        )
+        u, inv = np.unique(d, return_inverse=True)
+        n_gaps = np.bincount(inv).astype(np.int64)
+        uu, inv2 = np.unique(dd, return_inverse=True)
+        sums = np.zeros(len(uu), np.int64)
+        np.add.at(sums, inv2, val)
+        # uu == u (every kept gap expands at least one hour)
+        return pd.DataFrame(
+            {"gap_hours": u, "n_gaps": n_gaps, "sum_interp_e4": sums}
+        )
+
+    agg = (
+        _bucket_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"), "user_id", interp
+        )
+        .groupby("gap_hours")
+        .aggregate(
+            Sum("n_gaps", alias_name="n_gaps"),
+            Sum("sum_interp_e4", alias_name="sum_interp_e4"),
+        )
+        .to_pandas()
+        .sort_values("gap_hours", ignore_index=True)
+        .astype(np.int64)
+    )
+    agg["n_interp_hours"] = (agg["gap_hours"] - 1) * agg["n_gaps"]
+    return agg[["gap_hours", "n_gaps", "n_interp_hours", "sum_interp_e4"]]
+
+
+_SQL_INTERP = f"""
+WITH e AS (SELECT user_id,
+                  CAST(epoch_us(ts) // {_HOUR_US_INTERP} AS BIGINT) AS h,
+                  epoch_us(ts) AS t, event_id,
+                  CAST(round(value * 10000.0) AS BIGINT) AS v
+           FROM events),
+last AS (SELECT user_id, h, v FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, h
+                                        ORDER BY t DESC, event_id DESC) AS rn
+           FROM e) WHERE rn = 1),
+g AS (SELECT h1 - h0 AS d, v0, v1 FROM (
+        SELECT h AS h0, v AS v0,
+               LEAD(h) OVER w AS h1, LEAD(v) OVER w AS v1
+        FROM last WINDOW w AS (PARTITION BY user_id ORDER BY h))
+      WHERE h1 IS NOT NULL AND h1 - h0 BETWEEN 2 AND {_INTERP_MAX_GAP}),
+x AS (SELECT d, v0 * (d - r.range) + v1 * r.range AS num
+      FROM g CROSS JOIN range(1, {_INTERP_MAX_GAP}) r WHERE r.range < d),
+i AS (SELECT d, CASE WHEN num >= 0 THEN num // d
+                     ELSE -((-num + d - 1) // d) END AS val FROM x)
+SELECT CAST(c.d AS BIGINT) AS gap_hours,
+       CAST(c.n_gaps AS BIGINT) AS n_gaps,
+       CAST(c.n_gaps * (c.d - 1) AS BIGINT) AS n_interp_hours,
+       CAST(s.sum_interp_e4 AS BIGINT) AS sum_interp_e4
+FROM (SELECT d, COUNT(*) AS n_gaps FROM g GROUP BY d) c
+JOIN (SELECT d, SUM(val) AS sum_interp_e4 FROM i GROUP BY d) s USING (d)
+ORDER BY gap_hours
+"""
+
+QUERIES.update({"user_value_interp": q_user_value_interp})
+ORACLE_SQL.update({"user_value_interp": _SQL_INTERP})
