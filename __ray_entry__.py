@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "order_blocker_suppliers",
+    "sorted_neighborhood_pairs",
+    "embedding_quant_error",
     "hilbert_locality",
     "grid_nms_peaks",
     "user_value_interp",

@@ -16316,3 +16316,328 @@ ORDER BY gap_hours
 
 QUERIES.update({"user_value_interp": q_user_value_interp})
 ORACLE_SQL.update({"user_value_interp": _SQL_INTERP})
+
+
+# --------------------------------------------------------------------------
+# "Who blocked the order" audit — TPC-H Q21's multi-exists join shape
+# (reference workload family) adapted to this schema (no commit /
+# receipt dates): for every multi-supplier order the BLOCKER is the
+# unique supplier whose latest line shipped at the order's overall
+# latest ship instant (a tie on the max disqualifies the order).
+# numwait = blocked orders per supplier, top 20 by (numwait desc,
+# s_name).  Distribution: per-block (orderkey, suppkey)→max-ship
+# partials shrink the shuffle to order×supplier pairs; an
+# orderkey-bucket shuffle co-locates whole orders; per-bucket reduceat
+# blocker detection emits one row per blocked order; only
+# supplier-bounded counts reach the final exchange, and the
+# supplier⋈nation dimension join runs on that ≤|supplier| table.
+# --------------------------------------------------------------------------
+
+
+def q_order_blocker_suppliers(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "okey": t["l_orderkey"].cast(pa.int64()),
+                    "skey": t["l_suppkey"].cast(pa.int64()),
+                    "sd": t["l_shipdate"].cast(pa.int64()),
+                }
+            )
+            .group_by(["okey", "skey"])
+            .aggregate([("sd", "max")])
+        )
+        # select by NAME (aggregate column ordering is pyarrow-version-
+        # dependent), then rename the known selection order
+        return g.select(["okey", "skey", "sd_max"])
+
+    def blockers(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "skey": pd.Series([], dtype=np.int64),
+                "numwait": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ok = g["okey"].to_numpy(np.int64)
+        sk = g["skey"].to_numpy(np.int64)
+        sd = g["sd_max"].to_numpy(np.int64)
+        o = np.lexsort((sd, sk, ok))
+        ok, sk, sd = ok[o], sk[o], sd[o]
+        # same (okey, skey) may arrive from several blocks: last = max
+        last = np.r_[(ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1]), True]
+        ok, sk, sd = ok[last], sk[last], sd[last]
+        starts = np.r_[0, np.flatnonzero(ok[1:] != ok[:-1]) + 1]
+        nsupp = np.diff(np.r_[starts, len(ok)])
+        omax_full = np.repeat(np.maximum.reduceat(sd, starts), nsupp)
+        is_max = sd == omax_full
+        nmax = np.add.reduceat(is_max.astype(np.int64), starts)
+        keep_full = np.repeat((nsupp >= 2) & (nmax == 1), nsupp) & is_max
+        if not keep_full.any():
+            return empty
+        u, c = np.unique(sk[keep_full], return_counts=True)
+        return pd.DataFrame({"skey": u, "numwait": c.astype(np.int64)})
+
+    counts = (
+        _bucket_groupby(li.map_batches(prep, batch_format="pyarrow"), "okey", blockers)
+        .groupby("skey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .to_pandas()
+    )
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    m = counts.merge(sup, left_on="skey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    m = m.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], ignore_index=True
+    ).head(20)
+    out = m[["s_suppkey", "s_name", "n_name", "numwait"]].reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out
+
+
+_SQL_BLOCKER = """
+WITH ls AS (SELECT l_orderkey AS okey, l_suppkey AS skey,
+                   MAX(epoch_us(l_shipdate)) AS sd
+            FROM lineitem GROUP BY 1, 2),
+o AS (SELECT okey, MAX(sd) AS omax, COUNT(*) AS nsupp FROM ls GROUP BY okey),
+w AS (SELECT ls.okey, ls.skey FROM ls JOIN o USING (okey)
+      WHERE o.nsupp >= 2 AND ls.sd = o.omax),
+u AS (SELECT okey, MIN(skey) AS skey FROM w GROUP BY okey HAVING COUNT(*) = 1),
+c AS (SELECT skey, COUNT(*) AS numwait FROM u GROUP BY skey)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name,
+       CAST(c.numwait AS BIGINT) AS numwait
+FROM c JOIN supplier s ON s.s_suppkey = c.skey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY numwait DESC, s.s_name LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (classic record-linkage pass): customers
+# are totally ordered by (acctbal e2, custkey); every pair within rank
+# distance 1..3 is a candidate, audited as per-distance pair counts,
+# same-nation agreement, and Σ|balance diff|.  Distribution: NO global
+# sort — rows are value-bucketed (bal >> 7, bounded bucket count over
+# the balance range); each bucket vectorizes its internal pairs and
+# emits only its first/last 3 rows as edge rows; cross-bucket pairs are
+# reconstructed from the bucket-bounded edge set (any rank-≤3 pair that
+# spans buckets has every intermediate row within 3 of a bucket
+# boundary, so the edge subset preserves exact rank distances for
+# cross-bucket pairs).
+# --------------------------------------------------------------------------
+
+_SNB_SHIFT = 7
+_SNB_W = 3
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        bal = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ck": t["c_custkey"].cast(pa.int64()),
+                "nk": t["c_nationkey"].cast(pa.int64()),
+                "bal": pa.array(bal),
+                "bkt": pa.array(bal >> _SNB_SHIFT),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # unified output: kind 0 = per-distance stat partial, kind 1 =
+        # edge row (first/last _SNB_W of the bucket in sort order)
+        g = g.sort_values(["bal", "ck"], ignore_index=True)
+        bal = g["bal"].to_numpy(np.int64)
+        ck = g["ck"].to_numpy(np.int64)
+        nk = g["nk"].to_numpy(np.int64)
+        bkt = g["bkt"].to_numpy(np.int64)
+        rows = {k: [] for k in ("kind", "d", "n_pairs", "same_nation", "sum_absdiff", "bal", "ck", "nk", "bkt")}
+        for d in range(1, _SNB_W + 1):
+            if len(bal) <= d:
+                break
+            rows["kind"].append(0)
+            rows["d"].append(d)
+            rows["n_pairs"].append(len(bal) - d)
+            rows["same_nation"].append(int((nk[d:] == nk[:-d]).sum()))
+            rows["sum_absdiff"].append(int(np.abs(bal[d:] - bal[:-d]).sum()))
+            rows["bal"].append(0)
+            rows["ck"].append(0)
+            rows["nk"].append(0)
+            rows["bkt"].append(0)
+        edge = np.unique(np.r_[np.arange(min(_SNB_W, len(bal))),
+                               np.arange(max(0, len(bal) - _SNB_W), len(bal))])
+        for i in edge:
+            rows["kind"].append(1)
+            rows["d"].append(0)
+            rows["n_pairs"].append(0)
+            rows["same_nation"].append(0)
+            rows["sum_absdiff"].append(0)
+            rows["bal"].append(int(bal[i]))
+            rows["ck"].append(int(ck[i]))
+            rows["nk"].append(int(nk[i]))
+            rows["bkt"].append(int(bkt[i]))
+        return pd.DataFrame({k: pd.Series(v, dtype=np.int64) for k, v in rows.items()})
+
+    # output is bucket-bounded (≤ W stat rows + 2W edge rows per bucket)
+    both = (
+        cust.map_batches(prep, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    stats = np.zeros((_SNB_W + 1, 3), dtype=np.int64)  # n, same, absdiff by d
+    st = both[both["kind"] == 0]
+    np.add.at(stats[:, 0], st["d"].to_numpy(np.int64), st["n_pairs"].to_numpy(np.int64))
+    np.add.at(stats[:, 1], st["d"].to_numpy(np.int64), st["same_nation"].to_numpy(np.int64))
+    np.add.at(stats[:, 2], st["d"].to_numpy(np.int64), st["sum_absdiff"].to_numpy(np.int64))
+    ed = both[both["kind"] == 1].sort_values(["bal", "ck"], ignore_index=True)
+    ebal = ed["bal"].to_numpy(np.int64)
+    enk = ed["nk"].to_numpy(np.int64)
+    ebkt = ed["bkt"].to_numpy(np.int64)
+    for d in range(1, _SNB_W + 1):
+        if len(ebal) <= d:
+            break
+        cross = ebkt[d:] != ebkt[:-d]  # same-bucket pairs already counted
+        stats[d, 0] += int(cross.sum())
+        stats[d, 1] += int((cross & (enk[d:] == enk[:-d])).sum())
+        stats[d, 2] += int(np.abs(ebal[d:] - ebal[:-d])[cross].sum())
+    return pd.DataFrame(
+        {
+            "d": np.arange(1, _SNB_W + 1, dtype=np.int64),
+            "n_pairs": stats[1:, 0],
+            "same_nation": stats[1:, 1],
+            "sum_absdiff_e2": stats[1:, 2],
+        }
+    )
+
+
+_SQL_SNB = f"""
+WITH r AS (SELECT CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal,
+                  CAST(c_custkey AS BIGINT) AS ck,
+                  CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+s AS (SELECT bal, ck, nk, row_number() OVER (ORDER BY bal, ck) AS rn FROM r)
+SELECT CAST(b.rn - a.rn AS BIGINT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN a.nk = b.nk THEN 1 ELSE 0 END) AS BIGINT) AS same_nation,
+       CAST(SUM(abs(a.bal - b.bal)) AS BIGINT) AS sum_absdiff_e2
+FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND {_SNB_W}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# int8 symmetric-quantization error audit — the compression check an
+# embedding-serving pipeline runs before switching storage to int8:
+# per dimension, absmax scale from pass 1 (64-row broadcast), then
+# exact fixed-point quantize→dequantize error sums in pass 2.  All
+# arithmetic is e6 integer with floor division (numpy floor_divide is
+# true floor; the SQL mirrors it sign-safely), so the error sums are
+# order-independent and bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+
+def q_embedding_quant_error(sf_dir: str):
+    emb = _t(sf_dir, "embeddings", columns=["embedding"])
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        col = t["embedding"].combine_chunks()
+        width = len(col[0]) if len(col) else 0
+        m = np.asarray(col.values, dtype=np.float64).reshape(-1, width)
+        return np.floor(m * 1e6).astype(np.int64)
+
+    def absmax_partial(t: pa.Table) -> pa.Table:
+        q = _mat(t)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+                "am": pa.array(np.abs(q).max(axis=0)),
+            }
+        )
+
+    am_df = (
+        emb.map_batches(absmax_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Max("am", alias_name="am"))
+        .to_pandas()
+        .sort_values("dim", ignore_index=True)
+    )
+    am = np.maximum(am_df["am"].to_numpy(np.int64), 1)  # 0-dims quantize to 0
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        e = _mat(t)
+        q = np.floor_divide(e * 127, am)
+        dq = np.floor_divide(q * am, 127)
+        err = e - dq
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(e.shape[1], dtype=np.int64)),
+                "n": pa.array(np.full(e.shape[1], len(e), np.int64)),
+                "sum_err": pa.array(err.sum(axis=0)),
+                "sum_sq_err": pa.array((err * err).sum(axis=0)),
+                "max_err": pa.array(err.max(axis=0)),
+            }
+        )
+
+    out = (
+        emb.map_batches(err_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_err", alias_name="sum_err"),
+            Sum("sum_sq_err", alias_name="sum_sq_err"),
+            Max("max_err", alias_name="max_err"),
+        )
+        .to_pandas()
+        .sort_values("dim", ignore_index=True)
+        .astype(np.int64)
+    )
+    out.insert(1, "absmax_e6", am)
+    return out[["dim", "absmax_e6", "n", "sum_err", "sum_sq_err", "max_err"]]
+
+
+_SQL_QUANT_ERR = """
+WITH u AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                       AS BIGINT) AS e
+           FROM embeddings),
+m AS (SELECT dim, GREATEST(MAX(abs(e)), 1) AS am FROM u GROUP BY dim),
+q AS (SELECT u.dim, e, am,
+             CASE WHEN e >= 0 THEN (e * 127) // am
+                  ELSE -((-(e * 127) + am - 1) // am) END AS qq
+      FROM u JOIN m USING (dim)),
+d AS (SELECT dim, e, am,
+             CASE WHEN qq >= 0 THEN (qq * am) // 127
+                  ELSE -((-(qq * am) + 126) // 127) END AS dq
+      FROM q)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(MAX(am) AS BIGINT) AS absmax_e6,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(e - dq) AS BIGINT) AS sum_err,
+       CAST(SUM((e - dq) * (e - dq)) AS BIGINT) AS sum_sq_err,
+       CAST(MAX(e - dq) AS BIGINT) AS max_err
+FROM d GROUP BY dim ORDER BY dim
+"""
+
+QUERIES.update(
+    {
+        "order_blocker_suppliers": q_order_blocker_suppliers,
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "embedding_quant_error": q_embedding_quant_error,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "order_blocker_suppliers": _SQL_BLOCKER,
+        "sorted_neighborhood_pairs": _SQL_SNB,
+        "embedding_quant_error": _SQL_QUANT_ERR,
+    }
+)
