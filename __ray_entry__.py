@@ -39,6 +39,12 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "orders_backlog_peak",
+    "lang_hapax_share",
+    "balance_spend_decile_matrix",
+    "fulfilled_keyspace_islands",
+    "char_bigram_oov",
+    "order_burstiness",
     "order_blocker_suppliers",
     "sorted_neighborhood_pairs",
     "embedding_quant_error",

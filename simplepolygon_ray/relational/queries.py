@@ -16641,3 +16641,751 @@ ORACLE_SQL.update(
         "embedding_quant_error": _SQL_QUANT_ERR,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Daily fulfillment-backlog peaks — an order is "open" from its order
+# day through the day its LAST lineitem ships; output the 10 peak
+# backlog days.  Interval→delta pattern: per-order [start, end] spans
+# become (+1 at start, −1 at end+1) day deltas, pre-summed per block,
+# so the exchange and the driver cumsum are bounded by the DAY domain
+# (a few thousand rows), never the order count.
+# --------------------------------------------------------------------------
+
+_DAY_US_BACKLOG = 86_400_000_000
+
+
+def q_orders_backlog_peak(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def ship_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "okey": t["l_orderkey"].cast(pa.int64()),
+                    "ed": t["l_shipdate"].cast(pa.int64()),
+                }
+            )
+            .group_by(["okey"])
+            .aggregate([("ed", "max")])
+        )
+        g = g.select(["okey", "ed_max"])
+        return pa.table(
+            {
+                "okey": g["okey"],
+                "day": pc.divide(g["ed_max"], _DAY_US_BACKLOG),
+                "src": pa.array(np.ones(len(g), np.int64)),
+            }
+        )
+
+    def start_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "day": pc.divide(t["o_orderdate"].cast(pa.int64()), _DAY_US_BACKLOG),
+                "src": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "day": pd.Series([], dtype=np.int64),
+                "delta": pd.Series([], dtype=np.int64),
+            }
+        )
+        ok = g["okey"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        src = g["src"].to_numpy(np.int64)
+        m0 = src == 0
+        ok0, sd0 = ok[m0], day[m0]  # one start row per order
+        o0 = np.argsort(ok0)
+        ok0, sd0 = ok0[o0], sd0[o0]
+        ok1, d1 = ok[~m0], day[~m0]  # ship-max partials, possibly several
+        if len(ok1) == 0 or len(ok0) == 0:
+            return empty
+        o1 = np.lexsort((d1, ok1))
+        ok1, d1 = ok1[o1], d1[o1]
+        starts1 = np.r_[0, np.flatnonzero(ok1[1:] != ok1[:-1]) + 1]
+        uok1 = ok1[starts1]
+        ed1 = np.maximum.reduceat(d1, starts1)
+        idx = np.searchsorted(ok0, uok1)
+        valid = (idx < len(ok0)) & (ok0[np.minimum(idx, len(ok0) - 1)] == uok1)
+        sd, ed = sd0[idx[valid]], ed1[valid]
+        if len(sd) == 0:
+            return empty
+        dd, dv = np.r_[sd, ed + 1], np.r_[np.ones(len(sd), np.int64), -np.ones(len(ed), np.int64)]
+        u, inv = np.unique(dd, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, dv)
+        return pd.DataFrame({"day": u, "delta": acc})
+
+    hist = (
+        _bucket_groupby(
+            od.map_batches(start_part, batch_format="pyarrow").union(
+                li.map_batches(ship_part, batch_format="pyarrow")
+            ),
+            "okey",
+            deltas,
+        )
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )  # bounded by the day domain
+    day = hist["day"].to_numpy(np.int64)
+    backlog = np.cumsum(hist["delta"].to_numpy(np.int64))
+    out = pd.DataFrame({"day": day, "backlog": backlog})
+    return (
+        out.sort_values(["backlog", "day"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_BACKLOG = f"""
+WITH e AS (SELECT l_orderkey AS okey,
+                  MAX(epoch_us(l_shipdate)) // {_DAY_US_BACKLOG} AS ed
+           FROM lineitem GROUP BY 1),
+s AS (SELECT o_orderkey AS okey,
+             epoch_us(o_orderdate) // {_DAY_US_BACKLOG} AS sd FROM orders),
+iv AS (SELECT s.sd, e.ed FROM s JOIN e USING (okey)),
+d AS (SELECT sd AS day, 1 AS delta FROM iv
+      UNION ALL SELECT ed + 1, -1 FROM iv),
+c AS (SELECT day, SUM(delta) AS dd FROM d GROUP BY day),
+r AS (SELECT day, SUM(dd) OVER (ORDER BY day) AS backlog FROM c)
+SELECT CAST(day AS BIGINT) AS day, CAST(backlog AS BIGINT) AS backlog
+FROM r ORDER BY backlog DESC, day LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Zipf-tail vocabulary audit — per language: vocabulary size, hapax /
+# dis legomena counts (tokens seen exactly once / twice), total and
+# hapax occurrence mass.  The (lang, token) exchange is vocab-bounded
+# (per-block combiners first), and the final aggregate is |langs| rows.
+# --------------------------------------------------------------------------
+
+
+def q_lang_hapax_share(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), pattern=r"\s+")
+        toks = pc.list_flatten(lists)
+        lang = pc.take(batch["lang"], pc.list_parent_indices(lists))
+        keep = pc.not_equal(toks, "")
+        part = (
+            pa.table({"lang": lang.filter(keep), "token": toks.filter(keep)})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"lang": part["lang"], "token": part["token"], "n": part["count_all"]}
+        )
+
+    def freq_class(t: pa.Table) -> pa.Table:
+        # post-groupby blocks hold disjoint (lang, token) keys
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "vocab": pa.array(np.ones(len(n), np.int64)),
+                    "n_hapax": pa.array((n == 1).astype(np.int64)),
+                    "n_dis": pa.array((n == 2).astype(np.int64)),
+                    "total_occ": pa.array(n),
+                    "hapax_occ": pa.array((n == 1).astype(np.int64)),
+                }
+            )
+            .group_by(["lang"])
+            .aggregate(
+                [
+                    ("vocab", "sum"),
+                    ("n_hapax", "sum"),
+                    ("n_dis", "sum"),
+                    ("total_occ", "sum"),
+                    ("hapax_occ", "sum"),
+                ]
+            )
+        )
+        return g.select(
+            ["lang", "vocab_sum", "n_hapax_sum", "n_dis_sum", "total_occ_sum", "hapax_occ_sum"]
+        ).rename_columns(["lang", "vocab", "n_hapax", "n_dis", "total_occ", "hapax_occ"])
+
+    return (
+        docs.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(freq_class, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("vocab", alias_name="vocab"),
+            Sum("n_hapax", alias_name="n_hapax"),
+            Sum("n_dis", alias_name="n_dis"),
+            Sum("total_occ", alias_name="total_occ"),
+            Sum("hapax_occ", alias_name="hapax_occ"),
+        )
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+
+
+_SQL_HAPAX = r"""
+WITH tok AS (SELECT lang,
+                    unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents),
+tc AS (SELECT lang, token, COUNT(*) AS n FROM tok WHERE token <> ''
+       GROUP BY lang, token)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+       CAST(SUM(n) AS BIGINT) AS total_occ,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_occ
+FROM tc GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Customer-value mobility matrix — balance decile × lifetime-spend
+# decile contingency (the "are rich accounts the big spenders" audit).
+# Deciles are EXACT global ranks under (value, custkey), computed with
+# the distributed two-phase value-bucket pattern (bounded bucket
+# histogram → driver prefix offsets → per-bucket local sort + offset);
+# the left join (customers with no orders spend 0) and the final
+# decile pairing are custkey-bucket shuffles.  Nothing unbounded ever
+# reaches the driver: two histograms + a ≤100-cell matrix.
+# --------------------------------------------------------------------------
+
+
+def _decile_vb_cols(t: pa.Table) -> pa.Table:
+    # drop order-only keys (no customer row) and attach value buckets;
+    # numpy >> is an arithmetic (floor) shift, monotone in the value
+    keep = pc.greater_equal(t["is_cust"], 1)
+    bal = t["bal"].filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    spend = t["spend"].filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "ck": t["ck"].filter(keep),
+            "bal": pa.array(bal),
+            "spend": pa.array(spend),
+            "vb_bal": pa.array(bal >> 10),
+            "vb_spend": pa.array(spend >> 14),
+        }
+    )
+
+
+def q_balance_spend_decile_matrix(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    od = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cust_part(t: pa.Table) -> pa.Table:
+        bal = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ck": t["c_custkey"].cast(pa.int64()),
+                "bal": pa.array(bal),
+                "spend": pa.array(np.zeros(len(bal), np.int64)),
+                "is_cust": pa.array(np.ones(len(bal), np.int64)),
+            }
+        )
+
+    def order_part(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            pa.table({"ck": t["o_custkey"].cast(pa.int64()), "spend": pa.array(cents)})
+            .group_by(["ck"])
+            .aggregate([("spend", "sum")])
+        )
+        g = g.select(["ck", "spend_sum"])
+        z = np.zeros(len(g), np.int64)
+        return pa.table(
+            {
+                "ck": g["ck"],
+                "bal": pa.array(z),
+                "spend": g["spend_sum"],
+                "is_cust": pa.array(z),
+            }
+        )
+
+    percust = (
+        cust.map_batches(cust_part, batch_format="pyarrow")
+        .union(od.map_batches(order_part, batch_format="pyarrow"))
+        .groupby("ck")
+        .aggregate(
+            Sum("bal", alias_name="bal"),
+            Sum("spend", alias_name="spend"),
+            Sum("is_cust", alias_name="is_cust"),
+        )
+        .map_batches(_decile_vb_cols, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _decile_assign(val_col: str, vb_col: str):
+        def vb_hist(t: pa.Table, c=vb_col) -> pa.Table:
+            u, n = np.unique(t[c].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"vb": pa.array(u), "n": pa.array(n.astype(np.int64))})
+
+        hist = (
+            percust.map_batches(vb_hist, batch_format="pyarrow")
+            .groupby("vb")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values("vb")
+        )
+        vb_sorted = hist["vb"].to_numpy(np.int64)
+        offs = np.concatenate([[0], np.cumsum(hist["n"].to_numpy(np.int64))[:-1]])
+        n_total = int(hist["n"].sum())
+
+        def assign(g: pd.DataFrame) -> pd.DataFrame:
+            v = g[val_col].to_numpy(np.int64)
+            k = g["ck"].to_numpy(np.int64)
+            vb = g[vb_col].to_numpy(np.int64)
+            order = np.lexsort((k, v, vb))
+            v, k, vb = v[order], k[order], vb[order]
+            new = np.r_[True, vb[1:] != vb[:-1]]
+            local = np.arange(len(vb), dtype=np.int64) - np.repeat(
+                np.flatnonzero(new), np.diff(np.r_[np.flatnonzero(new), len(vb)])
+            )
+            rank = offs[np.searchsorted(vb_sorted, vb)] + local  # 0-based
+            return pd.DataFrame({"ck": k, "dec": rank * 10 // n_total})
+
+        return _bucket_groupby(
+            percust.select_columns(["ck", val_col, vb_col]), vb_col, assign
+        )
+
+    bal_dec = _decile_assign("bal", "vb_bal").map_batches(
+        lambda t: pa.table(
+            {"ck": t["ck"], "bal_mul": pc.add(t["dec"], 1), "spend_mul": pa.nulls(len(t), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    spend_dec = _decile_assign("spend", "vb_spend").map_batches(
+        lambda t: pa.table(
+            {"ck": t["ck"], "bal_mul": pa.nulls(len(t), pa.int64()), "spend_mul": pc.add(t["dec"], 1)}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # two rows per ck (one per metric); Max folds them together
+        agg = g.groupby("ck", as_index=False).agg(
+            bal_mul=("bal_mul", "max"), spend_mul=("spend_mul", "max")
+        )
+        cell = (
+            (agg["bal_mul"].to_numpy(np.int64) - 1) * 10
+            + agg["spend_mul"].to_numpy(np.int64)
+            - 1
+        )
+        u, c = np.unique(cell, return_counts=True)
+        return pd.DataFrame(
+            {
+                "bal_decile": u // 10,
+                "spend_decile": u % 10,
+                "n_customers": c.astype(np.int64),
+            }
+        )
+
+    return (
+        _bucket_groupby(bal_dec.union(spend_dec), "ck", pair_counts)
+        .groupby(["bal_decile", "spend_decile"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values(["bal_decile", "spend_decile"], ignore_index=True)
+        .astype(np.int64)
+    )
+
+
+_SQL_DECILE_MATRIX = """
+WITH sp AS (SELECT c.c_custkey AS ck,
+                   CAST(round(c.c_acctbal * 100.0) AS BIGINT) AS bal,
+                   COALESCE(SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)), 0)
+                       AS spend
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS nt FROM sp),
+r AS (SELECT ck,
+             ((row_number() OVER (ORDER BY bal, ck) - 1) * 10) // n.nt AS bd,
+             ((row_number() OVER (ORDER BY spend, ck) - 1) * 10) // n.nt AS sd
+      FROM sp, n)
+SELECT CAST(bd AS BIGINT) AS bal_decile, CAST(sd AS BIGINT) AS spend_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "orders_backlog_peak": q_orders_backlog_peak,
+        "lang_hapax_share": q_lang_hapax_share,
+        "balance_spend_decile_matrix": q_balance_spend_decile_matrix,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "orders_backlog_peak": _SQL_BACKLOG,
+        "lang_hapax_share": _SQL_HAPAX,
+        "balance_spend_decile_matrix": _SQL_DECILE_MATRIX,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Keyspace gaps-and-islands audit over the FULFILLED order keys — the
+# fragmentation check a compaction planner runs before deciding range
+# merges.  Distribution is a pure monoid fold: keys bucket by
+# (key >> 10); each bucket emits one summary row (first/last key,
+# n_keys, n_runs, head/tail run lengths, max internal run/gap); the
+# driver folds the ≤|keyspace|/1024 summaries in bucket order, joining
+# runs that touch across bucket edges.  No sort of the full key set
+# anywhere.
+# --------------------------------------------------------------------------
+
+_ISL_SHIFT = 10
+
+
+def q_fulfilled_keyspace_islands(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderstatus"], "F")
+        k = t["o_orderkey"].filter(keep).cast(pa.int64())
+        return pa.table(
+            {"key": k, "vb": pc.shift_right(k, _ISL_SHIFT)}
+        )
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        # one frame per vb hash-bucket group; may hold several vb values
+        k = g["key"].to_numpy(np.int64)
+        vb = g["vb"].to_numpy(np.int64)
+        o = np.lexsort((k, vb))
+        k, vb = k[o], vb[o]
+        starts = np.r_[0, np.flatnonzero(vb[1:] != vb[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, len(k)])
+        rows = []
+        for s, c in zip(starts, cnt):
+            kk = k[s : s + c]
+            d = np.diff(kk)
+            brk = np.flatnonzero(d > 1)
+            run_starts = np.r_[0, brk + 1]
+            run_ends = np.r_[brk, c - 1]
+            lens = run_ends - run_starts + 1
+            rows.append(
+                (
+                    int(vb[s]),
+                    int(kk[0]),
+                    int(kk[-1]),
+                    int(c),
+                    len(lens),
+                    int(lens[0]),
+                    int(lens[-1]),
+                    int(lens.max()),
+                    int((d[brk] - 1).max()) if len(brk) else 0,
+                    int((d[brk] - 1).sum()) if len(brk) else 0,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "vb", "first", "last", "n_keys", "n_runs",
+                "head_len", "tail_len", "max_run", "max_gap", "sum_gap",
+            ],
+        ).astype(np.int64)
+
+    summ = (
+        _bucket_groupby(
+            od.map_batches(prep, batch_format="pyarrow"), "vb", summarize
+        )
+        .to_pandas()
+        .sort_values("vb", ignore_index=True)
+    )  # bounded by keyspace/2^shift
+    n_keys = int(summ["n_keys"].sum())
+    n_runs = 0
+    longest = 0
+    max_gap = 0
+    sum_gap = 0
+    chain = 0  # length of the run ending at the previous bucket's last key
+    prev_last = None
+    for r in summ.itertuples(index=False):
+        joins = prev_last is not None and r.first == prev_last + 1
+        if prev_last is not None and not joins:
+            gap = r.first - prev_last - 1
+            max_gap = max(max_gap, gap)
+            sum_gap += gap
+        n_runs += r.n_runs - (1 if joins else 0)
+        head = chain + r.head_len if joins else r.head_len
+        longest = max(longest, r.max_run, head)
+        max_gap = max(max_gap, r.max_gap)
+        sum_gap += r.sum_gap
+        chain = head if r.n_runs == 1 else r.tail_len
+        prev_last = r.last
+    return pd.DataFrame(
+        {
+            "n_keys": [n_keys],
+            "n_runs": [n_runs],
+            "longest_run": [longest],
+            "max_gap": [max_gap],
+            "sum_gap": [sum_gap],
+        }
+    ).astype(np.int64)
+
+
+_SQL_ISLANDS = """
+WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS key FROM orders
+           WHERE o_orderstatus = 'F'),
+i AS (SELECT key, key - row_number() OVER (ORDER BY key) AS isl FROM k),
+r AS (SELECT isl, COUNT(*) AS len, MIN(key) AS a, MAX(key) AS b
+      FROM i GROUP BY isl),
+g AS (SELECT a - lag(b) OVER (ORDER BY a) - 1 AS gap FROM r)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_runs,
+       (SELECT CAST(MAX(len) AS BIGINT) FROM r) AS longest_run,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# Character-bigram OOV-rate audit — the cheap language-model-ish
+# novelty score a curation pipeline runs: pass 1 builds the corpus
+# top-64 character-bigram model (bounded 65536-cell bincount partials,
+# deterministic (count desc, code asc) cut), pass 2 scores every doc's
+# out-of-model bigram rate against the broadcast model and folds
+# per-language aggregates.  Exact integer rates (floor e6).
+# --------------------------------------------------------------------------
+
+_OOV_TOP = 64
+
+
+def _utf8_bytes_offsets(col: pa.ChunkedArray | pa.Array):
+    """Zero-copy bytes + 0-based offsets view of a utf8 array (ascii
+    corpus): the data window is sliced to exactly the rows in ``col``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    return data, off - off[0]
+
+
+def _bigram_codes(data: np.ndarray, off: np.ndarray):
+    """Bigram codes over the packed text bytes; positions crossing a
+    document boundary are masked out.  Returns (codes, valid_mask)."""
+    if len(data) < 2:
+        return np.array([], np.int64), np.array([], bool)
+    codes = data[:-1].astype(np.int64) * 256 + data[1:].astype(np.int64)
+    valid = np.ones(len(data) - 1, dtype=bool)
+    ends = off[1:] - 1  # last byte position of each doc
+    ends = ends[(ends >= 0) & (ends < len(valid))]
+    valid[ends] = False
+    return codes, valid
+
+
+def q_char_bigram_oov(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        data, off = _utf8_bytes_offsets(t["text"])
+        codes, valid = _bigram_codes(data, off)
+        cnt = np.bincount(codes[valid], minlength=1)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"code": pa.array(nz.astype(np.int64)), "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    model = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 65536 rows
+        .sort_values(["n", "code"], ascending=[False, True], kind="mergesort")
+        .head(_OOV_TOP)
+    )
+    top = np.sort(model["code"].to_numpy(np.int64))
+
+    def score(t: pa.Table) -> pa.Table:
+        data, off = _utf8_bytes_offsets(t["text"])
+        codes, valid = _bigram_codes(data, off)
+        lens = np.diff(off)
+        tot = np.maximum(lens - 1, 0)
+        oov_flag = (~np.isin(codes, top) & valid).astype(np.int64)
+        # per-doc oov: position p belongs to the doc whose span holds p
+        oov = np.zeros(len(lens), np.int64)
+        if len(codes):
+            doc_idx = np.searchsorted(off[1:], np.arange(len(codes)), side="right")
+            np.add.at(oov, doc_idx, oov_flag)
+        has = tot >= 1
+        rate = np.zeros(len(lens), np.int64)
+        rate[has] = oov[has] * 1_000_000 // tot[has]
+        lang = t["lang"].to_pandas()
+        df = pd.DataFrame(
+            {
+                "lang": lang,
+                "n_docs": has.astype(np.int64),
+                "total_bigrams": tot,
+                "oov_bigrams": oov,
+                "sum_oov_rate_e6": rate,
+            }
+        )
+        part = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_bigrams", pa.int64()),
+                    ("oov_bigrams", pa.int64()),
+                    ("sum_oov_rate_e6", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_bigrams", alias_name="total_bigrams"),
+            Sum("oov_bigrams", alias_name="oov_bigrams"),
+            Sum("sum_oov_rate_e6", alias_name="sum_oov_rate_e6"),
+        )
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+
+
+_SQL_BIGRAM_OOV = f"""
+WITH pos AS (SELECT lang, doc_id, text,
+                    unnest(range(1, length(text))) AS i FROM documents),
+bg AS (SELECT lang, doc_id,
+              ascii(substr(text, i, 1)) * 256
+              + ascii(substr(text, i + 1, 1)) AS code
+       FROM pos),
+top AS (SELECT code FROM (SELECT code, COUNT(*) AS n FROM bg GROUP BY code
+                          ORDER BY n DESC, code LIMIT {_OOV_TOP})),
+pd AS (SELECT lang, doc_id, COUNT(*) AS total,
+              SUM(CASE WHEN code IN (SELECT code FROM top) THEN 0 ELSE 1 END)
+                  AS oov
+       FROM bg GROUP BY lang, doc_id)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(total) AS BIGINT) AS total_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+       CAST(SUM((oov * 1000000) // total) AS BIGINT) AS sum_oov_rate_e6
+FROM pd GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Order-interarrival burstiness classes — the Poisson-vs-bursty audit
+# over each customer's order cadence, entirely in integers: with n
+# interarrival days, S1 = Σd, S2 = Σd², the CV² comparison
+# (CV > 1 bursty, CV ≤ 0.5 regular) becomes exact cross-multiplied
+# integer predicates n·S2 − S1² ⋛ S1² and 4·(n·S2 − S1²) ⋛ S1².
+# custkey-bucket shuffle, segmented reduceat per bucket, 3-row output.
+# --------------------------------------------------------------------------
+
+_BURST_DAY_US = 86_400_000_000
+
+
+def q_order_burstiness(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": t["o_custkey"].cast(pa.int64()),
+                "day": pc.divide(t["o_orderdate"].cast(pa.int64()), _BURST_DAY_US),
+                "ok": t["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cls": pd.Series([], dtype=object),
+                "n_customers": pd.Series([], dtype=np.int64),
+                "n_intervals": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ck = g["ck"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        ok = g["ok"].to_numpy(np.int64)
+        o = np.lexsort((ok, day, ck))
+        ck, day = ck[o], day[o]
+        same = ck[1:] == ck[:-1]
+        d = (day[1:] - day[:-1])[same]
+        cki = ck[1:][same]
+        if len(cki) == 0:
+            return empty
+        starts = np.r_[0, np.flatnonzero(cki[1:] != cki[:-1]) + 1]
+        n = np.diff(np.r_[starts, len(cki)])
+        s1 = np.add.reduceat(d, starts)
+        s2 = np.add.reduceat(d * d, starts)
+        keep = n >= 3
+        n, s1, s2 = n[keep], s1[keep], s2[keep]
+        if len(n) == 0:
+            return empty
+        dd = n * s2 - s1 * s1
+        bursty = dd > s1 * s1
+        regular = ~bursty & (4 * dd <= s1 * s1)
+        cls = np.where(bursty, "bursty", np.where(regular, "regular", "mid"))
+        out = (
+            pd.DataFrame({"cls": cls, "n_customers": 1, "n_intervals": n})
+            .groupby("cls", as_index=False)
+            .sum()
+        )
+        out["n_customers"] = out["n_customers"].astype(np.int64)
+        out["n_intervals"] = out["n_intervals"].astype(np.int64)
+        return out
+
+    return (
+        _bucket_groupby(od.map_batches(prep, batch_format="pyarrow"), "ck", classify)
+        .groupby("cls")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_intervals", alias_name="n_intervals"),
+        )
+        .to_pandas()
+        .sort_values("cls", ignore_index=True)
+    )
+
+
+_SQL_BURSTINESS = f"""
+WITH o AS (SELECT o_custkey AS ck,
+                  epoch_us(o_orderdate) // {_BURST_DAY_US} AS day,
+                  o_orderkey AS ok FROM orders),
+d AS (SELECT ck, day - lag(day) OVER (PARTITION BY ck ORDER BY day, ok) AS dd
+      FROM o),
+s AS (SELECT ck, COUNT(dd) AS n, SUM(dd) AS s1, SUM(dd * dd) AS s2
+      FROM d WHERE dd IS NOT NULL GROUP BY ck HAVING COUNT(dd) >= 3),
+c AS (SELECT ck, n,
+             CASE WHEN n * s2 - s1 * s1 > s1 * s1 THEN 'bursty'
+                  WHEN 4 * (n * s2 - s1 * s1) <= s1 * s1 THEN 'regular'
+                  ELSE 'mid' END AS cls FROM s)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n) AS BIGINT) AS n_intervals
+FROM c GROUP BY cls ORDER BY cls
+"""
+
+QUERIES.update(
+    {
+        "fulfilled_keyspace_islands": q_fulfilled_keyspace_islands,
+        "char_bigram_oov": q_char_bigram_oov,
+        "order_burstiness": q_order_burstiness,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "fulfilled_keyspace_islands": _SQL_ISLANDS,
+        "char_bigram_oov": _SQL_BIGRAM_OOV,
+        "order_burstiness": _SQL_BURSTINESS,
+    }
+)
