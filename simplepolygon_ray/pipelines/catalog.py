@@ -6281,3 +6281,177 @@ EXTRA_ORACLE_SQL["hilbert_locality"] = _hilbert_sql(
     f"{_ORACLE_DIR}/hilbert_pts/*.parquet"
 )
 EXTRA_ORACLE_SQL["grid_nms_peaks"] = _nms_sql(f"{_ORACLE_DIR}/nms_pts/*.parquet")
+
+
+# --------------------------------------------------------------------------
+# Edge squared-length spectrum over the decomposed ring corpus — the
+# resolution audit a tiling planner runs to pick a snap grid: every
+# directed ring edge's EXACT integer squared length (e5 fixed-point
+# coords, so dx²+dy² is exact) lands in its bit-length bucket
+# (floor(log2)+1, computed by integer power-table searchsorted on the
+# Ray side and length(printf('%b', v)) in SQL — no float log anywhere).
+# Per bucket: edge count and exact min/max squared length.
+# --------------------------------------------------------------------------
+
+_POW2 = (2 ** np.arange(63, dtype=np.uint64)).astype(np.int64)
+
+
+def q_geo_edge_len2_hist(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..cells.grid import _rl_arange
+
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "len2_verts")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n_edges": pa.array([], pa.int64()),
+                "min_len2": pa.array([], pa.int64()),
+                "max_len2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        col = t["ring"].combine_chunks()
+        offs = np.asarray(col.offsets).astype(np.int64)
+        coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+        vlen = offs[1:] - offs[:-1]
+        closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+        closed &= vlen > 1
+        olen = vlen - closed.astype(np.int64)
+        gather = _rl_arange(offs[:-1], olen)
+        oc = coords[gather]
+        xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+        yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+        ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+        nxt = np.arange(len(oc), dtype=np.int64) + 1
+        nxt[ostart + olen - 1] = ostart
+        dx = xi[nxt] - xi
+        dy = yi[nxt] - yi
+        len2 = dx * dx + dy * dy
+        bucket = np.searchsorted(_POW2, len2, side="right")  # bit length; 0 → 0
+        if len(len2) == 0:
+            return empty
+        u, inv = np.unique(bucket, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        mx = np.full(len(u), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, len2)
+        np.maximum.at(mx, inv, len2)
+        return pa.table(
+            {
+                "bucket": pa.array(u.astype(np.int64)),
+                "n_edges": pa.array(n),
+                "min_len2": pa.array(mn),
+                "max_len2": pa.array(mx),
+            }
+        )
+
+    return (
+        simple.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Min("min_len2", alias_name="min_len2"),
+            Max("max_len2", alias_name="max_len2"),
+        )
+    )
+
+
+_LEN2_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/len2_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+e AS (SELECT (b.xi - a.xi) * (b.xi - a.xi)
+              + (b.yi - a.yi) * (b.yi - a.yi) AS len2
+      FROM v a
+      JOIN n USING (geom_id, ring_seq)
+      JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+              AND b.vidx = (a.vidx + 1) % n.m)
+SELECT CAST(CASE WHEN len2 = 0 THEN 0
+                 ELSE length(printf('%b', len2)) END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(MIN(len2) AS BIGINT) AS min_len2,
+       CAST(MAX(len2) AS BIGINT) AS max_len2
+FROM e GROUP BY bucket
+"""
+
+GEO_QUERIES.update({"geo_edge_len2_hist": q_geo_edge_len2_hist})
+EXTRA_ORACLE_SQL["geo_edge_len2_hist"] = _LEN2_SQL
+
+
+# --------------------------------------------------------------------------
+# Ordered (Bayer 4×4) dithering audit — the 1-bit preview a thumbnail
+# pipeline generates: per image, how many pixels turn "on" under the
+# position-dependent Bayer threshold, and how many FLIP versus the
+# naive global 50% threshold (the dither's whole point — flips measure
+# recovered tonal detail).  Exact integer predicates on the
+# channel-summed pixel: on ⇔ 32·p > 1530·B(x,y) + 765, naive ⇔
+# 2·p > 765; the SQL replays both from the persisted payload with the
+# Bayer matrix as a flat list literal.
+# --------------------------------------------------------------------------
+
+_BAYER4 = np.array(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]], np.int64
+)
+
+
+def q_image_bayer_dither(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def dither(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        n_on, n_flip, npx = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            bay = _BAYER4[np.arange(h) % 4][:, np.arange(w) % 4]
+            on = 32 * px > 1530 * bay + 765
+            naive = 2 * px > 765
+            n_on.append(int(on.sum()))
+            n_flip.append(int((on != naive).sum()))
+            npx.append(w * h)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_on": pa.array(n_on, pa.int64()),
+                "n_flip": pa.array(n_flip, pa.int64()),
+                "n_pix": pa.array(npx, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(dither, batch_format="pyarrow")
+
+
+_BAYER_LIST_SQL = "[0,8,2,10,12,4,14,6,3,11,1,9,15,7,13,5]"
+
+_IMG_BAYER_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  CAST(list_sum([CASE WHEN 32 * {_gq_pix("p")} >
+       1530 * list_extract({_BAYER_LIST_SQL},
+                           1 + ((p // w) % 4) * 4 + (p % w) % 4) + 765
+       THEN 1 ELSE 0 END for p in generate_series(0, n_pix - 1)])
+       AS BIGINT) AS n_on,
+  CAST(list_sum([CASE WHEN (32 * {_gq_pix("p")} >
+       1530 * list_extract({_BAYER_LIST_SQL},
+                           1 + ((p // w) % 4) * 4 + (p % w) % 4) + 765)
+       != (2 * {_gq_pix("p")} > 765)
+       THEN 1 ELSE 0 END for p in generate_series(0, n_pix - 1)])
+       AS BIGINT) AS n_flip,
+  n_pix
+FROM base
+"""
+
+GEO_QUERIES.update({"image_bayer_dither": q_image_bayer_dither})
+EXTRA_ORACLE_SQL["image_bayer_dither"] = _IMG_BAYER_SQL

@@ -17389,3 +17389,93 @@ ORACLE_SQL.update(
         "order_burstiness": _SQL_BURSTINESS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic sampling — the size-proportional sampler an ETL
+# uses to draw an audit set where big orders are more likely: walk the
+# EXACT prefix-sum of order value (cents) in o_orderkey order and emit
+# every row whose cumulative weight crosses a multiple of
+# step = totalW // 97.  The prefix sum is DISTRIBUTED two-phase: a
+# bounded keyspace-bucket histogram of per-bucket weight totals feeds
+# driver prefix offsets; each bucket then folds its local cumsum on
+# top of its offset.  No global sort, no driver row materialization.
+# --------------------------------------------------------------------------
+
+_WSS_SHIFT = 7
+_WSS_TARGET = 97
+
+
+def q_weighted_systematic_sample(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].cast(pa.int64())
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ok": k,
+                "w": pa.array(cents),
+                "kb": pc.shift_right(k, _WSS_SHIFT),
+            }
+        )
+
+    pre = od.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def bucket_w(t: pa.Table) -> pa.Table:
+        kb = t["kb"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(kb, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, w)
+        return pa.table({"kb": pa.array(u.astype(np.int64)), "tw": pa.array(tot)})
+
+    hist = (
+        pre.map_batches(bucket_w, batch_format="pyarrow")
+        .groupby("kb")
+        .aggregate(Sum("tw", alias_name="tw"))
+        .to_pandas()
+        .sort_values("kb")
+    )  # bounded by keyspace / 2^shift
+    kb_sorted = hist["kb"].to_numpy(np.int64)
+    offs = np.concatenate([[0], np.cumsum(hist["tw"].to_numpy(np.int64))[:-1]])
+    total_w = int(hist["tw"].sum())
+    step = max(total_w // _WSS_TARGET, 1)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        kb = g["kb"].to_numpy(np.int64)
+        o = np.lexsort((ok, kb))
+        ok, w, kb = ok[o], w[o], kb[o]
+        new = np.r_[True, kb[1:] != kb[:-1]]
+        cum = np.cumsum(w)
+        # restart the running sum at each kb group, then add its offset
+        base_local = np.repeat(np.r_[0, cum[np.flatnonzero(new)[1:] - 1]], np.diff(np.r_[np.flatnonzero(new), len(kb)]))
+        local = cum - base_local
+        cumw = offs[np.searchsorted(kb_sorted, kb)] + local
+        keep = (cumw - w) // step < cumw // step
+        return pd.DataFrame(
+            {"o_orderkey": ok[keep], "cents": w[keep], "cum_w": cumw[keep]}
+        )
+
+    return _bucket_groupby(pre, "kb", pick)
+
+
+_SQL_WSS = f"""
+WITH c AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT o_orderkey, cents,
+             SUM(cents) OVER (ORDER BY o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_w
+      FROM c),
+t AS (SELECT GREATEST(SUM(cents) // {_WSS_TARGET}, 1) AS step FROM c)
+SELECT o_orderkey, cents, CAST(cum_w AS BIGINT) AS cum_w
+FROM r, t WHERE (cum_w - cents) // t.step < cum_w // t.step
+"""
+
+QUERIES.update({"weighted_systematic_sample": q_weighted_systematic_sample})
+ORACLE_SQL.update({"weighted_systematic_sample": _SQL_WSS})
