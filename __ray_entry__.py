@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "lang_vocab_contamination",
+    "event_debounce_audit",
+    "image_nyquist_energy",
     "geo_edge_len2_hist",
     "image_bayer_dither",
     "weighted_systematic_sample",

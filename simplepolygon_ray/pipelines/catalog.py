@@ -6455,3 +6455,62 @@ FROM base
 
 GEO_QUERIES.update({"image_bayer_dither": q_image_bayer_dither})
 EXTRA_ORACLE_SQL["image_bayer_dither"] = _IMG_BAYER_SQL
+
+
+# --------------------------------------------------------------------------
+# Nyquist / checkerboard energy — the upsampling-artifact score an
+# image-QA stage computes: the exact integer response of the
+# channel-summed grid to the three highest-frequency sign patterns,
+# Σ(−1)^(x+y)·p (checkerboard), Σ(−1)^x·p (column comb) and
+# Σ(−1)^y·p (row comb).  One vectorized signed fold per image on the
+# Ray side; the SQL replays the signs from the pixel index parity.
+# --------------------------------------------------------------------------
+
+
+def q_image_nyquist_energy(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def nyq(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        xy, xs, ys = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            sx = np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int64)
+            sy = np.where(np.arange(h) % 2 == 0, 1, -1).astype(np.int64)
+            col = px.sum(axis=0)
+            row = px.sum(axis=1)
+            xs.append(int((col * sx).sum()))
+            ys.append(int((row * sy).sum()))
+            xy.append(int(((px * sx[None, :]) * sy[:, None]).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "nyq_xy": pa.array(xy, pa.int64()),
+                "nyq_x": pa.array(xs, pa.int64()),
+                "nyq_y": pa.array(ys, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(nyq, batch_format="pyarrow")
+
+
+_IMG_NYQ_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  CAST(list_sum([(1 - 2 * ((p % w + p // w) % 2)) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS nyq_xy,
+  CAST(list_sum([(1 - 2 * ((p % w) % 2)) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS nyq_x,
+  CAST(list_sum([(1 - 2 * ((p // w) % 2)) * {_gq_pix("p")}
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS nyq_y
+FROM base
+"""
+
+GEO_QUERIES.update({"image_nyquist_energy": q_image_nyquist_energy})
+EXTRA_ORACLE_SQL["image_nyquist_energy"] = _IMG_NYQ_SQL

@@ -17479,3 +17479,215 @@ FROM r, t WHERE (cum_w - cents) // t.step < cum_w // t.step
 
 QUERIES.update({"weighted_systematic_sample": q_weighted_systematic_sample})
 ORACLE_SQL.update({"weighted_systematic_sample": _SQL_WSS})
+
+
+# --------------------------------------------------------------------------
+# Cross-language vocabulary contamination matrix — the code-switch /
+# mislabel audit a corpus curator runs: pass 1 builds each language's
+# top-25 token vocabulary (vocab-bounded (lang, token) exchange,
+# deterministic (count desc, token) cut); pass 2 rescans the corpus
+# against the broadcast vocabularies and counts, per (doc_lang,
+# vocab_lang) cell, how many token occurrences hit the other
+# language's list.  |langs|² output.
+# --------------------------------------------------------------------------
+
+_XLANG_TOP = 25
+
+
+def q_lang_vocab_contamination(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), pattern=r"\s+")
+        toks = pc.list_flatten(lists)
+        lang = pc.take(batch["lang"], pc.list_parent_indices(lists))
+        keep = pc.not_equal(toks, "")
+        part = (
+            pa.table({"lang": lang.filter(keep), "token": toks.filter(keep)})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"lang": part["lang"], "token": part["token"], "n": part["count_all"]}
+        )
+
+    tok_counts = (
+        docs.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocab-bounded
+    )
+    top = (
+        tok_counts.sort_values(
+            ["lang", "n", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        .groupby("lang")
+        .head(_XLANG_TOP)
+    )
+    vocab_langs = sorted(top["lang"].unique())
+    vocab = {
+        vl: np.sort(top.loc[top["lang"] == vl, "token"].to_numpy(object))
+        for vl in vocab_langs
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), pattern=r"\s+")
+        toks = pc.list_flatten(lists)
+        lang = pc.take(batch["lang"], pc.list_parent_indices(lists))
+        keep = pc.not_equal(toks, "")
+        tk = np.asarray(toks.filter(keep).to_pylist(), dtype=object)
+        lg = np.asarray(lang.filter(keep).to_pylist(), dtype=object)
+        frames = []
+        for vl in vocab_langs:
+            hit = np.isin(tk, vocab[vl])
+            if not hit.any():
+                continue
+            u, c = np.unique(lg[hit], return_counts=True)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_lang": u,
+                        "vocab_lang": vl,
+                        "n_hits": c.astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "doc_lang": pa.array([], pa.string()),
+                    "vocab_lang": pa.array([], pa.string()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("doc_lang", pa.string()),
+                    ("vocab_lang", pa.string()),
+                    ("n_hits", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .groupby(["doc_lang", "vocab_lang"])
+        .aggregate(Sum("n_hits", alias_name="n_hits"))
+        .to_pandas()
+        .sort_values(["doc_lang", "vocab_lang"], ignore_index=True)
+    )
+
+
+_SQL_XLANG = rf"""
+WITH tok AS (SELECT lang,
+                    unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents),
+tc AS (SELECT lang, token, COUNT(*) AS n FROM tok WHERE token <> ''
+       GROUP BY lang, token),
+top AS (SELECT lang AS vocab_lang, token FROM (
+          SELECT lang, token,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, token) AS rn
+          FROM tc) WHERE rn <= {_XLANG_TOP})
+SELECT t.lang AS doc_lang, top.vocab_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM tok t JOIN top ON t.token = top.token
+WHERE t.token <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Debounce audit — duplicate-event detection inside a tolerance
+# window: an event is a "bounce" when the SAME (user, type, value e4)
+# fired within 600 s before it.  user-bucket shuffle, one segmented
+# lexsort per bucket, per-type counts out.
+# --------------------------------------------------------------------------
+
+_DEBOUNCE_US = 600_000_000
+
+
+def q_event_debounce_audit(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "et": t["event_type"],
+                "ts": t["ts"].cast(pa.int64()),
+                "v": pa.array(
+                    np.rint(
+                        t["value"].to_numpy(zero_copy_only=False) * 10000.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_bounced": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["et"].to_numpy(object)
+        ts = g["ts"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        codes = pd.factorize(pd.Series(et))[0].astype(np.int64)
+        key = uid * (codes.max() + 1) + codes
+        o = np.lexsort((ts, v, key))
+        key, et, ts, v = key[o], et[o], ts[o], v[o]
+        same = (key[1:] == key[:-1]) & (v[1:] == v[:-1])
+        bounced = np.r_[False, same & (ts[1:] - ts[:-1] <= _DEBOUNCE_US)]
+        df = pd.DataFrame(
+            {"event_type": et, "n_events": 1, "n_bounced": bounced.astype(np.int64)}
+        )
+        out = df.groupby("event_type", as_index=False).sum()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        _bucket_groupby(ev.map_batches(prep, batch_format="pyarrow"), "user_id", audit)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_bounced", alias_name="n_bounced"),
+        )
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+
+
+_SQL_DEBOUNCE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                  CAST(round(value * 10000.0) AS BIGINT) AS v
+           FROM events),
+l AS (SELECT event_type,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id, event_type, v
+                                        ORDER BY t) <= {_DEBOUNCE_US}
+                  THEN 1 ELSE 0 END AS b
+      FROM e)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(b) AS BIGINT) AS n_bounced
+FROM l GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES.update(
+    {
+        "lang_vocab_contamination": q_lang_vocab_contamination,
+        "event_debounce_audit": q_event_debounce_audit,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "lang_vocab_contamination": _SQL_XLANG,
+        "event_debounce_audit": _SQL_DEBOUNCE,
+    }
+)
