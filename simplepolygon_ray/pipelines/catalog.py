@@ -6514,3 +6514,92 @@ FROM base
 
 GEO_QUERIES.update({"image_nyquist_energy": q_image_nyquist_energy})
 EXTRA_ORACLE_SQL["image_nyquist_energy"] = _IMG_NYQ_SQL
+
+
+# --------------------------------------------------------------------------
+# image 4x4 block Walsh–Hadamard band energy — the transform-domain
+# texture probe (the integer cousin of a DCT band split): each
+# complete 4x4 pixel block of the channel-summed image is projected
+# onto three Walsh patterns (horizontal half-band [+ + - -],
+# vertical half-band, and the checkerboard-in-blocks [+ - - +] x
+# [+ - - +]) and the squared coefficients sum per image.  All
+# arithmetic is int64 (coefficients < 2^16, energies < 2^53, so the
+# oracle's double-typed list_sum is exact).  SQL replays the exact
+# block/index arithmetic from the persisted payload bytes.
+# --------------------------------------------------------------------------
+
+_WHT_SGN2 = (1, 1, -1, -1)
+_WHT_SGN3 = (1, -1, -1, 1)
+
+
+def q_image_hadamard_energy(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+    sgn2 = np.asarray(_WHT_SGN2, np.int64)
+    sgn3 = np.asarray(_WHT_SGN3, np.int64)
+
+    def wht(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        ex, ey, exy = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            h4, w4 = h // 4, w // 4
+            v = px[: h4 * 4, : w4 * 4].reshape(h4, 4, w4, 4)
+            cx = (v * sgn2[None, None, None, :]).sum(axis=(1, 3))
+            cy = (v * sgn2[None, :, None, None]).sum(axis=(1, 3))
+            cxy = (v * sgn3[None, None, None, :] * sgn3[None, :, None, None]).sum(
+                axis=(1, 3)
+            )
+            ex.append(int((cx * cx).sum()))
+            ey.append(int((cy * cy).sum()))
+            exy.append(int((cxy * cxy).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "had_x": pa.array(ex, pa.int64()),
+                "had_y": pa.array(ey, pa.int64()),
+                "had_xy": pa.array(exy, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(wht, batch_format="pyarrow")
+
+
+def _wht_coeff_sql(sgnx, sgny) -> str:
+    """SQL for one 4x4 block's Walsh coefficient at block index b."""
+    b0 = "(((bk // (w // 4)) * 4) * w + (bk % (w // 4)) * 4)"
+    terms = []
+    for y in range(4):
+        for x in range(4):
+            s = sgnx[x] * sgny[y]
+            op = "+" if s > 0 else "-"
+            terms.append(f"{op} {_gq_pix(f'{b0} + {y} * w + {x}')}")
+    return " ".join(terms)
+
+
+def _wht_band_sql(sgnx, sgny, alias: str) -> str:
+    coeff = _wht_coeff_sql(sgnx, sgny)
+    return (
+        f"CAST(list_sum([power({coeff}, 2) "
+        f"for bk in generate_series(0, (w // 4) * (h // 4) - 1)]) AS BIGINT) AS {alias}"
+    )
+
+
+_ONES4 = (1, 1, 1, 1)
+
+_IMG_WHT_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  {_wht_band_sql(_WHT_SGN2, _ONES4, "had_x")},
+  {_wht_band_sql(_ONES4, _WHT_SGN2, "had_y")},
+  {_wht_band_sql(_WHT_SGN3, _WHT_SGN3, "had_xy")}
+FROM base
+"""
+
+GEO_QUERIES.update({"image_hadamard_energy": q_image_hadamard_energy})
+EXTRA_ORACLE_SQL["image_hadamard_energy"] = _IMG_WHT_SQL

@@ -17691,3 +17691,253 @@ ORACLE_SQL.update(
         "event_debounce_audit": _SQL_DEBOUNCE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17-shaped small-quantity revenue — the "correlated scalar
+# subquery against the row's own group" classic: revenue of lineitems
+# whose quantity is strictly below 20% of their part's average
+# quantity, rolled up per brand.  The 0.2·avg threshold never exists
+# as a float: the filter cross-multiplies 5·qty·n < Σqty in int64 on
+# both engines.  ONE partkey-hash bucket shuffle carries everything —
+# all lineitems of a part land in one frame, so per-part stats, the
+# filter, and the brand attach are frame-local; the lineitem side is
+# pre-compacted per block to distinct (partkey, qty) rows (qty has a
+# tiny domain), so the exchange moves ≤ |parts|·|qtys| rows per block,
+# not the full table.
+# --------------------------------------------------------------------------
+
+
+def q_small_qty_revenue(sf_dir: str):
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def part_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "k": t["p_partkey"].cast(pa.int64()),
+                "side": z,
+                "qty": z,
+                "cnt": z,
+                "price_c": z,
+                "brand": t["p_brand"].cast(pa.string()),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_side(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        part_agg = (
+            pa.table(
+                {
+                    "k": t["l_partkey"].cast(pa.int64()),
+                    "qty": pa.array(qty.astype(np.int64)),
+                    "price_c": pa.array(price_c),
+                }
+            )
+            .group_by(["k", "qty"])
+            .aggregate([("price_c", "sum"), ([], "count_all")])
+        )
+        n = len(part_agg)
+        return pa.table(
+            {
+                "k": part_agg["k"],
+                "side": pa.array(np.ones(n, np.int64)),
+                "qty": part_agg["qty"],
+                "cnt": part_agg["count_all"].cast(pa.int64()),
+                "price_c": part_agg["price_c_sum"].cast(pa.int64()),
+                "brand": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    _Q17_EMPTY = {
+        "p_brand": pd.Series([], dtype=object),
+        "revenue_c": pd.Series([], dtype=np.int64),
+        "n_items": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        pt = g[g["side"] == 0]
+        lx = g[g["side"] == 1]
+        if len(pt) == 0 or len(lx) == 0:
+            return pd.DataFrame(_Q17_EMPTY)
+        qc = lx["qty"].to_numpy(np.int64) * lx["cnt"].to_numpy(np.int64)
+        stats = (
+            pd.DataFrame({"k": lx["k"].to_numpy(np.int64), "cnt": lx["cnt"], "qc": qc})
+            .groupby("k")
+            .agg(n=("cnt", "sum"), sq=("qc", "sum"))
+        )
+        m = lx.merge(stats, left_on="k", right_index=True)
+        m = m[5 * m["qty"].to_numpy(np.int64) * m["n"].to_numpy(np.int64) < m["sq"].to_numpy(np.int64)]
+        if len(m) == 0:
+            return pd.DataFrame(_Q17_EMPTY)
+        m = m.drop(columns=["brand"]).merge(pt[["k", "brand"]], on="k")
+        out = m.groupby("brand", as_index=False).agg(
+            revenue_c=("price_c", "sum"), n_items=("cnt", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "p_brand": out["brand"].to_numpy(object),
+                "revenue_c": out["revenue_c"].to_numpy(np.int64),
+                "n_items": out["n_items"].to_numpy(np.int64),
+            }
+        )
+
+    n_li = li.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_li // 8000)))
+    partials = _bucket_groupby(
+        part.map_batches(part_side, batch_format="pyarrow").union(
+            li.map_batches(li_side, batch_format="pyarrow")
+        ),
+        "k",
+        frame,
+        n_buckets=nb,
+    )
+    res = (
+        partials.groupby("p_brand")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()  # ≤ |brands| rows
+    )
+    return res.astype({"revenue_c": np.int64, "n_items": np.int64}).sort_values(
+        "p_brand", ignore_index=True
+    )
+
+
+_SQL_Q17 = """
+WITH s AS (SELECT l_partkey, COUNT(*) AS n,
+                  CAST(SUM(l_quantity) AS BIGINT) AS sq
+           FROM lineitem GROUP BY l_partkey)
+SELECT p_brand,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN s ON l.l_partkey = s.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n < s.sq
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18-shaped large-volume orders — the HAVING-driven semi-join:
+# orders whose lineitems total more than a quantity threshold, with
+# the order header attached.  Per-block partial sums compact the
+# lineitem side before ONE orderkey-hash bucket shuffle where the
+# HAVING filter and the header join are frame-local.
+# --------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 250
+
+
+def q_large_qty_orders(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        total_c = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "ck": t["o_custkey"].cast(pa.int64()),
+                "total_c": pa.array(total_c),
+                "sq": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def li_side(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table(
+                {
+                    "k": t["l_orderkey"].cast(pa.int64()),
+                    "sq": pa.array(
+                        t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by("k")
+            .aggregate([("sq", "sum")])
+        )
+        n = len(part)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "k": part["k"],
+                "side": pa.array(np.ones(n, np.int64)),
+                "ck": z,
+                "total_c": z,
+                "sq": part["sq_sum"].cast(pa.int64()),
+            }
+        )
+
+    _Q18_EMPTY = {
+        "o_orderkey": pd.Series([], dtype=np.int64),
+        "o_custkey": pd.Series([], dtype=np.int64),
+        "total_c": pd.Series([], dtype=np.int64),
+        "sum_qty": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        hdr = g[g["side"] == 0]
+        lx = g[g["side"] == 1]
+        if len(hdr) == 0 or len(lx) == 0:
+            return pd.DataFrame(_Q18_EMPTY)
+        sums = lx.groupby("k", as_index=False)["sq"].sum()
+        sums = sums[sums["sq"] > _Q18_MIN_QTY]
+        if len(sums) == 0:
+            return pd.DataFrame(_Q18_EMPTY)
+        m = sums.merge(hdr[["k", "ck", "total_c"]], on="k")
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["k"].to_numpy(np.int64),
+                "o_custkey": m["ck"].to_numpy(np.int64),
+                "total_c": m["total_c"].to_numpy(np.int64),
+                "sum_qty": m["sq"].to_numpy(np.int64),
+            }
+        )
+
+    n_orders = orders.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_orders // 8000)))
+    res = _bucket_groupby(
+        orders.map_batches(order_side, batch_format="pyarrow").union(
+            li.map_batches(li_side, batch_format="pyarrow")
+        ),
+        "k",
+        frame,
+        n_buckets=nb,
+    ).to_pandas()  # bounded by the HAVING filter
+    return res.sort_values("o_orderkey", ignore_index=True)
+
+
+_SQL_Q18 = f"""
+WITH t AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(l_quantity) > {_Q18_MIN_QTY})
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_c, sum_qty
+FROM orders JOIN t ON o_orderkey = l_orderkey
+ORDER BY o_orderkey
+"""
+
+QUERIES.update(
+    {
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_qty_orders": q_large_qty_orders,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "small_qty_revenue": _SQL_Q17,
+        "large_qty_orders": _SQL_Q18,
+    }
+)
