@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "geo_ring_diameter",
+    "disjunctive_promo_revenue",
+    "tokenizer_fertility",
     "small_qty_revenue",
     "large_qty_orders",
     "image_hadamard_energy",

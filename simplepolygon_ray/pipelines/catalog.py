@@ -6603,3 +6603,82 @@ FROM base
 
 GEO_QUERIES.update({"image_hadamard_energy": q_image_hadamard_energy})
 EXTRA_ORACLE_SQL["image_hadamard_energy"] = _IMG_WHT_SQL
+
+
+# --------------------------------------------------------------------------
+# geo ring diameter — per decomposed ring, the exact max squared
+# vertex-pair distance at the e5 quantization grid (int64 throughout;
+# the true geometric diameter of the vertex set).  Per-ring work is
+# block-local: rings are small (bounded vertex count per geometry),
+# so the O(V^2) pair scan vectorizes inside the block and nothing
+# shuffles.  SQL replays it as a per-ring self-join on the persisted
+# ordered vertex table.
+# --------------------------------------------------------------------------
+
+
+def _diam_batch(t: pa.Table) -> pa.Table:
+    from ..cells.grid import _rl_arange
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "n_verts": pa.array([], type=pa.int64()),
+            "diam2_e10": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    diam = np.zeros(len(t), np.int64)
+    for i in range(len(t)):
+        s, m = int(ostart[i]), int(olen[i])
+        if m < 2:
+            continue
+        x, y = xi[s : s + m], yi[s : s + m]
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        diam[i] = int((dx * dx + dy * dy).max())
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "n_verts": pa.array(olen.astype(np.int64)),
+            "diam2_e10": pa.array(diam),
+        }
+    )
+
+
+def q_geo_ring_diameter(sf_dir: str):
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "diam_verts")
+    return simple.map_batches(_diam_batch, batch_format="pyarrow")
+
+
+_DIAM_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/diam_verts/*.parquet'))
+SELECT a.geom_id, a.ring_seq,
+       CAST(COUNT(DISTINCT a.vidx) AS BIGINT) AS n_verts,
+       CAST(MAX((a.xi - b.xi) * (a.xi - b.xi)
+              + (a.yi - b.yi) * (a.yi - b.yi)) AS BIGINT) AS diam2_e10
+FROM v a
+JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+GROUP BY a.geom_id, a.ring_seq
+"""
+
+GEO_QUERIES.update({"geo_ring_diameter": q_geo_ring_diameter})
+EXTRA_ORACLE_SQL["geo_ring_diameter"] = _DIAM_SQL

@@ -17941,3 +17941,231 @@ ORACLE_SQL.update(
         "large_qty_orders": _SQL_Q18,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19-shaped disjunctive promo revenue — the OR-of-conjunctions
+# predicate that defeats single-column pushdown: revenue of lineitems
+# matching ANY of three (brand, size-range, quantity-range) triples.
+# The part side prunes to the named brands BEFORE the exchange (a
+# tiny fraction of the dimension), the lineitem side prunes to the
+# union of the quantity ranges and pre-compacts to distinct
+# (partkey, qty) rows, and one partkey-hash bucket shuffle co-locates
+# them; the triple masks apply frame-locally.
+# --------------------------------------------------------------------------
+
+_Q19_TRIPLES = (
+    ("Brand#12", 1, 15, 1, 20),
+    ("Brand#23", 1, 25, 10, 30),
+    ("Brand#34", 1, 35, 20, 40),
+)
+
+
+def q_disjunctive_promo_revenue(sf_dir: str):
+    brands = [b for b, *_ in _Q19_TRIPLES]
+    qty_lo = min(q for *_, q, _hi in _Q19_TRIPLES)
+    qty_hi = max(hi for *_, hi in _Q19_TRIPLES)
+
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["p_brand"], value_set=pa.array(brands)))
+        n = len(t)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "k": t["p_partkey"].cast(pa.int64()),
+                "side": z,
+                "qty": z,
+                "cnt": z,
+                "price_c": z,
+                "brand": t["p_brand"].cast(pa.string()),
+                "size": t["p_size"].cast(pa.int64()),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_side(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (qty >= qty_lo) & (qty <= qty_hi)
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        part_agg = (
+            pa.table(
+                {
+                    "k": t["l_partkey"].cast(pa.int64()).filter(pa.array(keep)),
+                    "qty": pa.array(qty[keep]),
+                    "price_c": pa.array(price_c),
+                }
+            )
+            .group_by(["k", "qty"])
+            .aggregate([("price_c", "sum"), ([], "count_all")])
+        )
+        n = len(part_agg)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "k": part_agg["k"],
+                "side": pa.array(np.ones(n, np.int64)),
+                "qty": part_agg["qty"],
+                "cnt": part_agg["count_all"].cast(pa.int64()),
+                "price_c": part_agg["price_c_sum"].cast(pa.int64()),
+                "brand": pa.array([""] * n, pa.string()),
+                "size": z,
+            }
+        )
+
+    _Q19_EMPTY = {
+        "p_brand": pd.Series([], dtype=object),
+        "revenue_c": pd.Series([], dtype=np.int64),
+        "n_items": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        pt = g[g["side"] == 0]
+        lx = g[g["side"] == 1]
+        if len(pt) == 0 or len(lx) == 0:
+            return pd.DataFrame(_Q19_EMPTY)
+        m = lx.drop(columns=["brand", "size"]).merge(
+            pt[["k", "brand", "size"]], on="k"
+        )
+        if len(m) == 0:
+            return pd.DataFrame(_Q19_EMPTY)
+        mask = np.zeros(len(m), bool)
+        for b, slo, shi, qlo, qhi in _Q19_TRIPLES:
+            mask |= (
+                (m["brand"] == b).to_numpy()
+                & m["size"].between(slo, shi).to_numpy()
+                & m["qty"].between(qlo, qhi).to_numpy()
+            )
+        m = m[mask]
+        if len(m) == 0:
+            return pd.DataFrame(_Q19_EMPTY)
+        out = m.groupby("brand", as_index=False).agg(
+            revenue_c=("price_c", "sum"), n_items=("cnt", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "p_brand": out["brand"].to_numpy(object),
+                "revenue_c": out["revenue_c"].to_numpy(np.int64),
+                "n_items": out["n_items"].to_numpy(np.int64),
+            }
+        )
+
+    n_li = li.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_li // 8000)))
+    partials = _bucket_groupby(
+        part.map_batches(part_side, batch_format="pyarrow").union(
+            li.map_batches(li_side, batch_format="pyarrow")
+        ),
+        "k",
+        frame,
+        n_buckets=nb,
+    )
+    res = (
+        partials.groupby("p_brand")
+        .aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .to_pandas()  # ≤ |triples| rows
+    )
+    return res.astype({"revenue_c": np.int64, "n_items": np.int64}).sort_values(
+        "p_brand", ignore_index=True
+    )
+
+
+def _q19_pred_sql() -> str:
+    terms = []
+    for b, slo, shi, qlo, qhi in _Q19_TRIPLES:
+        terms.append(
+            f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+            f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        )
+    return " OR ".join(terms)
+
+
+_SQL_Q19 = f"""
+SELECT p_brand,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {_q19_pred_sql()}
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility audit — subword pieces per whitespace word, per
+# language: the pre-training budget estimate that decides how many
+# tokens a corpus really costs.  Pieces use the BPE-ish pre-tokenizer
+# split (letter runs | digit runs | single punctuation); both engines
+# run the SAME RE2 pattern, so counts are bit-identical.  Per-block
+# partial sums keep the exchange at |langs| x |blocks| rows.
+# --------------------------------------------------------------------------
+
+_FERTILITY_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pieces = pc.count_substring_regex(t["text"], _FERTILITY_PIECE_RE)
+        words = pc.count_substring_regex(t["text"], r"\S+")
+        part = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "sum_pieces": pieces.cast(pa.int64()),
+                    "sum_words": words.cast(pa.int64()),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("sum_pieces", "sum"), ("sum_words", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": part["lang"],
+                "sum_pieces": part["sum_pieces_sum"],
+                "sum_words": part["sum_words_sum"],
+                "n_docs": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("sum_pieces", alias_name="sum_pieces"),
+            Sum("sum_words", alias_name="sum_words"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+_SQL_FERTILITY = rf"""
+SELECT lang,
+       CAST(SUM(length(regexp_extract_all(text, '{_FERTILITY_PIECE_RE}'))) AS BIGINT) AS sum_pieces,
+       CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_words,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES.update(
+    {
+        "disjunctive_promo_revenue": q_disjunctive_promo_revenue,
+        "tokenizer_fertility": q_tokenizer_fertility,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "disjunctive_promo_revenue": _SQL_Q19,
+        "tokenizer_fertility": _SQL_FERTILITY,
+    }
+)
