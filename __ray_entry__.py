@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "ams_f2_events",
+    "image_erosion_audit",
+    "geo_x_monotone_chains",
     "geo_ring_diameter",
     "disjunctive_promo_revenue",
     "tokenizer_fertility",

@@ -6682,3 +6682,175 @@ GROUP BY a.geom_id, a.ring_seq
 
 GEO_QUERIES.update({"geo_ring_diameter": q_geo_ring_diameter})
 EXTRA_ORACLE_SQL["geo_ring_diameter"] = _DIAM_SQL
+
+
+# --------------------------------------------------------------------------
+# image erosion/dilation audit — binary morphology with the von
+# Neumann (4-neighbor cross) structuring element over the image
+# binarized AT ITS OWN MEAN: a pixel is "bright" iff px·n_pix >
+# Σpx (integer cross-multiplied, so the mean never exists as a
+# float).  Per image: interior pixel count, erosion survivors (all 5
+# cross pixels bright) and dilation hits (any of the 5 bright).
+# All block-local; SQL replays the cross from the persisted payload.
+# --------------------------------------------------------------------------
+
+
+def q_image_erosion_audit(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def erode(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        n_int, n_ero, n_dil = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            bright = px * (w * h) > int(px.sum())
+            c = bright[1:-1, 1:-1]
+            up = bright[:-2, 1:-1]
+            dn = bright[2:, 1:-1]
+            lf = bright[1:-1, :-2]
+            rt = bright[1:-1, 2:]
+            n_int.append(int(c.size))
+            n_ero.append(int((c & up & dn & lf & rt).sum()))
+            n_dil.append(int((c | up | dn | lf | rt).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_interior": pa.array(n_int, pa.int64()),
+                "n_eroded": pa.array(n_ero, pa.int64()),
+                "n_dilated": pa.array(n_dil, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(erode, batch_format="pyarrow")
+
+
+def _bright_sql(q: str) -> str:
+    return f"(CASE WHEN {_gq_pix(q)} * n_pix > s THEN 1 ELSE 0 END)"
+
+
+_IMG_ERO_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix,
+         CAST(list_sum([{_gq_pix("p")}
+              for p in generate_series(0, CAST(w AS BIGINT) * h - 1)]) AS BIGINT) AS s
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  CAST((w - 2) * (h - 2) AS BIGINT) AS n_interior,
+  CAST(list_sum([CASE WHEN p % w BETWEEN 1 AND w - 2 AND p // w BETWEEN 1 AND h - 2
+       AND {_bright_sql("p")} + {_bright_sql("p - 1")} + {_bright_sql("p + 1")}
+         + {_bright_sql("p - w")} + {_bright_sql("p + w")} = 5
+       THEN 1 ELSE 0 END for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS n_eroded,
+  CAST(list_sum([CASE WHEN p % w BETWEEN 1 AND w - 2 AND p // w BETWEEN 1 AND h - 2
+       AND {_bright_sql("p")} + {_bright_sql("p - 1")} + {_bright_sql("p + 1")}
+         + {_bright_sql("p - w")} + {_bright_sql("p + w")} >= 1
+       THEN 1 ELSE 0 END for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS n_dilated
+FROM base
+"""
+
+GEO_QUERIES.update({"image_erosion_audit": q_image_erosion_audit})
+EXTRA_ORACLE_SQL["image_erosion_audit"] = _IMG_ERO_SQL
+
+
+# --------------------------------------------------------------------------
+# geo x-monotone chain census — per decomposed ring, the number of
+# maximal x-monotone chains: walk the cyclic edge sequence, keep the
+# nonzero signs of dx (at the e5 grid), and count cyclic adjacent
+# sign flips.  A convex ring has exactly 2; staircase geometries
+# score high.  Block-local per ring; SQL replays it from the
+# persisted ordered vertex table with a window LAG whose first-row
+# hole is patched by the cyclic last sign.
+# --------------------------------------------------------------------------
+
+
+def _monotone_batch(t: pa.Table) -> pa.Table:
+    from ..cells.grid import _rl_arange
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "n_chains": pa.array([], type=pa.int64()),
+            "n_flat_edges": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    chains = np.zeros(len(t), np.int64)
+    flats = np.zeros(len(t), np.int64)
+    for i in range(len(t)):
+        s, m = int(ostart[i]), int(olen[i])
+        if m < 2:
+            continue
+        x = xi[s : s + m]
+        dx = np.roll(x, -1) - x  # edge i: v_i -> v_{i+1 mod m}
+        sg = np.sign(dx)
+        flats[i] = int((sg == 0).sum())
+        nz = sg[sg != 0]
+        if len(nz) == 0:
+            continue
+        chains[i] = int((nz != np.roll(nz, 1)).sum())
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "n_chains": pa.array(chains),
+            "n_flat_edges": pa.array(flats),
+        }
+    )
+
+
+def q_geo_x_monotone_chains(sf_dir: str):
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "mono_verts")
+    return simple.map_batches(_monotone_batch, batch_format="pyarrow")
+
+
+_MONO_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi
+           FROM read_parquet('{_ORACLE_DIR}/mono_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+e AS (SELECT c.geom_id, c.ring_seq, c.vidx,
+             sign(x.xi - c.xi) AS s
+      FROM v c
+      JOIN n ON n.geom_id = c.geom_id AND n.ring_seq = c.ring_seq
+      JOIN v x ON x.geom_id = c.geom_id AND x.ring_seq = c.ring_seq
+              AND x.vidx = (c.vidx + 1) % n.m
+      WHERE n.m >= 2),
+nz AS (SELECT geom_id, ring_seq, vidx, s,
+              ROW_NUMBER() OVER w AS rn, COUNT(*) OVER (PARTITION BY geom_id, ring_seq) AS k
+       FROM e WHERE s <> 0
+       WINDOW w AS (PARTITION BY geom_id, ring_seq ORDER BY vidx)),
+lastv AS (SELECT geom_id, ring_seq, s AS slast FROM nz WHERE rn = k),
+ch AS (SELECT nz.geom_id, nz.ring_seq,
+              CASE WHEN nz.s <> COALESCE(LAG(nz.s) OVER
+                     (PARTITION BY nz.geom_id, nz.ring_seq ORDER BY nz.rn), l.slast)
+                   THEN 1 ELSE 0 END AS flip
+       FROM nz JOIN lastv l ON l.geom_id = nz.geom_id AND l.ring_seq = nz.ring_seq),
+agg AS (SELECT geom_id, ring_seq, CAST(SUM(flip) AS BIGINT) AS n_chains
+        FROM ch GROUP BY geom_id, ring_seq),
+fl AS (SELECT geom_id, ring_seq,
+              CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat_edges
+       FROM e GROUP BY geom_id, ring_seq)
+SELECT fl.geom_id, fl.ring_seq,
+       COALESCE(agg.n_chains, 0) AS n_chains, fl.n_flat_edges
+FROM fl LEFT JOIN agg ON agg.geom_id = fl.geom_id AND agg.ring_seq = fl.ring_seq
+"""
+
+GEO_QUERIES.update({"geo_x_monotone_chains": q_geo_x_monotone_chains})
+EXTRA_ORACLE_SQL["geo_x_monotone_chains"] = _MONO_SQL

@@ -18169,3 +18169,88 @@ ORACLE_SQL.update(
         "tokenizer_fertility": _SQL_FERTILITY,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch — the second-frequency-moment estimator (Alon-Matias-
+# Szegedy): R=16 independent ±1 sign estimators over user_id, each
+# estimate the square of a signed event count.  The sketch is a pure
+# mergeable partial (per-block signed sums, a 16-row exchange); the
+# exact F2 (Σ f_u²) rides along from a user-bucket fold so the result
+# is self-auditing.  Signs come from splitmix64 bits, replayed
+# limb-exactly in SQL via the shared _splitmix_ctes chain.
+# --------------------------------------------------------------------------
+
+_AMS_R = 16
+
+
+def q_ams_f2_events(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id"])
+
+    def signs_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(u)
+        rs = np.arange(_AMS_R, dtype=np.int64)
+        bits = ((h[None, :] >> rs.astype(np.uint64)[:, None]) & np.uint64(1)).astype(
+            np.int64
+        )
+        s = (1 - 2 * bits).sum(axis=1)
+        return pa.table({"r": pa.array(rs), "s_r": pa.array(s)})
+
+    sums = (
+        ev.map_batches(signs_partial, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(Sum("s_r", alias_name="s_r"))
+        .to_pandas()  # 16 rows
+        .sort_values("r", ignore_index=True)
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table({"user_id": t["user_id"].cast(pa.int64())})
+            .group_by("user_id")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"user_id": part["user_id"], "f": part["count_all"].cast(pa.int64())}
+        )
+
+    def f2_frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"f2": pd.Series([], dtype=np.int64)})
+        f = g.groupby("user_id")["f"].sum().to_numpy(np.int64)
+        return pd.DataFrame({"f2": np.array([int((f * f).sum())], np.int64)})
+
+    parts = _bucket_groupby(
+        ev.map_batches(count_partial, batch_format="pyarrow"), "user_id", f2_frame
+    ).to_pandas()  # one row per bucket
+    exact_f2 = int(parts["f2"].sum())
+
+    s = sums["s_r"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "r": np.arange(_AMS_R, dtype=np.int64),
+            "s_r": s,
+            "est_f2": s * s,
+            "exact_f2": np.full(_AMS_R, exact_f2, np.int64),
+        }
+    )
+
+
+_AMS_RD = ", ".join(f"({r}, {1 << r})" for r in range(_AMS_R))
+
+_SQL_AMS = f"""
+WITH rd(r, d) AS (VALUES {_AMS_RD}),
+ev AS (SELECT user_id FROM events),
+{_splitmix_ctes("ah", "ev", "user_id", f"CAST(user_id AS HUGEINT) + {_GOLDEN}")},
+s AS (SELECT rd.r,
+             CAST(SUM(1 - 2 * CAST((x // rd.d) % 2 AS BIGINT)) AS BIGINT) AS s_r
+      FROM ah3 CROSS JOIN rd GROUP BY rd.r),
+ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2
+       FROM (SELECT COUNT(*) AS f FROM events GROUP BY user_id))
+SELECT CAST(r AS BIGINT) AS r, s_r, s_r * s_r AS est_f2, exact_f2
+FROM s, ex ORDER BY r
+"""
+
+QUERIES.update({"ams_f2_events": q_ams_f2_events})
+ORACLE_SQL.update({"ams_f2_events": _SQL_AMS})
