@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "returned_item_top_customers",
+    "theil_sen_daily_orders",
+    "image_projection_peaks",
     "ams_f2_events",
     "image_erosion_audit",
     "geo_x_monotone_chains",

@@ -6854,3 +6854,66 @@ FROM fl LEFT JOIN agg ON agg.geom_id = fl.geom_id AND agg.ring_seq = fl.ring_seq
 
 GEO_QUERIES.update({"geo_x_monotone_chains": q_geo_x_monotone_chains})
 EXTRA_ORACLE_SQL["geo_x_monotone_chains"] = _MONO_SQL
+
+
+# --------------------------------------------------------------------------
+# image projection-profile peaks — the document-layout-analysis
+# primitive: per image, the horizontal and vertical projection
+# profiles (row sums / column sums of the channel-summed pixels) and
+# their first argmax (index + value).  Ties break to the LOWEST index
+# on both engines (numpy argmax first-occurrence == SQL list_position
+# of the max).  All int64; block-local.
+# --------------------------------------------------------------------------
+
+
+def q_image_projection_peaks(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def peaks(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        pr, prv, pcx, pcv = [], [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            rows = px.sum(axis=1)
+            cols = px.sum(axis=0)
+            pr.append(int(rows.argmax()))
+            prv.append(int(rows.max()))
+            pcx.append(int(cols.argmax()))
+            pcv.append(int(cols.max()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "peak_row": pa.array(pr, pa.int64()),
+                "peak_row_val": pa.array(prv, pa.int64()),
+                "peak_col": pa.array(pcx, pa.int64()),
+                "peak_col_val": pa.array(pcv, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(peaks, batch_format="pyarrow")
+
+
+_IMG_PROJ_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+proj AS (SELECT image_id,
+  [CAST(list_sum([{_gq_pix("y * w + x")} for x in generate_series(0, w - 1)]) AS BIGINT)
+   for y in generate_series(0, h - 1)] AS rl,
+  [CAST(list_sum([{_gq_pix("y * w + x")} for y in generate_series(0, h - 1)]) AS BIGINT)
+   for x in generate_series(0, w - 1)] AS cl
+  FROM base)
+SELECT image_id,
+  CAST(list_position(rl, list_aggregate(rl, 'max')) - 1 AS BIGINT) AS peak_row,
+  CAST(list_aggregate(rl, 'max') AS BIGINT) AS peak_row_val,
+  CAST(list_position(cl, list_aggregate(cl, 'max')) - 1 AS BIGINT) AS peak_col,
+  CAST(list_aggregate(cl, 'max') AS BIGINT) AS peak_col_val
+FROM proj
+"""
+
+GEO_QUERIES.update({"image_projection_peaks": q_image_projection_peaks})
+EXTRA_ORACLE_SQL["image_projection_peaks"] = _IMG_PROJ_SQL

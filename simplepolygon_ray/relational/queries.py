@@ -18254,3 +18254,228 @@ FROM s, ex ORDER BY r
 
 QUERIES.update({"ams_f2_events": q_ams_f2_events})
 ORACLE_SQL.update({"ams_f2_events": _SQL_AMS})
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-shaped returned-item top customers — who returned the most
+# revenue: lineitems with returnflag 'R' join their order header for
+# the customer key, aggregate per customer, global top-20.  Stage 1 is
+# one orderkey-hash bucket join (lineitem partials pre-aggregated per
+# block); stage 2 re-buckets by customer and emits a LOCAL top-20 per
+# bucket, so the driver merges nb x 20 rows, never the full customer
+# aggregate.  Revenue ties break by customer key on both engines.
+# --------------------------------------------------------------------------
+
+_Q10_TOPK = 20
+
+
+def q_returned_item_top_customers(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "k": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "ck": t["o_custkey"].cast(pa.int64()),
+                "rev_c": z,
+                "cnt": z,
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"]
+    )
+
+    def li_side(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        t = t.filter(keep)
+        rev_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        part = (
+            pa.table(
+                {
+                    "k": t["l_orderkey"].cast(pa.int64()),
+                    "rev_c": pa.array(rev_c),
+                }
+            )
+            .group_by("k")
+            .aggregate([("rev_c", "sum"), ([], "count_all")])
+        )
+        n = len(part)
+        return pa.table(
+            {
+                "k": part["k"],
+                "side": pa.array(np.ones(n, np.int64)),
+                "ck": pa.array(np.zeros(n, np.int64)),
+                "rev_c": part["rev_c_sum"].cast(pa.int64()),
+                "cnt": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    _S1_EMPTY = {
+        "ck": pd.Series([], dtype=np.int64),
+        "rev_c": pd.Series([], dtype=np.int64),
+        "cnt": pd.Series([], dtype=np.int64),
+    }
+
+    def join_frame(g: pd.DataFrame) -> pd.DataFrame:
+        hdr = g[g["side"] == 0]
+        lx = g[g["side"] == 1]
+        if len(hdr) == 0 or len(lx) == 0:
+            return pd.DataFrame(_S1_EMPTY)
+        m = lx[["k", "rev_c", "cnt"]].merge(hdr[["k", "ck"]], on="k")
+        if len(m) == 0:
+            return pd.DataFrame(_S1_EMPTY)
+        out = m.groupby("ck", as_index=False).agg(
+            rev_c=("rev_c", "sum"), cnt=("cnt", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "ck": out["ck"].to_numpy(np.int64),
+                "rev_c": out["rev_c"].to_numpy(np.int64),
+                "cnt": out["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    n_orders = orders.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_orders // 8000)))
+    stage1 = _bucket_groupby(
+        orders.map_batches(order_side, batch_format="pyarrow").union(
+            li.map_batches(li_side, batch_format="pyarrow")
+        ),
+        "k",
+        join_frame,
+        n_buckets=nb,
+    )
+
+    _S2_EMPTY = {
+        "c_custkey": pd.Series([], dtype=np.int64),
+        "revenue_c": pd.Series([], dtype=np.int64),
+        "n_items": pd.Series([], dtype=np.int64),
+    }
+
+    def topk_frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_S2_EMPTY)
+        out = g.groupby("ck", as_index=False).agg(
+            revenue_c=("rev_c", "sum"), n_items=("cnt", "sum")
+        )
+        out = out.sort_values(
+            ["revenue_c", "ck"], ascending=[False, True], kind="mergesort"
+        ).head(_Q10_TOPK)
+        return pd.DataFrame(
+            {
+                "c_custkey": out["ck"].to_numpy(np.int64),
+                "revenue_c": out["revenue_c"].to_numpy(np.int64),
+                "n_items": out["n_items"].to_numpy(np.int64),
+            }
+        )
+
+    local = _bucket_groupby(stage1, "ck", topk_frame, n_buckets=64).to_pandas()
+    return (
+        local.sort_values(
+            ["revenue_c", "c_custkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(_Q10_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_Q10 = f"""
+WITH r AS (SELECT o_custkey AS c_custkey,
+                  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                    AS revenue_c,
+                  CAST(COUNT(*) AS BIGINT) AS n_items
+           FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey
+           WHERE l_returnflag = 'R' GROUP BY o_custkey)
+SELECT c_custkey, revenue_c, n_items
+FROM r ORDER BY revenue_c DESC, c_custkey LIMIT {_Q10_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen trend of daily order counts — the robust (median-of-pair-
+# slopes) complement to the Mann–Kendall statistic: slopes between
+# every pair of distinct days, scaled by 1e6 and floored to int64
+# (exact: the double quotient is correctly rounded and pair slopes
+# sit >= 1/gap from integers when not exact), lower-median by rank.
+# The per-day count aggregate is calendar-bounded, so the pair
+# enumeration is a small driver-side O(D^2) over <= a few thousand
+# days; everything upstream is per-block partial sums.
+# --------------------------------------------------------------------------
+
+_TS_SCALE = 1_000_000
+
+
+def q_theil_sen_daily_orders(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        part = pa.table({"day": day}).group_by("day").aggregate([([], "count_all")])
+        return pa.table(
+            {"day": part["day"], "n": part["count_all"].cast(pa.int64())}
+        )
+
+    daily = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # calendar-bounded
+        .sort_values("day", ignore_index=True)
+    )
+    d = daily["day"].to_numpy(np.int64)
+    c = daily["n"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+    num = (c[j] - c[i]) * _TS_SCALE
+    den = d[j] - d[i]
+    slopes = np.floor_divide(num, den)
+    slopes.sort()
+    n_pairs = len(slopes)
+    med = int(slopes[(n_pairs - 1) // 2]) if n_pairs else 0
+    return pd.DataFrame(
+        {
+            "n_days": np.array([len(d)], np.int64),
+            "n_pairs": np.array([n_pairs], np.int64),
+            "median_slope_e6": np.array([med], np.int64),
+            "min_slope_e6": np.array([int(slopes[0]) if n_pairs else 0], np.int64),
+            "max_slope_e6": np.array([int(slopes[-1]) if n_pairs else 0], np.int64),
+        }
+    )
+
+
+_SQL_THEIL_SEN = f"""
+WITH daily AS (SELECT date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY day),
+pairs AS (SELECT CAST(floor((b.n - a.n) * {_TS_SCALE}.0 / (b.day - a.day)) AS BIGINT)
+                   AS slope
+          FROM daily a JOIN daily b ON b.day > a.day),
+stats AS (SELECT COUNT(*) AS n_pairs, MIN(slope) AS mn, MAX(slope) AS mx FROM pairs),
+med AS (SELECT slope AS m FROM pairs ORDER BY slope
+        OFFSET (SELECT (n_pairs - 1) // 2 FROM stats) LIMIT 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       CAST(med.m AS BIGINT) AS median_slope_e6,
+       CAST(s.mn AS BIGINT) AS min_slope_e6,
+       CAST(s.mx AS BIGINT) AS max_slope_e6
+FROM stats s, med
+"""
+
+QUERIES.update(
+    {
+        "returned_item_top_customers": q_returned_item_top_customers,
+        "theil_sen_daily_orders": q_theil_sen_daily_orders,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "returned_item_top_customers": _SQL_Q10,
+        "theil_sen_daily_orders": _SQL_THEIL_SEN,
+    }
+)
