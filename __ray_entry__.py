@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "geo_point_edge_dist",
+    "late_line_order_priority",
     "returned_item_top_customers",
     "theil_sen_daily_orders",
     "image_projection_peaks",

@@ -6917,3 +6917,107 @@ FROM proj
 
 GEO_QUERIES.update({"image_projection_peaks": q_image_projection_peaks})
 EXTRA_ORACLE_SQL["image_projection_peaks"] = _IMG_PROJ_SQL
+
+
+# --------------------------------------------------------------------------
+# geo point→edge distance — the exact "distance to coastline" query:
+# for a deterministic probe subset of the geotagged points, the exact
+# minimum squared distance (e10 units, e5 grid) to ANY decomposed
+# ring edge.  Per edge the true value is min(endpoint distances) or,
+# when the perpendicular foot lands inside the segment, the floor
+# quotient cross²//den whose intermediate square exceeds int64 — the
+# kernel runs a float64 pre-pass to shortlist candidate edges (~1-2
+# per point; float error 1e-16·value vs a 1e-9 shortlist margin, so
+# the true argmin can't be excluded), then evaluates the shortlist in
+# exact Python ints.  The edge table is a broadcast bounded dim; SQL
+# replays the full cross join in HUGEINT.
+# --------------------------------------------------------------------------
+
+_PED_MAX_POINTS = 2000
+
+
+def q_geo_point_edge_dist(sf_dir: str):
+    import ray
+
+    simple = _simple_rings_cached(sf_dir)
+    edges_ds = simple.map_batches(_edges_batch, batch_format="pyarrow")
+    _persist(edges_ds, "ped_edges")
+    ed = edges_ds.to_pandas()  # bounded: the decomposed fixture corpus
+    ax = np.floor(ed["xi"].to_numpy() * 1e5).astype(np.int64)
+    ay = np.floor(ed["yi"].to_numpy() * 1e5).astype(np.int64)
+    bx = np.floor(ed["xj"].to_numpy() * 1e5).astype(np.int64)
+    by = np.floor(ed["yj"].to_numpy() * 1e5).astype(np.int64)
+    eref = ray.put((ax, ay, bx, by))
+
+    _, n_images = scale_counts(sf_dir)
+    n = min(n_images, _PED_MAX_POINTS)
+    pts = gen_points(n)
+    _persist(pts, "ped_points")
+
+    def dist(t: pa.Table, _eref=eref) -> pa.Table:
+        eax, eay, ebx, eby = ray.get(_eref)
+        abx = ebx - eax
+        aby = eby - eay
+        den = abx * abx + aby * aby
+        px = np.floor(t["lon"].to_numpy(zero_copy_only=False) * 1e5).astype(np.int64)
+        py = np.floor(t["lat"].to_numpy(zero_copy_only=False) * 1e5).astype(np.int64)
+        out = np.empty(len(px), np.int64)
+        for i in range(len(px)):
+            apx = px[i] - eax
+            apy = py[i] - eay
+            bpx = px[i] - ebx
+            bpy = py[i] - eby
+            d_end = np.minimum(apx * apx + apy * apy, bpx * bpx + bpy * bpy)
+            dot = apx * abx + apy * aby
+            inside = (den > 0) & (dot >= 0) & (dot <= den)
+            cross = apx * aby - apy * abx
+            d_f = d_end.astype(np.float64)
+            d_f[inside] = (
+                cross[inside].astype(np.float64) ** 2 / den[inside].astype(np.float64)
+            )
+            mf = d_f.min()
+            cand = np.flatnonzero(d_f <= mf * (1.0 + 1e-9) + 2.0)
+            best = None
+            for j in cand:
+                if inside[j]:
+                    v = (int(cross[j]) ** 2) // int(den[j])
+                else:
+                    v = int(d_end[j])
+                if best is None or v < best:
+                    best = v
+            out[i] = best
+        return pa.table(
+            {"image_id": t["image_id"], "d2_e10": pa.array(out)}
+        )
+
+    return pts.map_batches(dist, batch_format="pyarrow")
+
+
+_PED_SQL = f"""
+WITH e AS (SELECT CAST(floor(xi * 100000.0) AS BIGINT) AS ax,
+                  CAST(floor(yi * 100000.0) AS BIGINT) AS ay,
+                  CAST(floor(xj * 100000.0) AS BIGINT) AS bx,
+                  CAST(floor(yj * 100000.0) AS BIGINT) AS by
+           FROM read_parquet('{_ORACLE_DIR}/ped_edges/*.parquet')),
+p AS (SELECT image_id,
+             CAST(floor(lon * 100000.0) AS BIGINT) AS px,
+             CAST(floor(lat * 100000.0) AS BIGINT) AS py
+      FROM read_parquet('{_ORACLE_DIR}/ped_points/*.parquet')),
+d AS (SELECT p.image_id,
+        CASE WHEN (bx - ax) * (bx - ax) + (by - ay) * (by - ay) > 0
+              AND (px - ax) * (bx - ax) + (py - ay) * (by - ay) >= 0
+              AND (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+                  <= (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+             THEN CAST((CAST((px - ax) * (by - ay) - (py - ay) * (bx - ax) AS HUGEINT)
+                        * ((px - ax) * (by - ay) - (py - ay) * (bx - ax)))
+                       // ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) AS BIGINT)
+             ELSE LEAST((px - ax) * (px - ax) + (py - ay) * (py - ay),
+                        (px - bx) * (px - bx) + (py - by) * (py - by))
+        END AS d2
+      FROM p CROSS JOIN e)
+SELECT image_id, CAST(MIN(d2) AS BIGINT) AS d2_e10
+FROM d GROUP BY image_id
+"""
+
+GEO_QUERIES.update({"geo_point_edge_dist": q_geo_point_edge_dist})
+EXTRA_ORACLE_SQL["geo_point_edge_dist"] = _PED_SQL

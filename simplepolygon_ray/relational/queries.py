@@ -18479,3 +18479,110 @@ ORACLE_SQL.update(
         "theil_sen_daily_orders": _SQL_THEIL_SEN,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4-shaped late-line order-priority audit — orders with AT
+# LEAST ONE lineitem shipped more than 90 days after the order date,
+# counted per priority.  The EXISTS collapses to a per-order MAX
+# shipdate (per-block partials), so one orderkey bucket join carries
+# a single row per (order, block) and the predicate + priority count
+# are frame-local; the exchange ends at |priorities| × buckets rows.
+# --------------------------------------------------------------------------
+
+_Q4_LATE_DAYS = 90
+
+
+def q_late_line_order_priority(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        day = pc.divide(
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()), 86_400_000_000
+        )
+        return pa.table(
+            {
+                "k": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "day": day,
+                "prio": t["o_orderpriority"].cast(pa.string()),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_side(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()), 86_400_000_000
+        )
+        part = (
+            pa.table({"k": t["l_orderkey"].cast(pa.int64()), "day": day})
+            .group_by("k")
+            .aggregate([("day", "max")])
+        )
+        n = len(part)
+        return pa.table(
+            {
+                "k": part["k"],
+                "side": pa.array(np.ones(n, np.int64)),
+                "day": part["day_max"].cast(pa.int64()),
+                "prio": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    _Q4_EMPTY = {
+        "o_orderpriority": pd.Series([], dtype=object),
+        "n_late_orders": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        hdr = g[g["side"] == 0]
+        lx = g[g["side"] == 1]
+        if len(hdr) == 0 or len(lx) == 0:
+            return pd.DataFrame(_Q4_EMPTY)
+        mx = lx.groupby("k", as_index=False)["day"].max()
+        m = hdr[["k", "day", "prio"]].merge(mx, on="k", suffixes=("_o", "_s"))
+        m = m[m["day_s"] > m["day_o"] + _Q4_LATE_DAYS]
+        if len(m) == 0:
+            return pd.DataFrame(_Q4_EMPTY)
+        out = m.groupby("prio", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["prio"].to_numpy(object),
+                "n_late_orders": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    n_orders = orders.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_orders // 8000)))
+    res = (
+        _bucket_groupby(
+            orders.map_batches(order_side, batch_format="pyarrow").union(
+                li.map_batches(li_side, batch_format="pyarrow")
+            ),
+            "k",
+            frame,
+            n_buckets=nb,
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late_orders", alias_name="n_late_orders"))
+        .to_pandas()  # ≤ |priorities| rows
+    )
+    return res.astype({"n_late_orders": np.int64}).sort_values(
+        "o_orderpriority", ignore_index=True
+    )
+
+
+_SQL_Q4 = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND date_diff('day', o.o_orderdate, l.l_shipdate) > {_Q4_LATE_DAYS})
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES.update({"late_line_order_priority": q_late_line_order_priority})
+ORACLE_SQL.update({"late_line_order_priority": _SQL_Q4})
