@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "image_median_denoise",
+    "l_diversity_audit",
+    "prefix_dup_groups",
     "geo_point_edge_dist",
     "late_line_order_priority",
     "returned_item_top_customers",

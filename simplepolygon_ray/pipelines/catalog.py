@@ -7021,3 +7021,73 @@ FROM d GROUP BY image_id
 
 GEO_QUERIES.update({"geo_point_edge_dist": q_geo_point_edge_dist})
 EXTRA_ORACLE_SQL["geo_point_edge_dist"] = _PED_SQL
+
+
+# --------------------------------------------------------------------------
+# image 3x3 median-filter denoise audit — per image: how many interior
+# pixels a median filter would change, and the total absolute change.
+# The 3x3 median of nine int64 channel-sums is the exact 5th order
+# statistic (odd window → no interpolation; DuckDB's double-typed
+# median of nine ints is the integral middle element, cast back
+# exactly).  Block-local; SQL replays the nine-term window.
+# --------------------------------------------------------------------------
+
+
+def q_image_median_denoise(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def med(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        n_ch, s_abs = [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            stack = np.stack(
+                [
+                    px[dy : h - 2 + dy, dx : w - 2 + dx]
+                    for dy in range(3)
+                    for dx in range(3)
+                ]
+            )
+            m = np.sort(stack, axis=0)[4]
+            c = px[1:-1, 1:-1]
+            diff = np.abs(m - c)
+            n_ch.append(int((diff > 0).sum()))
+            s_abs.append(int(diff.sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_changed": pa.array(n_ch, pa.int64()),
+                "sum_abs_change": pa.array(s_abs, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(med, batch_format="pyarrow")
+
+
+_MED_WINDOW = ", ".join(
+    _gq_pix(f"p + {dy} * w + {dx}") for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+)
+
+_IMG_MED_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+d AS (SELECT image_id,
+  [CASE WHEN p % w BETWEEN 1 AND w - 2 AND p // w BETWEEN 1 AND h - 2
+        THEN abs(CAST(list_aggregate([{_MED_WINDOW}], 'median') AS BIGINT)
+                 - {_gq_pix("p")})
+        ELSE 0 END for p in generate_series(0, n_pix - 1)] AS diffs
+  FROM base)
+SELECT image_id,
+  CAST(list_sum(list_transform(diffs, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))
+       AS BIGINT) AS n_changed,
+  CAST(list_sum(diffs) AS BIGINT) AS sum_abs_change
+FROM d
+"""
+
+GEO_QUERIES.update({"image_median_denoise": q_image_median_denoise})
+EXTRA_ORACLE_SQL["image_median_denoise"] = _IMG_MED_SQL

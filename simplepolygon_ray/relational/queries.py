@@ -18586,3 +18586,155 @@ ORDER BY o_orderpriority
 
 QUERIES.update({"late_line_order_priority": q_late_line_order_priority})
 ORACLE_SQL.update({"late_line_order_priority": _SQL_Q4})
+
+
+# --------------------------------------------------------------------------
+# l-diversity privacy audit — the k-anonymity companion: for every
+# quasi-identifier group (nation, market segment), how many DISTINCT
+# values of the sensitive attribute (account balance in $1000 bands)
+# appear; groups with fewer than l=3 distinct sensitive values are
+# re-identification risks even when k-anonymous.  Block-local distinct
+# triples shrink the exchange to the (nation × segment × band) domain.
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3
+_LDIV_BAND_C = 100_000  # $1000 in cents
+
+
+def q_l_diversity_audit(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bal_c = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        band = np.floor_divide(bal_c, _LDIV_BAND_C)
+        part = (
+            pa.table(
+                {
+                    "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                    "c_mktsegment": t["c_mktsegment"].cast(pa.string()),
+                    "band": pa.array(band),
+                }
+            )
+            .group_by(["c_nationkey", "c_mktsegment", "band"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "c_nationkey": part["c_nationkey"],
+                "c_mktsegment": part["c_mktsegment"],
+                "band": part["band"],
+                "n": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    triples = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment", "band"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: nations × segments × bands
+    )
+    out = triples.groupby(["c_nationkey", "c_mktsegment"], as_index=False).agg(
+        n_rows=("n", "sum"), n_distinct_sensitive=("band", "count")
+    )
+    out["l_ok"] = (out["n_distinct_sensitive"] >= _LDIV_L).astype(np.int64)
+    return out.astype(
+        {"n_rows": np.int64, "n_distinct_sensitive": np.int64}
+    ).sort_values(["c_nationkey", "c_mktsegment"], ignore_index=True)
+
+
+_SQL_LDIV = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                   / {_LDIV_BAND_C}.0) AS BIGINT)) AS BIGINT) AS n_distinct_sensitive,
+       CAST(COUNT(DISTINCT CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                   / {_LDIV_BAND_C}.0) AS BIGINT)) >= {_LDIV_L} AS BIGINT) AS l_ok
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# prefix duplicate groups — the news-wire dedup heuristic: documents
+# sharing their first 32 characters form a candidate duplicate group
+# (catches re-published articles whose tails diverge, which exact
+# full-text dedup misses).  The exchange buckets on an int64 made of
+# the first 8 prefix bytes (cheap, collision-safe for BUCKETING only);
+# the full 32-char prefix groups inside the frame.  Output is the
+# bounded group-size histogram.
+# --------------------------------------------------------------------------
+
+_PREFIX_LEN = 32
+
+
+def q_prefix_dup_groups(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t["text"], 0, _PREFIX_LEN)
+        part = (
+            pa.table({"prefix": pref}).group_by("prefix").aggregate([([], "count_all")])
+        )
+        s = part["prefix"].to_numpy(zero_copy_only=False)
+        key = np.zeros(len(s), np.int64)
+        for i, v in enumerate(s):
+            bs = v.encode("utf-8")[:8].ljust(8, b"\0")
+            key[i] = np.frombuffer(bs, np.int64)[0]
+        return pa.table(
+            {
+                "bkey": pa.array(key),
+                "prefix": part["prefix"],
+                "n": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    _PFX_EMPTY = {
+        "group_size": pd.Series([], dtype=np.int64),
+        "n_groups": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_PFX_EMPTY)
+        sizes = g.groupby("prefix")["n"].sum()
+        sizes = sizes[sizes >= 2]
+        if len(sizes) == 0:
+            return pd.DataFrame(_PFX_EMPTY)
+        u, c = np.unique(sizes.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame(
+            {"group_size": u.astype(np.int64), "n_groups": c.astype(np.int64)}
+        )
+
+    parts = _bucket_groupby(
+        docs.map_batches(prep, batch_format="pyarrow"), "bkey", frame
+    ).to_pandas()
+    return (
+        parts.groupby("group_size", as_index=False)
+        .agg(n_groups=("n_groups", "sum"))
+        .astype({"group_size": np.int64, "n_groups": np.int64})
+        .sort_values("group_size", ignore_index=True)
+    )
+
+
+_SQL_PREFIX_DUP = f"""
+WITH g AS (SELECT substr(text, 1, {_PREFIX_LEN}) AS prefix, COUNT(*) AS n
+           FROM documents GROUP BY prefix HAVING COUNT(*) >= 2)
+SELECT CAST(n AS BIGINT) AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM g GROUP BY n ORDER BY group_size
+"""
+
+QUERIES.update(
+    {
+        "l_diversity_audit": q_l_diversity_audit,
+        "prefix_dup_groups": q_prefix_dup_groups,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "l_diversity_audit": _SQL_LDIV,
+        "prefix_dup_groups": _SQL_PREFIX_DUP,
+    }
+)
