@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "cell_morans_i",
+    "event_top_gaps",
     "image_median_denoise",
     "l_diversity_audit",
     "prefix_dup_groups",

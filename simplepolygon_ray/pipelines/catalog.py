@@ -7091,3 +7091,100 @@ FROM d
 
 GEO_QUERIES.update({"image_median_denoise": q_image_median_denoise})
 EXTRA_ORACLE_SQL["image_median_denoise"] = _IMG_MED_SQL
+
+
+# --------------------------------------------------------------------------
+# Moran's I spatial autocorrelation over the geotag heatmap — the
+# spatial-statistics classic: are occupied level-6 cells with high
+# image counts adjacent to other high-count cells?  The scale-free
+# pieces are exact integers: with n occupied cells and S total
+# points, dev_c = n·x_c − S, numerator Σ dev_i·dev_j over rook-
+# adjacent occupied pairs and denominator Σ dev² — both can exceed
+# int64, so they fold in Python big ints and travel as decimal
+# strings (DuckDB replays in HUGEINT and casts to VARCHAR).  The
+# per-cell aggregate is the bounded 64×64 domain; everything upstream
+# is block-local bincounts.
+# --------------------------------------------------------------------------
+
+
+def q_cell_morans_i(sf_dir: str):
+    import ray.data as rd
+
+    _, n_images = scale_counts(sf_dir)
+    pts_dir = _persist(gen_points(min(n_images, 50_000)), "morans_pts")
+    pts = rd.read_parquet(pts_dir, columns=["lon", "lat"])
+    n = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        i = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        j = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        cnt = np.bincount(i * n + j, minlength=n * n).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cx": pa.array(nz // n),
+                "cy": pa.array(nz % n),
+                "x": pa.array(cnt[nz]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("x", alias_name="x"))
+        .to_pandas()  # bounded: 64x64 domain
+    )
+    cx = cells["cx"].to_numpy(np.int64)
+    cy = cells["cy"].to_numpy(np.int64)
+    x = cells["x"].to_numpy(np.int64)
+    n_cells = len(cells)
+    sx = int(x.sum())
+    dev = n_cells * x - sx  # int64-safe: n_cells<=4096, x<=5e4
+    grid = {}
+    for k in range(n_cells):
+        grid[(int(cx[k]), int(cy[k]))] = int(dev[k])
+    num = 0
+    w_pairs = 0
+    for k in range(n_cells):
+        a = (int(cx[k]), int(cy[k]))
+        for b in ((a[0] + 1, a[1]), (a[0], a[1] + 1)):
+            if b in grid:
+                num += grid[a] * grid[b]  # Python ints: no overflow
+                w_pairs += 1
+    den = int(sum(int(d) * int(d) for d in dev))
+    return pd.DataFrame(
+        {
+            "n_cells": np.array([n_cells], np.int64),
+            "w_pairs": np.array([w_pairs], np.int64),
+            "num_scaled": pd.Series([str(num)], dtype=object),
+            "den_scaled": pd.Series([str(den)], dtype=object),
+        }
+    )
+
+
+_MORANS_SQL = f"""
+WITH p AS (SELECT
+    LEAST(GREATEST(CAST(trunc((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+    LEAST(GREATEST(CAST(trunc((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+  FROM read_parquet('{_ORACLE_DIR}/morans_pts/*.parquet')),
+c AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS x FROM p GROUP BY cx, cy),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM c),
+d AS (SELECT cx, cy, CAST(s.n * c.x - s.sx AS HUGEINT) AS dev FROM c, s),
+pairs AS (
+  SELECT a.dev AS da, b.dev AS db
+  FROM d a JOIN d b ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT a.dev, b.dev
+  FROM d a JOIN d b ON b.cx = a.cx AND b.cy = a.cy + 1)
+SELECT (SELECT n FROM s) AS n_cells,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS w_pairs,
+       CAST(COALESCE((SELECT SUM(da * db) FROM pairs), 0) AS VARCHAR) AS num_scaled,
+       CAST((SELECT SUM(dev * dev) FROM d) AS VARCHAR) AS den_scaled
+"""
+
+GEO_QUERIES.update({"cell_morans_i": q_cell_morans_i})
+EXTRA_ORACLE_SQL["cell_morans_i"] = _MORANS_SQL

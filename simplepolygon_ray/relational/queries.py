@@ -18738,3 +18738,102 @@ ORACLE_SQL.update(
         "prefix_dup_groups": _SQL_PREFIX_DUP,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# global top inter-event gaps — the outage detector: the ten largest
+# gaps between CONSECUTIVE events in the global timestamp order,
+# found WITHOUT a global sort.  Events hash-bucket by calendar week
+# (range partition in disguise: in-week adjacency is global adjacency
+# except at week boundaries); each frame emits its in-week top-10
+# gaps plus per-week (min, max) endpoints, and the driver adds the
+# bounded set of boundary gaps between adjacent non-empty weeks
+# before the final merge.  Ties break (gap desc, start asc) on both
+# engines.
+# --------------------------------------------------------------------------
+
+_TOPGAP_K = 10
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_event_top_gaps(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        wk = pc.divide(ts, _WEEK_US)
+        return pa.table({"wk": wk, "ts_us": ts})
+
+    _TG_EMPTY = {
+        "kind": pd.Series([], dtype=np.int64),
+        "wk": pd.Series([], dtype=np.int64),
+        "gap_us": pd.Series([], dtype=np.int64),
+        "start_ts": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_TG_EMPTY)
+        wk = g["wk"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        o = np.lexsort((ts, wk))
+        wk, ts = wk[o], ts[o]
+        same = wk[1:] == wk[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        starts = ts[:-1][same]
+        rows = []
+        if len(gaps):
+            top = np.lexsort((starts, -gaps))[: _TOPGAP_K]
+            for idx in top:
+                rows.append((0, 0, int(gaps[idx]), int(starts[idx])))
+        # per-week endpoints for the driver's boundary pass
+        neww = np.r_[True, wk[1:] != wk[:-1]]
+        st = np.flatnonzero(neww)
+        en = np.append(st[1:], len(wk)) - 1
+        for a, b in zip(st, en):
+            rows.append((1, int(wk[a]), int(ts[b]), int(ts[a])))  # gap_us=max, start=min
+        return pd.DataFrame(
+            {
+                "kind": np.array([r[0] for r in rows], np.int64),
+                "wk": np.array([r[1] for r in rows], np.int64),
+                "gap_us": np.array([r[2] for r in rows], np.int64),
+                "start_ts": np.array([r[3] for r in rows], np.int64),
+            }
+        )
+
+    parts = _bucket_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), "wk", frame, n_buckets=64
+    ).to_pandas()
+    cand = parts[parts["kind"] == 0][["gap_us", "start_ts"]]
+    ends = parts[parts["kind"] == 1].sort_values("wk", ignore_index=True)
+    # boundary gaps between adjacent non-empty weeks: prev week's max
+    # (stored in gap_us) to next week's min (stored in start_ts)
+    if len(ends) > 1:
+        b_gap = ends["start_ts"].to_numpy(np.int64)[1:] - ends["gap_us"].to_numpy(
+            np.int64
+        )[:-1]
+        b_start = ends["gap_us"].to_numpy(np.int64)[:-1]
+        cand = pd.concat(
+            [cand, pd.DataFrame({"gap_us": b_gap, "start_ts": b_start})],
+            ignore_index=True,
+        )
+    return (
+        cand.sort_values(
+            ["gap_us", "start_ts"], ascending=[False, True], kind="mergesort"
+        )
+        .head(_TOPGAP_K)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_TOP_GAPS = f"""
+WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+                  lag(epoch_us(ts)) OVER w AS start_ts
+           FROM events WINDOW w AS (ORDER BY ts))
+SELECT CAST(gap_us AS BIGINT) AS gap_us, CAST(start_ts AS BIGINT) AS start_ts
+FROM g WHERE gap_us IS NOT NULL
+ORDER BY gap_us DESC, start_ts LIMIT {_TOPGAP_K}
+"""
+
+QUERIES.update({"event_top_gaps": q_event_top_gaps})
+ORACLE_SQL.update({"event_top_gaps": _SQL_TOP_GAPS})
