@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "markov_power_counts",
+    "promo_revenue_share",
+    "geo_compactness",
     "cell_morans_i",
     "event_top_gaps",
     "image_median_denoise",

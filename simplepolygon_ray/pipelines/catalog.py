@@ -7188,3 +7188,96 @@ SELECT (SELECT n FROM s) AS n_cells,
 
 GEO_QUERIES.update({"cell_morans_i": q_cell_morans_i})
 EXTRA_ORACLE_SQL["cell_morans_i"] = _MORANS_SQL
+
+
+# --------------------------------------------------------------------------
+# geo ring compactness — the gerrymandering-style shape score without
+# a square root: c_e3 = (|area2| · 1000) // diam², all exact e5-grid
+# integers (a disc scores ~1571, a sliver ~0).  Reuses the shoelace
+# and diameter kernels in one block-local pass; SQL joins the two
+# replays (cyclic-next shoelace, pair-max diameter) on the persisted
+# vertex table.
+# --------------------------------------------------------------------------
+
+
+def _compactness_batch(t: pa.Table) -> pa.Table:
+    from ..cells.grid import _rl_arange
+
+    empty = pa.table(
+        {
+            "geom_id": pa.array([], type=pa.string()),
+            "ring_seq": pa.array([], type=pa.int32()),
+            "compactness_e3": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    col = t["ring"].combine_chunks()
+    offs = np.asarray(col.offsets).astype(np.int64)
+    coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+    vlen = offs[1:] - offs[:-1]
+    closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+    closed &= vlen > 1
+    olen = vlen - closed.astype(np.int64)
+    gather = _rl_arange(offs[:-1], olen)
+    oc = coords[gather]
+    xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+    yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+    ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+    nxt = np.arange(len(oc), dtype=np.int64) + 1
+    nz = olen > 0
+    nxt[(ostart + olen - 1)[nz]] = ostart[nz]
+    cross = xi * yi[nxt] - xi[nxt] * yi
+    a2 = np.abs(np.add.reduceat(cross, ostart)) if len(cross) else np.zeros(0, np.int64)
+    comp = np.zeros(len(t), np.int64)
+    for i in range(len(t)):
+        s, m = int(ostart[i]), int(olen[i])
+        if m < 2:
+            continue
+        x, y = xi[s : s + m], yi[s : s + m]
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        d2 = int((dx * dx + dy * dy).max())
+        if d2 > 0:
+            comp[i] = (int(a2[i]) * 1000) // d2
+    return pa.table(
+        {
+            "geom_id": t["geom_id"],
+            "ring_seq": t["ring_seq"],
+            "compactness_e3": pa.array(comp),
+        }
+    )
+
+
+def q_geo_compactness(sf_dir: str):
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "comp_verts")
+    return simple.map_batches(_compactness_batch, batch_format="pyarrow")
+
+
+_COMPACT_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/comp_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+sh AS (SELECT c.geom_id, c.ring_seq,
+              abs(SUM(c.xi * x.yi - x.xi * c.yi)) AS a2
+       FROM v c
+       JOIN n ON n.geom_id = c.geom_id AND n.ring_seq = c.ring_seq
+       JOIN v x ON x.geom_id = c.geom_id AND x.ring_seq = c.ring_seq
+               AND x.vidx = (c.vidx + 1) % n.m
+       GROUP BY c.geom_id, c.ring_seq),
+dm AS (SELECT a.geom_id, a.ring_seq,
+              MAX((a.xi - b.xi) * (a.xi - b.xi)
+                + (a.yi - b.yi) * (a.yi - b.yi)) AS d2
+       FROM v a JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+       GROUP BY a.geom_id, a.ring_seq)
+SELECT sh.geom_id, sh.ring_seq,
+       CAST(CASE WHEN dm.d2 > 0 THEN (sh.a2 * 1000) // dm.d2 ELSE 0 END AS BIGINT)
+         AS compactness_e3
+FROM sh JOIN dm ON dm.geom_id = sh.geom_id AND dm.ring_seq = sh.ring_seq
+"""
+
+GEO_QUERIES.update({"geo_compactness": q_geo_compactness})
+EXTRA_ORACLE_SQL["geo_compactness"] = _COMPACT_SQL

@@ -18837,3 +18837,239 @@ ORDER BY gap_us DESC, start_ts LIMIT {_TOPGAP_K}
 
 QUERIES.update({"event_top_gaps": q_event_top_gaps})
 ORACLE_SQL.update({"event_top_gaps": _SQL_TOP_GAPS})
+
+
+# --------------------------------------------------------------------------
+# Markov power counts — exact integer linear algebra on the event-type
+# transition matrix: v_k = (Mᵀ)^k · 1 counts the weighted length-k
+# walks ending at each type (each step weighted by its transition
+# count).  The matrix is the bounded |types|² aggregate (same
+# exchange as event_transitions); the three power steps fold in
+# Python big ints and travel as decimal strings (SQL replays them as
+# three chained HUGEINT join-aggregates).
+# --------------------------------------------------------------------------
+
+
+def q_markov_power_counts(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    etypes = pa.array(_ETYPES)
+
+    def trans(g: pa.Table) -> pa.Table:
+        uid0 = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts0 = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid0 = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid0, ts0, uid0))
+        uid = uid0[order]
+        code = (
+            pc.index_in(g["event_type"], value_set=etypes)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        ne = len(_ETYPES)
+        if len(uid) < 2:
+            return pa.table(
+                {"pc": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        same = uid[1:] == uid[:-1]
+        key = code[:-1][same] * ne + code[1:][same]
+        cnt = np.bincount(key, minlength=ne * ne).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"pc": pa.array(nz), "n": pa.array(cnt[nz])})
+
+    mat = (
+        _bucket_groupby(ev, "user_id", trans, batch_format="pyarrow")
+        .groupby("pc")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: |types|² rows
+    )
+    ne = len(_ETYPES)
+    M = [[0] * ne for _ in range(ne)]
+    for pcv, nv in zip(mat["pc"].to_numpy(np.int64), mat["n"].to_numpy(np.int64)):
+        M[int(pcv) // ne][int(pcv) % ne] = int(nv)
+    v = [1] * ne
+    powers = []
+    for _ in range(3):
+        v = [sum(M[a][b] * v[a] for a in range(ne)) for b in range(ne)]
+        powers.append(list(v))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(list(_ETYPES), dtype=object),
+            "v1": pd.Series([str(x) for x in powers[0]], dtype=object),
+            "v2": pd.Series([str(x) for x in powers[1]], dtype=object),
+            "v3": pd.Series([str(x) for x in powers[2]], dtype=object),
+        }
+    ).sort_values("event_type", ignore_index=True)
+
+
+_SQL_MARKOV = """
+WITH m AS (SELECT prev AS a, event_type AS b, CAST(COUNT(*) AS HUGEINT) AS c
+           FROM (SELECT user_id, event_type,
+                        LAG(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev
+                 FROM events)
+           WHERE prev IS NOT NULL GROUP BY prev, event_type),
+t AS (SELECT DISTINCT event_type AS t FROM events),
+v1 AS (SELECT t.t, COALESCE(SUM(m.c), 0) AS v FROM t LEFT JOIN m ON m.b = t.t
+       GROUP BY t.t),
+v2 AS (SELECT t.t, COALESCE(SUM(m.c * v1.v), 0) AS v
+       FROM t LEFT JOIN m ON m.b = t.t LEFT JOIN v1 ON v1.t = m.a GROUP BY t.t),
+v3 AS (SELECT t.t, COALESCE(SUM(m.c * v2.v), 0) AS v
+       FROM t LEFT JOIN m ON m.b = t.t LEFT JOIN v2 ON v2.t = m.a GROUP BY t.t)
+SELECT v1.t AS event_type,
+       CAST(v1.v AS VARCHAR) AS v1,
+       CAST(v2.v AS VARCHAR) AS v2,
+       CAST(v3.v AS VARCHAR) AS v3
+FROM v1 JOIN v2 ON v2.t = v1.t JOIN v3 ON v3.t = v1.t
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14-shaped promo revenue share — what fraction of a year's
+# revenue came from PROMO parts: the ratio never exists as a float;
+# numerator and denominator ride as exact e4 fixed-point integers.
+# One partkey bucket shuffle carries the compact (partkey, is_promo)
+# dimension beside qty-window-pruned per-(partkey, shipday-irrelevant)
+# revenue partials.
+# --------------------------------------------------------------------------
+
+_Q14_DAY_LO = 9496   # 1996-01-01
+_Q14_DAY_HI = 9862   # 1997-01-01 (exclusive)
+
+
+def q_promo_revenue_share(sf_dir: str):
+    part = _t(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def part_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        promo = pc.starts_with(t["p_type"], "PROMO")
+        return pa.table(
+            {
+                "k": t["p_partkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "promo": promo.cast(pa.int64()),
+                "rev_e4": pa.array(np.zeros(n, np.int64)),
+                "cnt": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_side(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()), 86_400_000_000
+        ).to_numpy(zero_copy_only=False)
+        keep = (day >= _Q14_DAY_LO) & (day < _Q14_DAY_HI)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = np.rint(price * (1.0 - disc) * 10_000.0).astype(np.int64)
+        part_agg = (
+            pa.table(
+                {
+                    "k": t["l_partkey"].filter(pa.array(keep)).cast(pa.int64()),
+                    "rev_e4": pa.array(rev),
+                }
+            )
+            .group_by("k")
+            .aggregate([("rev_e4", "sum"), ([], "count_all")])
+        )
+        n = len(part_agg)
+        return pa.table(
+            {
+                "k": part_agg["k"],
+                "side": pa.array(np.ones(n, np.int64)),
+                "promo": pa.array(np.zeros(n, np.int64)),
+                "rev_e4": part_agg["rev_e4_sum"].cast(pa.int64()),
+                "cnt": part_agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    _Q14_EMPTY = {
+        "g": pd.Series([], dtype=np.int64),
+        "promo_rev_e4": pd.Series([], dtype=np.int64),
+        "total_rev_e4": pd.Series([], dtype=np.int64),
+        "n_promo_items": pd.Series([], dtype=np.int64),
+        "n_items": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        pt = g[g["side"] == 0]
+        lx = g[g["side"] == 1]
+        if len(pt) == 0 or len(lx) == 0:
+            return pd.DataFrame(_Q14_EMPTY)
+        m = lx[["k", "rev_e4", "cnt"]].merge(pt[["k", "promo"]], on="k")
+        if len(m) == 0:
+            return pd.DataFrame(_Q14_EMPTY)
+        promo = m["promo"].to_numpy(np.int64).astype(bool)
+        return pd.DataFrame(
+            {
+                "g": np.zeros(1, np.int64),
+                "promo_rev_e4": np.array([int(m["rev_e4"].to_numpy()[promo].sum())]),
+                "total_rev_e4": np.array([int(m["rev_e4"].sum())]),
+                "n_promo_items": np.array([int(m["cnt"].to_numpy()[promo].sum())]),
+                "n_items": np.array([int(m["cnt"].sum())]),
+            }
+        )
+
+    n_li = li.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_li // 8000)))
+    res = (
+        _bucket_groupby(
+            part.map_batches(part_side, batch_format="pyarrow").union(
+                li.map_batches(li_side, batch_format="pyarrow")
+            ),
+            "k",
+            frame,
+            n_buckets=nb,
+        )
+        .groupby("g")
+        .aggregate(
+            Sum("promo_rev_e4", alias_name="promo_rev_e4"),
+            Sum("total_rev_e4", alias_name="total_rev_e4"),
+            Sum("n_promo_items", alias_name="n_promo_items"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    return res.astype(
+        {
+            "g": np.int64,
+            "promo_rev_e4": np.int64,
+            "total_rev_e4": np.int64,
+            "n_promo_items": np.int64,
+            "n_items": np.int64,
+        }
+    )
+
+
+_SQL_Q14 = f"""
+SELECT CAST(0 AS BIGINT) AS g,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+       ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))
+       AS BIGINT) AS total_rev_e4,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_promo_items,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) >= {_Q14_DAY_LO}
+  AND date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) < {_Q14_DAY_HI}
+"""
+
+QUERIES.update(
+    {
+        "markov_power_counts": q_markov_power_counts,
+        "promo_revenue_share": q_promo_revenue_share,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "markov_power_counts": _SQL_MARKOV,
+        "promo_revenue_share": _SQL_Q14,
+    }
+)
