@@ -7281,3 +7281,77 @@ FROM sh JOIN dm ON dm.geom_id = sh.geom_id AND dm.ring_seq = sh.ring_seq
 
 GEO_QUERIES.update({"geo_compactness": q_geo_compactness})
 EXTRA_ORACLE_SQL["geo_compactness"] = _COMPACT_SQL
+
+
+# --------------------------------------------------------------------------
+# image vertical seam energy — the seam-carving primitive: the
+# cheapest top-to-bottom 8-connected path through the channel-summed
+# pixel grid, by exact integer dynamic programming (cost[r][x] =
+# px[r][x] + min of the three parents).  The Ray kernel runs the DP
+# vectorized per image; the oracle replays it as a RECURSIVE CTE
+# whose state is the per-image cost LIST, folded one row per
+# iteration — dynamic programming in SQL, bit-identical because every
+# operand is an int64.  Ties in the final argmin break to the lowest
+# column on both engines.
+# --------------------------------------------------------------------------
+
+
+def q_image_seam_energy(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def seam(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        costs, ends = [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            prev = px[0].copy()
+            for r in range(1, h):
+                left = np.r_[prev[0], prev[:-1]]
+                right = np.r_[prev[1:], prev[-1]]
+                prev = px[r] + np.minimum(np.minimum(left, prev), right)
+            costs.append(int(prev.min()))
+            ends.append(int(prev.argmin()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "seam_cost": pa.array(costs, pa.int64()),
+                "seam_end_col": pa.array(ends, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(seam, batch_format="pyarrow")
+
+
+_SEAM_SQL = f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+dp(image_id, r, costs) AS (
+  SELECT image_id, 0,
+         [CAST({_gq_pix("x")} AS BIGINT) for x in generate_series(0, w - 1)]
+  FROM base
+  UNION ALL
+  SELECT dp.image_id, dp.r + 1,
+         list_transform(generate_series(0, base.w - 1), x ->
+            CAST({_gq_pix("(dp.r + 1) * base.w + x")} AS BIGINT)
+            + LEAST(costs[GREATEST(x, 1)], costs[x + 1],
+                    costs[LEAST(x + 2, base.w)]))
+  FROM dp JOIN base ON base.image_id = dp.image_id
+  WHERE dp.r + 1 < base.h
+),
+last_row AS (SELECT dp.image_id, costs
+             FROM dp JOIN base ON base.image_id = dp.image_id
+             WHERE dp.r = base.h - 1)
+SELECT image_id,
+       CAST(list_aggregate(costs, 'min') AS BIGINT) AS seam_cost,
+       CAST(list_position(costs, list_aggregate(costs, 'min')) - 1 AS BIGINT)
+         AS seam_end_col
+FROM last_row
+"""
+
+GEO_QUERIES.update({"image_seam_energy": q_image_seam_energy})
+EXTRA_ORACLE_SQL["image_seam_energy"] = _SEAM_SQL

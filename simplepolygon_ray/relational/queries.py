@@ -19073,3 +19073,70 @@ ORACLE_SQL.update(
         "promo_revenue_share": _SQL_Q14,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# longest repeated-token run per document — the stutter/spam signal
+# (e.g. "buy buy buy buy"): the longest run of CONSECUTIVE identical
+# non-empty whitespace tokens.  Runs never cross an empty-token gap
+# (both engines agree: the SQL islands trick keys on the original
+# token position, so a removed empty breaks adjacency exactly like
+# the kernel's change mask).  Block-local; docs never split across
+# rows.
+# --------------------------------------------------------------------------
+
+
+def q_max_token_run(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def runs(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        toks = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = flat.to_numpy(zero_copy_only=False)
+        n_docs = len(t)
+        best = np.zeros(n_docs, np.int64)
+        if len(s):
+            nonempty = s != ""
+            same = np.zeros(len(s), bool)
+            if len(s) > 1:
+                same[1:] = (parent[1:] == parent[:-1]) & (s[1:] == s[:-1])
+            same &= nonempty
+            run = np.zeros(len(s), np.int64)
+            cur = 0
+            # run-length via segmented cumcount: vectorized with the
+            # classic reset trick (cumsum minus last reset cumsum)
+            idx = np.arange(len(s))
+            reset = np.where(~same, idx, 0)
+            np.maximum.accumulate(reset, out=reset)
+            run = idx - reset + 1
+            run[~nonempty] = 0
+            np.maximum.at(best, parent[nonempty], run[nonempty])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "max_run": pa.array(best),
+            }
+        )
+
+    return docs.map_batches(runs, batch_format="pyarrow")
+
+
+_SQL_MAX_RUN = r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok,
+                    generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+             FROM documents),
+isl AS (SELECT doc_id, tok,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        FROM tok WHERE tok <> ''),
+r AS (SELECT doc_id, MAX(cnt) AS max_run
+      FROM (SELECT doc_id, COUNT(*) AS cnt FROM isl GROUP BY doc_id, tok, grp)
+      GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
+FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+"""
+
+QUERIES.update({"max_token_run": q_max_token_run})
+ORACLE_SQL.update({"max_token_run": _SQL_MAX_RUN})
