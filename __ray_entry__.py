@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "changepoint_daily_orders",
+    "image_symmetry_l1",
     "image_seam_energy",
     "max_token_run",
     "markov_power_counts",

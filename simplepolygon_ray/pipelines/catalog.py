@@ -7355,3 +7355,53 @@ FROM last_row
 
 GEO_QUERIES.update({"image_seam_energy": q_image_seam_energy})
 EXTRA_ORACLE_SQL["image_seam_energy"] = _SEAM_SQL
+
+
+# --------------------------------------------------------------------------
+# image symmetry L1 scores — the symmetry-detection primitive: exact
+# integer L1 distance between the channel-summed image and (a) its
+# 180° point rotation, (b) its horizontal mirror.  Zero means perfect
+# symmetry.  Each pair is counted twice (full-sum convention, stated
+# here so the SQL replay matches term-for-term).  Block-local.
+# --------------------------------------------------------------------------
+
+
+def q_image_symmetry_l1(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def sym(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        rot, mir = [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            rot.append(int(np.abs(px - px[::-1, ::-1]).sum()))
+            mir.append(int(np.abs(px - px[:, ::-1]).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "rot180_l1": pa.array(rot, pa.int64()),
+                "mirror_l1": pa.array(mir, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(sym, batch_format="pyarrow")
+
+
+_SYM_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id,
+  CAST(list_sum([abs({_gq_pix("p")} - {_gq_pix("n_pix - 1 - p")})
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS rot180_l1,
+  CAST(list_sum([abs({_gq_pix("p")} - {_gq_pix("(p // w) * w + (w - 1 - p % w)")})
+       for p in generate_series(0, n_pix - 1)]) AS BIGINT) AS mirror_l1
+FROM base
+"""
+
+GEO_QUERIES.update({"image_symmetry_l1": q_image_symmetry_l1})
+EXTRA_ORACLE_SQL["image_symmetry_l1"] = _SYM_SQL

@@ -19140,3 +19140,84 @@ FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
 
 QUERIES.update({"max_token_run": q_max_token_run})
 ORACLE_SQL.update({"max_token_run": _SQL_MAX_RUN})
+
+
+# --------------------------------------------------------------------------
+# change-point detection on daily order counts — the exact two-segment
+# least-squares split: maximize S1²/n1 + S2²/n2 over split points
+# (equivalent to minimizing total SSE).  The comparable is quantized
+# once, identically, on both engines — V_k = (S1²·n2 + S2²·n1)·1000
+# // (n1·n2) — so the argmax (ties → earliest split) is a
+# well-defined integer quantity; the winning split and its V ride
+# back with the exact segment sums.  The per-day aggregate is
+# calendar-bounded; the split scan is a driver-side prefix pass.
+# --------------------------------------------------------------------------
+
+
+def q_changepoint_daily_orders(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        part = pa.table({"day": day}).group_by("day").aggregate([([], "count_all")])
+        return pa.table({"day": part["day"], "n": part["count_all"].cast(pa.int64())})
+
+    daily = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # calendar-bounded
+        .sort_values("day", ignore_index=True)
+    )
+    d = daily["day"].to_numpy(np.int64)
+    x = daily["n"].to_numpy(np.int64)
+    nd = len(d)
+    total = int(x.sum())
+    best_v = None
+    best = None
+    s1 = 0
+    for k in range(nd - 1):  # split after day index k (1..nd-1 left sizes)
+        s1 += int(x[k])
+        n1 = k + 1
+        n2 = nd - n1
+        s2 = total - s1
+        v = (s1 * s1 * n2 + s2 * s2 * n1) * 1000 // (n1 * n2)
+        if best_v is None or v > best_v:
+            best_v = v
+            best = (int(d[k]), n1, n2, s1, s2)
+    return pd.DataFrame(
+        {
+            "split_day": np.array([best[0]], np.int64),
+            "n_left": np.array([best[1]], np.int64),
+            "n_right": np.array([best[2]], np.int64),
+            "sum_left": np.array([best[3]], np.int64),
+            "sum_right": np.array([best[4]], np.int64),
+            "v_scaled": np.array([best_v], np.int64),
+        }
+    )
+
+
+_SQL_CHANGEPOINT = """
+WITH daily AS (SELECT date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY day),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS s FROM daily),
+pre AS (SELECT day,
+               CAST(SUM(n) OVER (ORDER BY day) AS HUGEINT) AS s1,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS n1
+        FROM daily),
+cand AS (SELECT p.day, p.n1, t.nd - p.n1 AS n2, p.s1, t.s - p.s1 AS s2,
+                (p.s1 * p.s1 * (t.nd - p.n1)
+                 + (t.s - p.s1) * (t.s - p.s1) * p.n1) * 1000
+                 // (p.n1 * (t.nd - p.n1)) AS v
+         FROM pre p, tot t WHERE p.n1 < t.nd)
+SELECT CAST(day AS BIGINT) AS split_day,
+       CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right,
+       CAST(s1 AS BIGINT) AS sum_left, CAST(s2 AS BIGINT) AS sum_right,
+       CAST(v AS BIGINT) AS v_scaled
+FROM cand ORDER BY v DESC, day LIMIT 1
+"""
+
+QUERIES.update({"changepoint_daily_orders": q_changepoint_daily_orders})
+ORACLE_SQL.update({"changepoint_daily_orders": _SQL_CHANGEPOINT})
