@@ -39,6 +39,7 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "abc_classification",
     "changepoint_daily_orders",
     "image_symmetry_l1",
     "image_seam_energy",

@@ -19221,3 +19221,170 @@ FROM cand ORDER BY v DESC, day LIMIT 1
 
 QUERIES.update({"changepoint_daily_orders": q_changepoint_daily_orders})
 ORACLE_SQL.update({"changepoint_daily_orders": _SQL_CHANGEPOINT})
+
+
+# --------------------------------------------------------------------------
+# ABC inventory classification — the cumulative-revenue-share
+# classifier: class A is every part whose revenue is >= vA, where vA
+# is the LARGEST value v with Σ_{rev>=v} rev >= ceil(80% · total)
+# (value-based, so the split is tie-order-free); B extends to 95%.
+# The thresholds resolve by a descending WEIGHTED histogram recursion
+# (shift 24 → 12 → 0 over the persisted per-part revenue table): the
+# driver only ever sees (bucket, count, sum) partials and the
+# recursion bottoms out at single values — NO row pull at any skew
+# (the same discipline as the exact-quantile machinery, but over
+# cumulative sums instead of ranks).  One final pass classifies.
+# --------------------------------------------------------------------------
+
+
+def _abc_threshold(pr_dir: str, target: int, shift0: int = 24, step: int = 12) -> int:
+    """max v with S(>=v) >= target over the 'rev' column of pr_dir."""
+    import ray.data as rd
+
+    shift = shift0
+    lo, hi = 0, 1 << 62
+    s_above = 0  # exact sum of all rev >= hi
+    while True:
+        cur_shift, cur_lo, cur_hi = shift, lo, hi
+
+        def hist(batch: pa.Table) -> pa.Table:
+            v = batch["rev"].to_numpy(zero_copy_only=False)
+            m = (v >= cur_lo) & (v < cur_hi)
+            v = v[m]
+            part = (
+                pa.table({"bucket": pa.array(v >> cur_shift), "rev": pa.array(v)})
+                .group_by("bucket")
+                .aggregate([("rev", "sum"), ([], "count_all")])
+            )
+            return pa.table(
+                {
+                    "bucket": part["bucket"],
+                    "s": part["rev_sum"].cast(pa.int64()),
+                    "cnt": part["count_all"].cast(pa.int64()),
+                }
+            )
+
+        h = (
+            rd.read_parquet(pr_dir, columns=["rev"])
+            .map_batches(hist, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values("bucket", ascending=False, ignore_index=True)
+        )
+        cum = s_above + h["s"].cumsum()
+        idx = int(np.argmax(cum.to_numpy() >= target))
+        b = int(h["bucket"][idx])
+        if shift == 0:
+            return b  # the bucket IS the value
+        s_above = int(s_above + (h["s"][:idx].sum() if idx else 0))
+        lo = b << shift
+        hi = (b + 1) << shift
+        shift = max(shift - step, 0)
+
+
+def q_abc_classification(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        part = (
+            pa.table({"k": t["l_partkey"].cast(pa.int64()), "rev": pa.array(rev)})
+            .group_by("k")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"k": part["k"], "rev": part["rev_sum"].cast(pa.int64())})
+
+    def pr_frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"rev": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"rev": g.groupby("k")["rev"].sum().to_numpy(np.int64)}
+        )
+
+    from ..pipelines.catalog import _persist
+
+    n_li = li.count()  # parquet metadata, no scan
+    nb = int(min(4096, max(16, n_li // 8000)))
+    pr = _bucket_groupby(
+        li.map_batches(li_partial, batch_format="pyarrow"), "k", pr_frame, n_buckets=nb
+    )
+    pr_dir = _persist(pr, "abc_part_rev")
+
+    import ray.data as rd
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        v = t["rev"].to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array([0]), "s": pa.array([int(v.sum())])})
+
+    tot = int(
+        rd.read_parquet(pr_dir, columns=["rev"])
+        .map_batches(tot_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()["s"][0]
+    )
+    t_a = (tot * 80 + 99) // 100
+    t_b = (tot * 95 + 99) // 100
+    v_a = _abc_threshold(pr_dir, t_a)
+    v_b = _abc_threshold(pr_dir, t_b)
+
+    def classify(t: pa.Table) -> pa.Table:
+        v = t["rev"].to_numpy(zero_copy_only=False)
+        cls = np.where(v >= v_a, 0, np.where(v >= v_b, 1, 2))
+        cnt = np.bincount(cls, minlength=3)
+        s = np.array([int(v[cls == k].sum()) for k in range(3)], np.int64)
+        return pa.table(
+            {
+                "cls": pa.array(np.arange(3, dtype=np.int64)),
+                "n_parts": pa.array(cnt.astype(np.int64)),
+                "revenue_c": pa.array(s),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(pr_dir, columns=["rev"])
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby("cls")
+        .aggregate(Sum("n_parts", alias_name="n_parts"), Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+        .sort_values("cls", ignore_index=True)
+    )
+    agg = agg[agg["n_parts"] > 0]
+    thr = {0: v_a, 1: v_b, 2: 0}
+    return pd.DataFrame(
+        {
+            "abc_class": agg["cls"].map({0: "A", 1: "B", 2: "C"}).to_numpy(object),
+            "n_parts": agg["n_parts"].to_numpy(np.int64),
+            "revenue_c": agg["revenue_c"].to_numpy(np.int64),
+            "threshold_c": agg["cls"].map(thr).to_numpy(np.int64),
+        }
+    )
+
+
+_SQL_ABC = """
+WITH pr AS (SELECT l_partkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS rev
+            FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(rev) AS HUGEINT) AS t FROM pr),
+s AS (SELECT rev AS v, CAST(SUM(rev) OVER (ORDER BY rev DESC) AS HUGEINT) AS sge
+      FROM pr),
+va AS (SELECT MAX(v) AS v FROM s, tot WHERE sge >= (t * 80 + 99) // 100),
+vb AS (SELECT MAX(v) AS v FROM s, tot WHERE sge >= (t * 95 + 99) // 100),
+cls AS (SELECT CASE WHEN rev >= va.v THEN 'A'
+                    WHEN rev >= vb.v THEN 'B' ELSE 'C' END AS abc_class, rev
+        FROM pr, va, vb)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_c,
+       CAST(CASE abc_class WHEN 'A' THEN (SELECT v FROM va)
+                           WHEN 'B' THEN (SELECT v FROM vb)
+                           ELSE 0 END AS BIGINT) AS threshold_c
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+QUERIES.update({"abc_classification": q_abc_classification})
+ORACLE_SQL.update({"abc_classification": _SQL_ABC})
