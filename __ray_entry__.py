@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "ohlc_candle_patterns",
+    "image_btc_stats",
     "abc_classification",
     "changepoint_daily_orders",
     "image_symmetry_l1",

@@ -7405,3 +7405,79 @@ FROM base
 
 GEO_QUERIES.update({"image_symmetry_l1": q_image_symmetry_l1})
 EXTRA_ORACLE_SQL["image_symmetry_l1"] = _SYM_SQL
+
+
+# --------------------------------------------------------------------------
+# image block-truncation-coding stats — the BTC codec's decision
+# census per image over complete 4x4 blocks: how many pixels sit
+# strictly above their own block's mean (16·px > Σblock, integer
+# cross-multiplied — the BTC bit plane's popcount) and how many
+# blocks are perfectly flat (max == min).  Block-local; SQL replays
+# the 16-term block arithmetic.
+# --------------------------------------------------------------------------
+
+
+def q_image_btc_stats(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def btc(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        nb, na, nf = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            h4, w4 = h // 4, w // 4
+            v = px[: h4 * 4, : w4 * 4].reshape(h4, 4, w4, 4)
+            bsum = v.sum(axis=(1, 3))
+            above = (16 * v > bsum[:, None, :, None]).sum()
+            flat = (v.max(axis=(1, 3)) == v.min(axis=(1, 3))).sum()
+            nb.append(int(h4 * w4))
+            na.append(int(above))
+            nf.append(int(flat))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_blocks": pa.array(nb, pa.int64()),
+                "n_above_mean": pa.array(na, pa.int64()),
+                "n_flat_blocks": pa.array(nf, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(btc, batch_format="pyarrow")
+
+
+_BTC_B0 = "(((bk // (w // 4)) * 4) * w + (bk % (w // 4)) * 4)"
+_BTC_TERMS = [f"{_BTC_B0} + {y} * w + {x}" for y in range(4) for x in range(4)]
+_BTC_SUM = " + ".join(_gq_pix(q) for q in _BTC_TERMS)
+_BTC_ABOVE = " + ".join(
+    f"(CASE WHEN 16 * {_gq_pix(q)} > bs[bk + 1] THEN 1 ELSE 0 END)"
+    for q in _BTC_TERMS
+)
+_BTC_MAX = "GREATEST(" + ", ".join(_gq_pix(q) for q in _BTC_TERMS) + ")"
+_BTC_MIN = "LEAST(" + ", ".join(_gq_pix(q) for q in _BTC_TERMS) + ")"
+
+_BTC_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+d AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h,
+         [CAST({_BTC_SUM} AS BIGINT)
+          for bk in generate_series(0, (w // 4) * (h // 4) - 1)] AS bs
+  FROM base)
+SELECT image_id,
+  CAST((w // 4) * (h // 4) AS BIGINT) AS n_blocks,
+  CAST(list_sum([{_BTC_ABOVE}
+       for bk in generate_series(0, (w // 4) * (h // 4) - 1)]) AS BIGINT)
+    AS n_above_mean,
+  CAST(list_sum([CASE WHEN {_BTC_MAX} = {_BTC_MIN} THEN 1 ELSE 0 END
+       for bk in generate_series(0, (w // 4) * (h // 4) - 1)]) AS BIGINT)
+    AS n_flat_blocks
+FROM d
+"""
+
+GEO_QUERIES.update({"image_btc_stats": q_image_btc_stats})
+EXTRA_ORACLE_SQL["image_btc_stats"] = _BTC_SQL

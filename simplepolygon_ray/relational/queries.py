@@ -19388,3 +19388,88 @@ FROM cls GROUP BY abc_class ORDER BY abc_class
 
 QUERIES.update({"abc_classification": q_abc_classification})
 ORACLE_SQL.update({"abc_classification": _SQL_ABC})
+
+
+# --------------------------------------------------------------------------
+# candlestick pattern census over hourly OHLC — technical-analysis
+# pattern matching as pure integer predicates on the calendar-bounded
+# candle table: per day, the number of candles, bullish/bearish
+# engulfing patterns (vs the PREVIOUS CALENDAR HOUR — a missing hour
+# breaks the pair on both engines) and doji (open == close).  The
+# candle build reuses the events_ohlc exchange; the pattern scan is a
+# driver-side vectorized pass over the bounded candle list.
+# --------------------------------------------------------------------------
+
+
+def q_ohlc_candle_patterns(sf_dir: str):
+    candles = (
+        q_events_ohlc(sf_dir)
+        .to_pandas()  # calendar-bounded
+        .sort_values("hour", ignore_index=True)
+    )
+    h = candles["hour"].to_numpy(np.int64)
+    o = candles["open_e4"].to_numpy(np.int64)
+    c = candles["close_e4"].to_numpy(np.int64)
+    bull = np.zeros(len(h), bool)
+    bear = np.zeros(len(h), bool)
+    if len(h) > 1:
+        adj = h[1:] == h[:-1] + 1
+        po, pc = o[:-1], c[:-1]
+        co, cc = o[1:], c[1:]
+        bull[1:] = adj & (pc < po) & (cc > co) & (co < pc) & (cc > po)
+        bear[1:] = adj & (pc > po) & (cc < co) & (co > pc) & (cc < po)
+    doji = c == o
+    day = h // 24
+    out = (
+        pd.DataFrame(
+            {
+                "day": day,
+                "n_candles": np.ones(len(h), np.int64),
+                "n_bull_engulf": bull.astype(np.int64),
+                "n_bear_engulf": bear.astype(np.int64),
+                "n_doji": doji.astype(np.int64),
+            }
+        )
+        .groupby("day", as_index=False)
+        .sum()
+    )
+    return out.astype(
+        {
+            "day": np.int64,
+            "n_candles": np.int64,
+            "n_bull_engulf": np.int64,
+            "n_bear_engulf": np.int64,
+            "n_doji": np.int64,
+        }
+    ).sort_values("day", ignore_index=True)
+
+
+_SQL_CANDLES = """
+WITH e AS (SELECT epoch_us(ts) AS t, event_id,
+                  CAST(round(value * 10000) AS BIGINT) AS v,
+                  epoch_us(ts) // 3600000000 AS hour
+           FROM events),
+c AS (SELECT hour,
+             first(v ORDER BY t, event_id) AS o,
+             last(v ORDER BY t, event_id) AS c
+      FROM e GROUP BY hour),
+p AS (SELECT hour, o, c,
+             LAG(hour) OVER w AS ph, LAG(o) OVER w AS po, LAG(c) OVER w AS pc
+      FROM c WINDOW w AS (ORDER BY hour)),
+pat AS (SELECT hour // 24 AS day,
+  CASE WHEN ph = hour - 1 AND pc < po AND c > o AND o < pc AND c > po
+       THEN 1 ELSE 0 END AS bull,
+  CASE WHEN ph = hour - 1 AND pc > po AND c < o AND o > pc AND c < po
+       THEN 1 ELSE 0 END AS bear,
+  CASE WHEN c = o THEN 1 ELSE 0 END AS doji
+  FROM p)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_candles,
+       CAST(SUM(bull) AS BIGINT) AS n_bull_engulf,
+       CAST(SUM(bear) AS BIGINT) AS n_bear_engulf,
+       CAST(SUM(doji) AS BIGINT) AS n_doji
+FROM pat GROUP BY day ORDER BY day
+"""
+
+QUERIES.update({"ohlc_candle_patterns": q_ohlc_candle_patterns})
+ORACLE_SQL.update({"ohlc_candle_patterns": _SQL_CANDLES})
