@@ -39,6 +39,9 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "geo_octant_transitions",
+    "image_channel_covariance",
+    "mode_order_total",
     "ohlc_candle_patterns",
     "image_btc_stats",
     "abc_classification",

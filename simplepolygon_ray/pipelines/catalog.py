@@ -7481,3 +7481,170 @@ FROM d
 
 GEO_QUERIES.update({"image_btc_stats": q_image_btc_stats})
 EXTRA_ORACLE_SQL["image_btc_stats"] = _BTC_SQL
+
+
+# --------------------------------------------------------------------------
+# geo octant transition matrix — the contour-shape descriptor: for
+# every pair of CONSECUTIVE ring edges (cyclic), the (from, to) pair
+# of their direction octants, summed into a global 8x8 matrix (zero
+# cells omitted on both engines).  Reuses the octant kernel; SQL
+# replays the successor join on the persisted vertex table.
+# --------------------------------------------------------------------------
+
+
+def q_geo_octant_transitions(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..cells.grid import _rl_arange
+
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "octtr_verts")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_oct": pa.array([], pa.int64()),
+                "to_oct": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        col = t["ring"].combine_chunks()
+        offs = np.asarray(col.offsets).astype(np.int64)
+        coords = np.asarray(col.values.values, dtype=np.float64).reshape(-1, 2)
+        vlen = offs[1:] - offs[:-1]
+        closed = (coords[offs[:-1]] == coords[np.maximum(offs[1:] - 1, 0)]).all(axis=1)
+        closed &= vlen > 1
+        olen = vlen - closed.astype(np.int64)
+        gather = _rl_arange(offs[:-1], olen)
+        oc = coords[gather]
+        xi = np.floor(oc[:, 0] * 1e5).astype(np.int64)
+        yi = np.floor(oc[:, 1] * 1e5).astype(np.int64)
+        ostart = np.concatenate([[0], np.cumsum(olen)[:-1]]).astype(np.int64)
+        nxt = np.arange(len(oc), dtype=np.int64) + 1
+        nz = olen > 0
+        nxt[(ostart + olen - 1)[nz]] = ostart[nz]
+        dx = xi[nxt] - xi
+        dy = yi[nxt] - yi
+        o = _octants(dx, dy)
+        o_next = o[nxt]  # octant of the successor edge (cyclic)
+        key = o * 8 + o_next
+        cnt = np.bincount(key, minlength=64).astype(np.int64)
+        nzk = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "from_oct": pa.array(nzk // 8),
+                "to_oct": pa.array(nzk % 8),
+                "n_pairs": pa.array(cnt[nzk]),
+            }
+        )
+
+    return (
+        simple.map_batches(partial, batch_format="pyarrow")
+        .groupby(["from_oct", "to_oct"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
+_OCTTR_SQL = f"""
+WITH v AS (SELECT geom_id, ring_seq, vidx,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/octtr_verts/*.parquet')),
+n AS (SELECT geom_id, ring_seq, COUNT(*) AS m FROM v GROUP BY geom_id, ring_seq),
+e AS (SELECT a.geom_id, a.ring_seq, a.vidx,
+             b.xi - a.xi AS dx, b.yi - a.yi AS dy, n.m
+      FROM v a
+      JOIN n USING (geom_id, ring_seq)
+      JOIN v b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+              AND b.vidx = (a.vidx + 1) % n.m),
+o AS (SELECT geom_id, ring_seq, vidx, m,
+             CAST(({_OCT_CASE_SQL}) AS BIGINT) AS oct FROM e),
+tr AS (SELECT a.oct AS from_oct, b.oct AS to_oct
+       FROM o a JOIN o b ON b.geom_id = a.geom_id AND b.ring_seq = a.ring_seq
+                        AND b.vidx = (a.vidx + 1) % a.m)
+SELECT from_oct, to_oct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM tr GROUP BY from_oct, to_oct
+"""
+
+GEO_QUERIES.update({"geo_octant_transitions": q_geo_octant_transitions})
+EXTRA_ORACLE_SQL["geo_octant_transitions"] = _OCTTR_SQL
+
+
+# --------------------------------------------------------------------------
+# image channel covariance pieces — the color-statistics primitive:
+# per image, the exact integer sufficient statistics for every
+# channel pair correlation (Σr, Σg, Σb, Σr², Σg², Σb², Σrg, Σrb,
+# Σgb, n) straight off the decoded channels.  Block-local; SQL
+# replays per-channel decode (raw: byte; q6: byte·4+2) term-exactly.
+# --------------------------------------------------------------------------
+
+
+def _gq_chan(q: str, ch: int) -> str:
+    """decoded channel ``ch`` value at pixel index q (SQL)."""
+    return (
+        f"(CASE WHEN fmt = 'raw' THEN b[3*({q})+{ch + 1}] "
+        f"ELSE b[3*({q})+{ch + 1}] * 4 + 2 END)"
+    )
+
+
+def q_image_channel_covariance(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def cov(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        rows = {k: [] for k in ("n_px", "sr", "sg", "sb", "srr", "sgg", "sbb", "srg", "srb", "sgb")}
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64)
+            r = px[:, :, 0].ravel()
+            g = px[:, :, 1].ravel()
+            bl = px[:, :, 2].ravel()
+            rows["n_px"].append(w * h)
+            rows["sr"].append(int(r.sum()))
+            rows["sg"].append(int(g.sum()))
+            rows["sb"].append(int(bl.sum()))
+            rows["srr"].append(int((r * r).sum()))
+            rows["sgg"].append(int((g * g).sum()))
+            rows["sbb"].append(int((bl * bl).sum()))
+            rows["srg"].append(int((r * g).sum()))
+            rows["srb"].append(int((r * bl).sum()))
+            rows["sgb"].append(int((g * bl).sum()))
+        cols = {"image_id": t["image_id"]}
+        for k, v in rows.items():
+            cols[k] = pa.array(np.array(v, np.int64))
+        return pa.table(cols)
+
+    return imgs.map_batches(cov, batch_format="pyarrow")
+
+
+def _chan_sum(expr_fn, alias: str) -> str:
+    return (
+        f"CAST(list_sum([{expr_fn} for p in generate_series(0, n_pix - 1)]) "
+        f"AS BIGINT) AS {alias}"
+    )
+
+
+_CHAN_COV_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet'))
+SELECT image_id, n_pix AS n_px,
+  {_chan_sum(_gq_chan("p", 0), "sr")},
+  {_chan_sum(_gq_chan("p", 1), "sg")},
+  {_chan_sum(_gq_chan("p", 2), "sb")},
+  {_chan_sum(f"{_gq_chan('p', 0)} * {_gq_chan('p', 0)}", "srr")},
+  {_chan_sum(f"{_gq_chan('p', 1)} * {_gq_chan('p', 1)}", "sgg")},
+  {_chan_sum(f"{_gq_chan('p', 2)} * {_gq_chan('p', 2)}", "sbb")},
+  {_chan_sum(f"{_gq_chan('p', 0)} * {_gq_chan('p', 1)}", "srg")},
+  {_chan_sum(f"{_gq_chan('p', 0)} * {_gq_chan('p', 2)}", "srb")},
+  {_chan_sum(f"{_gq_chan('p', 1)} * {_gq_chan('p', 2)}", "sgb")}
+FROM base
+"""
+
+GEO_QUERIES.update({"image_channel_covariance": q_image_channel_covariance})
+EXTRA_ORACLE_SQL["image_channel_covariance"] = _CHAN_COV_SQL

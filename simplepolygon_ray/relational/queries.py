@@ -19473,3 +19473,63 @@ FROM pat GROUP BY day ORDER BY day
 
 QUERIES.update({"ohlc_candle_patterns": q_ohlc_candle_patterns})
 ORACLE_SQL.update({"ohlc_candle_patterns": _SQL_CANDLES})
+
+
+# --------------------------------------------------------------------------
+# exact mode over an UNBOUNDED value domain — argmax-with-tiebreak at
+# scale: the most frequent order total (cents), ties broken to the
+# smallest value.  Per-block partial counts compact each block to its
+# distinct values; a value-hash bucket shuffle co-locates each value's
+# partials; every frame emits ONE local champion and the driver picks
+# among ≤ n_buckets rows.  (mode_event_type is the bounded-domain
+# cousin; this is the shape that survives a high-cardinality column.)
+# --------------------------------------------------------------------------
+
+
+def q_mode_order_total(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        part = pa.table({"v": pa.array(v)}).group_by("v").aggregate([([], "count_all")])
+        return pa.table({"v": part["v"], "cnt": part["count_all"].cast(pa.int64())})
+
+    _MODE_EMPTY = {
+        "mode_cents": pd.Series([], dtype=np.int64),
+        "multiplicity": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_MODE_EMPTY)
+        s = g.groupby("v", as_index=False)["cnt"].sum()
+        s = s.sort_values(["cnt", "v"], ascending=[False, True], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "mode_cents": s["v"].to_numpy(np.int64)[:1],
+                "multiplicity": s["cnt"].to_numpy(np.int64)[:1],
+            }
+        )
+
+    local = _bucket_groupby(
+        od.map_batches(partial, batch_format="pyarrow"), "v", frame, n_buckets=256
+    ).to_pandas()
+    best = local.sort_values(
+        ["multiplicity", "mode_cents"], ascending=[False, True], kind="mergesort"
+    ).head(1)
+    return best.reset_index(drop=True).astype(np.int64)
+
+
+_SQL_MODE_TOTAL = """
+SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS mode_cents,
+       CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM orders
+GROUP BY mode_cents
+ORDER BY multiplicity DESC, mode_cents
+LIMIT 1
+"""
+
+QUERIES.update({"mode_order_total": q_mode_order_total})
+ORACLE_SQL.update({"mode_order_total": _SQL_MODE_TOTAL})
