@@ -7648,3 +7648,79 @@ FROM base
 
 GEO_QUERIES.update({"image_channel_covariance": q_image_channel_covariance})
 EXTRA_ORACLE_SQL["image_channel_covariance"] = _CHAN_COV_SQL
+
+
+# --------------------------------------------------------------------------
+# image palette stats — the quantization-prep census: distinct RGB
+# colors per image and the most frequent color (ties → numerically
+# smallest packed code r·2^20 + g·2^10 + b, identical on both
+# engines).  Block-local np.unique; SQL replays the packed-code
+# grouping from the payload bytes.
+# --------------------------------------------------------------------------
+
+
+def q_image_palette_stats(sf_dir: str):
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def pal(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        nc, tc, tn = [], [], []
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64)
+            code = (
+                px[:, :, 0].ravel() * (1 << 20)
+                + px[:, :, 1].ravel() * (1 << 10)
+                + px[:, :, 2].ravel()
+            )
+            u, c = np.unique(code, return_counts=True)
+            best = np.lexsort((u, -c))[0]
+            nc.append(len(u))
+            tc.append(int(u[best]))
+            tn.append(int(c[best]))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "n_colors": pa.array(nc, pa.int64()),
+                "top_color_code": pa.array(tc, pa.int64()),
+                "top_color_count": pa.array(tn, pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(pal, batch_format="pyarrow")
+
+
+def _gq_code(q: str) -> str:
+    from_parts = " + ".join(
+        f"{_gq_chan(q, ch)} * {1 << (20 - 10 * ch)}" if ch < 2 else _gq_chan(q, ch)
+        for ch in range(3)
+    )
+    return f"({from_parts})"
+
+
+_PALETTE_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+px AS (SELECT image_id,
+              unnest([{_gq_code("p")}
+                      for p in generate_series(0, n_pix - 1)]) AS code
+       FROM base),
+cc AS (SELECT image_id, code, COUNT(*) AS cnt FROM px GROUP BY image_id, code),
+top AS (SELECT image_id, code, cnt,
+               ROW_NUMBER() OVER (PARTITION BY image_id
+                                  ORDER BY cnt DESC, code) AS rn
+        FROM cc)
+SELECT c.image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_colors,
+       CAST(MAX(t.code) AS BIGINT) AS top_color_code,
+       CAST(MAX(t.cnt) AS BIGINT) AS top_color_count
+FROM cc c JOIN top t ON t.image_id = c.image_id AND t.rn = 1
+GROUP BY c.image_id
+"""
+
+GEO_QUERIES.update({"image_palette_stats": q_image_palette_stats})
+EXTRA_ORACLE_SQL["image_palette_stats"] = _PALETTE_SQL

@@ -19533,3 +19533,112 @@ LIMIT 1
 
 QUERIES.update({"mode_order_total": q_mode_order_total})
 ORACLE_SQL.update({"mode_order_total": _SQL_MODE_TOTAL})
+
+
+# --------------------------------------------------------------------------
+# record-breaking orders per month — the distributed PREFIX-MAX scan:
+# an order "sets a record" when its total exceeds every earlier total
+# in (orderdate, orderkey) order.  Months are contiguous under that
+# order, so pass 1 collects per-month maxima (calendar-bounded), the
+# driver folds the running prefix, and pass 2 counts each month's
+# records against its base offset — the same two-phase monoid shape
+# as the weighted systematic sampler, with max instead of sum.
+# --------------------------------------------------------------------------
+
+
+def q_record_high_orders(sf_dir: str):
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.divide(us, 86_400_000_000).to_numpy(zero_copy_only=False)
+        month = day // 32  # fixed-width pseudo-month: contiguous, order-preserving
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "month": pa.array(month),
+                "day": pa.array(day),
+                "k": t["o_orderkey"].cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    prepped = od.map_batches(prep, batch_format="pyarrow")
+
+    def month_max(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table({"month": t["month"], "cents": t["cents"]})
+            .group_by("month")
+            .aggregate([("cents", "max")])
+        )
+        return pa.table(
+            {"month": part["month"], "mx": part["cents_max"].cast(pa.int64())}
+        )
+
+    maxima = (
+        prepped.map_batches(month_max, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Max("mx", alias_name="mx"))
+        .to_pandas()  # calendar-bounded
+        .sort_values("month", ignore_index=True)
+    )
+    months = maxima["month"].to_numpy(np.int64)
+    mx = maxima["mx"].to_numpy(np.int64)
+    base = np.full(len(months), np.iinfo(np.int64).min, np.int64)
+    if len(months) > 1:
+        run = np.maximum.accumulate(mx)
+        base[1:] = run[:-1]
+    base_map = {int(m): int(b) for m, b in zip(months, base)}
+
+    _REC_EMPTY = {
+        "month": pd.Series([], dtype=np.int64),
+        "n_records": pd.Series([], dtype=np.int64),
+    }
+
+    def count_records(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_REC_EMPTY)
+        out_m, out_n = [], []
+        for m, sub in g.groupby("month"):
+            o = np.lexsort(
+                (sub["k"].to_numpy(np.int64), sub["day"].to_numpy(np.int64))
+            )
+            v = sub["cents"].to_numpy(np.int64)[o]
+            run = np.maximum.accumulate(
+                np.r_[base_map.get(int(m), np.iinfo(np.int64).min), v]
+            )[:-1]
+            out_m.append(int(m))
+            out_n.append(int((v > run).sum()))
+        return pd.DataFrame(
+            {"month": np.array(out_m, np.int64), "n_records": np.array(out_n, np.int64)}
+        )
+
+    res = (
+        _bucket_groupby(prepped, "month", count_records, n_buckets=64)
+        .to_pandas()
+        .groupby("month", as_index=False)["n_records"]
+        .sum()
+    )
+    res = res[res["n_records"] > 0]
+    return res.astype(np.int64).sort_values("month", ignore_index=True)
+
+
+_SQL_RECORDS = """
+WITH o AS (SELECT date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+                  o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT day // 32 AS month,
+             CASE WHEN cents > COALESCE(MAX(cents) OVER
+                    (ORDER BY day, k ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -9223372036854775808)
+                  THEN 1 ELSE 0 END AS rec
+      FROM o)
+SELECT CAST(month AS BIGINT) AS month, CAST(SUM(rec) AS BIGINT) AS n_records
+FROM r GROUP BY month HAVING SUM(rec) > 0 ORDER BY month
+"""
+
+QUERIES.update({"record_high_orders": q_record_high_orders})
+ORACLE_SQL.update({"record_high_orders": _SQL_RECORDS})
