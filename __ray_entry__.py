@@ -39,6 +39,8 @@ def entry() -> Any:
 # r3 sweep but need fresh driver evidence), then the r4-green rest.
 _PRIORITY = [
     # round-5-new (never driver-checked)
+    "vocab_drift_l1",
+    "events_gini_users",
     "record_high_orders",
     "image_palette_stats",
     "geo_octant_transitions",

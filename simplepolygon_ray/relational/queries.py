@@ -19642,3 +19642,179 @@ FROM r GROUP BY month HAVING SUM(rec) > 0 ORDER BY month
 
 QUERIES.update({"record_high_orders": q_record_high_orders})
 ORACLE_SQL.update({"record_high_orders": _SQL_RECORDS})
+
+
+# --------------------------------------------------------------------------
+# vocabulary drift between corpus halves — the train/validation
+# distribution-shift audit: document-frequency per token in each
+# doc_id-parity half, folded per language to the L1 drift and the
+# exclusive-vocabulary counts.  The exchange is vocab-bounded
+# (lang, token, half) partials; the fold is |langs| rows.
+# --------------------------------------------------------------------------
+
+
+def q_vocab_drift_l1(sf_dir: str):
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"\s+")
+        parent = pc.list_parent_indices(lists)
+        toks = pc.list_flatten(lists)
+        keep = pc.not_equal(toks, "")
+        toks = toks.filter(keep)
+        parent = parent.filter(keep)
+        lang = pc.take(t["lang"], parent)
+        half = pc.take(
+            pc.bit_wise_and(t["doc_id"].cast(pa.int64()), 1), parent
+        )
+        did = pc.take(t["doc_id"].cast(pa.int64()), parent)
+        # distinct (doc, token) first: df counts documents, not occurrences
+        d = (
+            pa.table({"lang": lang, "half": half, "token": toks, "did": did})
+            .group_by(["lang", "half", "token", "did"])
+            .aggregate([])
+        )
+        part = d.group_by(["lang", "half", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": part["lang"],
+                "half": part["half"],
+                "token": part["token"],
+                "df": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    dfs = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby(["lang", "half", "token"])
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocab-bounded
+    )
+    piv = dfs.pivot_table(
+        index=["lang", "token"], columns="half", values="df", fill_value=0
+    ).reset_index()
+    d0 = piv[0].to_numpy(np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+    d1 = piv[1].to_numpy(np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+    out = pd.DataFrame(
+        {
+            "lang": piv["lang"].to_numpy(object),
+            "l1": np.abs(d0 - d1),
+            "only0": ((d0 > 0) & (d1 == 0)).astype(np.int64),
+            "only1": ((d1 > 0) & (d0 == 0)).astype(np.int64),
+            "one": np.ones(len(piv), np.int64),
+        }
+    )
+    agg = out.groupby("lang", as_index=False).agg(
+        l1_df=("l1", "sum"),
+        n_only_even=("only0", "sum"),
+        n_only_odd=("only1", "sum"),
+        vocab_size=("one", "sum"),
+    )
+    return agg.astype(
+        {
+            "l1_df": np.int64,
+            "n_only_even": np.int64,
+            "n_only_odd": np.int64,
+            "vocab_size": np.int64,
+        }
+    ).sort_values("lang", ignore_index=True)
+
+
+_SQL_VOCAB_DRIFT = r"""
+WITH tok AS (SELECT DISTINCT lang, doc_id % 2 AS half, doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents),
+df AS (SELECT lang, half, token, COUNT(*) AS df
+       FROM tok WHERE token <> '' GROUP BY lang, half, token),
+piv AS (SELECT lang, token,
+               CAST(COALESCE(SUM(CASE WHEN half = 0 THEN df END), 0) AS BIGINT) AS d0,
+               CAST(COALESCE(SUM(CASE WHEN half = 1 THEN df END), 0) AS BIGINT) AS d1
+        FROM df GROUP BY lang, token)
+SELECT lang,
+       CAST(SUM(abs(d0 - d1)) AS BIGINT) AS l1_df,
+       CAST(SUM(CASE WHEN d0 > 0 AND d1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_even,
+       CAST(SUM(CASE WHEN d1 > 0 AND d0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_odd,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size
+FROM piv GROUP BY lang ORDER BY lang
+"""
+
+QUERIES.update({"vocab_drift_l1": q_vocab_drift_l1})
+ORACLE_SQL.update({"vocab_drift_l1": _SQL_VOCAB_DRIFT})
+
+
+# --------------------------------------------------------------------------
+# user-activity Gini from the count-of-counts histogram — inequality
+# of events-per-user WITHOUT materializing per-user rows anywhere:
+# the bucket frames emit LOCAL count-of-counts histograms (value,
+# multiplicity), the driver merges the bounded histogram, and the
+# exact tie-invariant numerator folds in closed form over value
+# blocks: Σ v·m·(C_prev + C − n).  gini = num / (n·Σx) is left as
+# exact integer pieces.
+# --------------------------------------------------------------------------
+
+
+def q_events_gini_users(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table({"user_id": t["user_id"].cast(pa.int64())})
+            .group_by("user_id")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"user_id": part["user_id"], "c": part["count_all"].cast(pa.int64())}
+        )
+
+    _GINI_EMPTY = {
+        "v": pd.Series([], dtype=np.int64),
+        "m": pd.Series([], dtype=np.int64),
+    }
+
+    def hist_frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_GINI_EMPTY)
+        per_user = g.groupby("user_id")["c"].sum().to_numpy(np.int64)
+        v, m = np.unique(per_user, return_counts=True)
+        return pd.DataFrame({"v": v.astype(np.int64), "m": m.astype(np.int64)})
+
+    hist = (
+        _bucket_groupby(
+            ev.map_batches(partial, batch_format="pyarrow"), "user_id", hist_frame
+        )
+        .to_pandas()
+        .groupby("v", as_index=False)["m"]
+        .sum()
+        .sort_values("v", ignore_index=True)
+    )
+    v = hist["v"].to_numpy(np.int64)
+    m = hist["m"].to_numpy(np.int64)
+    n = int(m.sum())
+    s = int((v * m).sum())
+    cj = np.cumsum(m)
+    cprev = cj - m
+    num = int((v * m * (cprev + cj - n)).sum())
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], np.int64),
+            "sum_events": np.array([s], np.int64),
+            "gini_num": np.array([num], np.int64),
+        }
+    )
+
+
+_SQL_GINI_USERS = """
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+           GROUP BY user_id),
+h AS (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS m FROM u GROUP BY c),
+s AS (SELECT v, m, CAST(SUM(m) OVER (ORDER BY v) AS BIGINT) AS cj FROM h),
+t AS (SELECT CAST(SUM(m) AS BIGINT) AS n, CAST(SUM(v * m) AS BIGINT) AS sx FROM h)
+SELECT t.n AS n_users, t.sx AS sum_events,
+       CAST(SUM(v * m * ((cj - m) + cj - t.n)) AS BIGINT) AS gini_num
+FROM s, t GROUP BY t.n, t.sx
+"""
+
+QUERIES.update({"events_gini_users": q_events_gini_users})
+ORACLE_SQL.update({"events_gini_users": _SQL_GINI_USERS})
