@@ -19818,3 +19818,120 @@ FROM s, t GROUP BY t.n, t.sx
 
 QUERIES.update({"events_gini_users": q_events_gini_users})
 ORACLE_SQL.update({"events_gini_users": _SQL_GINI_USERS})
+
+
+# --------------------------------------------------------------------------
+# Merkle root of the orders table — the replica-verification primitive
+# one level up from bucket-hash diff: 64 leaves (orderkey % 64), each
+# the mod-2^64 SUM of splitmix64(orderkey·GOLDEN' + total cents)
+# (commutative, so block order never matters), folded by six levels
+# of parent = splitmix64(left + 3·right).  Any single-row difference
+# flips the root.  The Ray side is per-block partials + one 64-row
+# exchange + a driver fold; SQL replays every level with the shared
+# splitmix CTE chain, generated programmatically.
+# --------------------------------------------------------------------------
+
+_MERKLE_LEAVES = 64
+_MERKLE_MIX = 0x9E3779B97F4A7C15
+
+
+def q_merkle_root_orders(sf_dir: str):
+    from .sketches import _hash64
+
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        h = _hash64(k * np.int64(31) + cents)
+        idx = (k % _MERKLE_LEAVES).astype(np.int64)
+        # split into 32-bit halves so cross-block Sum never overflows
+        lo = np.zeros(_MERKLE_LEAVES, np.int64)
+        hi = np.zeros(_MERKLE_LEAVES, np.int64)
+        np.add.at(lo, idx, (h & np.uint64(0xFFFFFFFF)).astype(np.int64))
+        np.add.at(hi, idx, (h >> np.uint64(32)).astype(np.int64))
+        cnt = np.bincount(idx, minlength=_MERKLE_LEAVES).astype(np.int64)
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(_MERKLE_LEAVES, dtype=np.int64)),
+                "h_lo": pa.array(lo),
+                "h_hi": pa.array(hi),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    leaves = (
+        od.map_batches(leaf_partial, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(
+            Sum("h_lo", alias_name="h_lo"),
+            Sum("h_hi", alias_name="h_hi"),
+            Sum("cnt", alias_name="cnt"),
+        )
+        .to_pandas()
+        .sort_values("idx", ignore_index=True)
+    )
+    n_rows = int(leaves["cnt"].sum())
+    level = [
+        (int(lo) + (int(hi) << 32)) % (1 << 64)
+        for lo, hi in zip(leaves["h_lo"], leaves["h_hi"])
+    ]
+
+    def mix(a: int, b: int) -> int:
+        x = (a + 3 * b + _MERKLE_MIX) % (1 << 64)
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        return x ^ (x >> 31)
+
+    while len(level) > 1:
+        level = [mix(level[i], level[i + 1]) for i in range(0, len(level), 2)]
+    return pd.DataFrame(
+        {
+            "root": pd.Series([str(level[0])], dtype=object),
+            "n_leaves": np.array([_MERKLE_LEAVES], np.int64),
+            "n_rows": np.array([n_rows], np.int64),
+        }
+    )
+
+
+def _merkle_sql() -> str:
+    parts = [
+        "ev AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS cents FROM orders)",
+        _splitmix_ctes(
+            "mh", "ev", "k",
+            f"(CAST(k AS HUGEINT) * 31 + cents) + {_GOLDEN}",
+        ),
+        f"lv0 AS (SELECT CAST(k % {_MERKLE_LEAVES} AS BIGINT) AS idx,"
+        f" CAST(SUM(x) % {_T64} AS HUGEINT) AS h, COUNT(*) AS cnt"
+        f" FROM mh3 GROUP BY idx)",
+    ]
+    n = _MERKLE_LEAVES
+    lvl = 0
+    while n > 1:
+        parts.append(
+            f"p{lvl} AS (SELECT a.idx // 2 AS idx,"
+            f" (a.h + 3 * b.h) % {_T64} AS s"
+            f" FROM lv{lvl} a JOIN lv{lvl} b ON b.idx = a.idx + 1"
+            f" WHERE a.idx % 2 = 0)"
+        )
+        parts.append(_splitmix_ctes(f"q{lvl}", f"p{lvl}", "idx", f"s + {_GOLDEN}"))
+        parts.append(f"lv{lvl + 1} AS (SELECT idx, x AS h FROM q{lvl}3)")
+        n //= 2
+        lvl += 1
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(h AS VARCHAR) AS root,
+       CAST({_MERKLE_LEAVES} AS BIGINT) AS n_leaves,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM lv0) AS n_rows
+FROM lv{lvl}
+"""
+    )
+
+
+_SQL_MERKLE = _merkle_sql()
+
+QUERIES.update({"merkle_root_orders": q_merkle_root_orders})
+ORACLE_SQL.update({"merkle_root_orders": _SQL_MERKLE})
