@@ -19935,3 +19935,135 @@ _SQL_MERKLE = _merkle_sql()
 
 QUERIES.update({"merkle_root_orders": q_merkle_root_orders})
 ORACLE_SQL.update({"merkle_root_orders": _SQL_MERKLE})
+
+
+# --------------------------------------------------------------------------
+# part→supplier fan-out histogram — the distinct-fanout shape: how
+# many distinct suppliers ship each part, folded to a bounded
+# count-of-counts histogram.  Block-local distinct pairs shrink the
+# exchange to the live (part, supplier) domain; per-part distincts
+# run in partkey-bucket frames; the histogram fold is tiny.
+# --------------------------------------------------------------------------
+
+
+def q_part_supplier_fanout(sf_dir: str):
+    li = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {
+                    "k": t["l_partkey"].cast(pa.int64()),
+                    "s": t["l_suppkey"].cast(pa.int64()),
+                }
+            )
+            .group_by(["k", "s"])
+            .aggregate([])
+        )
+        return d
+
+    _FAN_EMPTY = {
+        "n_suppliers": pd.Series([], dtype=np.int64),
+        "n_parts": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_FAN_EMPTY)
+        fan = g.drop_duplicates().groupby("k")["s"].nunique().to_numpy(np.int64)
+        u, c = np.unique(fan, return_counts=True)
+        return pd.DataFrame(
+            {"n_suppliers": u.astype(np.int64), "n_parts": c.astype(np.int64)}
+        )
+
+    res = (
+        _bucket_groupby(li.map_batches(pairs, batch_format="pyarrow"), "k", frame)
+        .to_pandas()
+        .groupby("n_suppliers", as_index=False)["n_parts"]
+        .sum()
+    )
+    return res.astype(np.int64).sort_values("n_suppliers", ignore_index=True)
+
+
+_SQL_FANOUT = """
+WITH f AS (SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ns
+           FROM lineitem GROUP BY l_partkey)
+SELECT ns AS n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM f GROUP BY ns ORDER BY n_suppliers
+"""
+
+
+# --------------------------------------------------------------------------
+# round-number bias audit — the forensic accounting test on event
+# values: per event type, how many values are exact multiples of 1.0,
+# 0.5 and 0.1 (in e4 fixed point — the modulus is exact on both
+# engines).  Humans typing numbers leave this fingerprint; organic
+# measurements don't.  Per-block bounded partials.
+# --------------------------------------------------------------------------
+
+
+def q_value_round_bias(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 10_000.0
+        ).astype(np.int64)
+        part = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "m1": pa.array((v % 10_000 == 0).astype(np.int64)),
+                    "m05": pa.array((v % 5_000 == 0).astype(np.int64)),
+                    "m01": pa.array((v % 1_000 == 0).astype(np.int64)),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("m1", "sum"), ("m05", "sum"), ("m01", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": part["event_type"],
+                "n_mult_1": part["m1_sum"].cast(pa.int64()),
+                "n_mult_05": part["m05_sum"].cast(pa.int64()),
+                "n_mult_01": part["m01_sum"].cast(pa.int64()),
+                "n_events": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_mult_1", alias_name="n_mult_1"),
+            Sum("n_mult_05", alias_name="n_mult_05"),
+            Sum("n_mult_01", alias_name="n_mult_01"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+_SQL_ROUND_BIAS = """
+SELECT event_type,
+  CAST(SUM(CASE WHEN CAST(round(value * 10000) AS BIGINT) % 10000 = 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_mult_1,
+  CAST(SUM(CASE WHEN CAST(round(value * 10000) AS BIGINT) % 5000 = 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_mult_05,
+  CAST(SUM(CASE WHEN CAST(round(value * 10000) AS BIGINT) % 1000 = 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_mult_01,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+QUERIES.update(
+    {
+        "part_supplier_fanout": q_part_supplier_fanout,
+        "value_round_bias": q_value_round_bias,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "part_supplier_fanout": _SQL_FANOUT,
+        "value_round_bias": _SQL_ROUND_BIAS,
+    }
+)
