@@ -7724,3 +7724,115 @@ GROUP BY c.image_id
 
 GEO_QUERIES.update({"image_palette_stats": q_image_palette_stats})
 EXTRA_ORACLE_SQL["image_palette_stats"] = _PALETTE_SQL
+
+
+# --------------------------------------------------------------------------
+# geo vertex valence census — the decompose intersection-graph
+# fingerprint: the self-intersection pseudo-vertices that decompose
+# creates appear in MULTIPLE child rings of the same geometry; per
+# geometry this counts its distinct quantized vertices by ring-
+# valence (1 = ordinary boundary vertex, ≥2 = split point).
+# Block-local (a geometry's rings share a block); SQL replays from
+# the persisted vertex table.
+# --------------------------------------------------------------------------
+
+
+def q_geo_vertex_valence(sf_dir: str):
+    from ..relational.queries import _bucket_groupby
+    from ray.data.aggregate import Sum
+
+    simple = _simple_rings_cached(sf_dir)
+    _persist(simple.map_batches(_verts_batch, batch_format="pyarrow"), "valence_verts")
+    verts = simple.map_batches(_verts_batch, batch_format="pyarrow")
+
+    def quads(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vk": pa.array([], pa.int64()),
+                "geom_id": pa.array([], pa.string()),
+                "xi": pa.array([], pa.int64()),
+                "yi": pa.array([], pa.int64()),
+                "ring_seq": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        xi = np.floor(t["x"].to_numpy(zero_copy_only=False) * 1e5).astype(np.int64)
+        yi = np.floor(t["y"].to_numpy(zero_copy_only=False) * 1e5).astype(np.int64)
+        d = (
+            pa.table(
+                {
+                    "vk": pa.array(xi * np.int64(1_000_003) + yi),
+                    "geom_id": t["geom_id"].cast(pa.string()),
+                    "xi": pa.array(xi),
+                    "yi": pa.array(yi),
+                    "ring_seq": t["ring_seq"].cast(pa.int64()),
+                }
+            )
+            .group_by(["vk", "geom_id", "xi", "yi", "ring_seq"])
+            .aggregate([])
+        )
+        return d
+
+    _VAL_EMPTY = {
+        "geom_id": pd.Series([], dtype=object),
+        "n_vertices": pd.Series([], dtype=np.int64),
+        "n_valence1": pd.Series([], dtype=np.int64),
+        "n_split_points": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_VAL_EMPTY)
+        val = (
+            g.drop_duplicates()
+            .groupby(["geom_id", "xi", "yi"])["ring_seq"]
+            .nunique()
+            .reset_index(name="v")
+        )
+        out = val.groupby("geom_id").agg(
+            n_vertices=("v", "size"),
+            n_valence1=("v", lambda s: int((s == 1).sum())),
+            n_split_points=("v", lambda s: int((s >= 2).sum())),
+        )
+        out = out.reset_index()
+        return pd.DataFrame(
+            {
+                "geom_id": out["geom_id"].to_numpy(object),
+                "n_vertices": out["n_vertices"].to_numpy(np.int64),
+                "n_valence1": out["n_valence1"].to_numpy(np.int64),
+                "n_split_points": out["n_split_points"].to_numpy(np.int64),
+            }
+        )
+
+    # every occurrence of a vertex lands in one bucket (vk hash), so
+    # the valence count is frame-exact; per-geom partials then Sum
+    return (
+        _bucket_groupby(
+            verts.map_batches(quads, batch_format="pyarrow"), "vk", frame
+        )
+        .groupby("geom_id")
+        .aggregate(
+            Sum("n_vertices", alias_name="n_vertices"),
+            Sum("n_valence1", alias_name="n_valence1"),
+            Sum("n_split_points", alias_name="n_split_points"),
+        )
+    )
+
+
+_VALENCE_SQL = f"""
+WITH v AS (SELECT DISTINCT geom_id, ring_seq,
+                  CAST(floor(x * 100000.0) AS BIGINT) AS xi,
+                  CAST(floor(y * 100000.0) AS BIGINT) AS yi
+           FROM read_parquet('{_ORACLE_DIR}/valence_verts/*.parquet')),
+val AS (SELECT geom_id, xi, yi, COUNT(DISTINCT ring_seq) AS k
+        FROM v GROUP BY geom_id, xi, yi)
+SELECT geom_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_valence1,
+       CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_points
+FROM val GROUP BY geom_id
+"""
+
+GEO_QUERIES.update({"geo_vertex_valence": q_geo_vertex_valence})
+EXTRA_ORACLE_SQL["geo_vertex_valence"] = _VALENCE_SQL

@@ -20067,3 +20067,90 @@ ORACLE_SQL.update(
         "value_round_bias": _SQL_ROUND_BIAS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# exponentially decayed value sums with integer half-life — the
+# freshness-weighted aggregate done EXACTLY: weight = 2^(-age_weeks)
+# applied as an arithmetic right shift on e4 fixed-point values (all
+# values non-negative, so shift == floor division on both engines).
+# Pass 1 finds the global max timestamp (the reference "now"); pass 2
+# folds per-type decayed sums.
+# --------------------------------------------------------------------------
+
+_DECAY_WEEK_US = 7 * 86_400 * 1_000_000
+_DECAY_MAX_SHIFT = 40
+
+
+def q_decayed_value_sum(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"g": pa.array([0]), "mx": pa.array([int(pc.max(ts).as_py())])}
+        )
+
+    now_us = int(
+        ev.map_batches(ts_max, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Max("mx", alias_name="mx"))
+        .to_pandas()["mx"][0]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 10_000.0
+        ).astype(np.int64)
+        age = np.minimum((now_us - ts) // _DECAY_WEEK_US, _DECAY_MAX_SHIFT)
+        dec = v >> age.astype(np.int64)
+        part = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "decayed_e4": pa.array(dec),
+                    "raw_e4": pa.array(v),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("decayed_e4", "sum"), ("raw_e4", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": part["event_type"],
+                "decayed_e4": part["decayed_e4_sum"].cast(pa.int64()),
+                "raw_e4": part["raw_e4_sum"].cast(pa.int64()),
+                "n_events": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("decayed_e4", alias_name="decayed_e4"),
+            Sum("raw_e4", alias_name="raw_e4"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+_SQL_DECAY = f"""
+WITH m AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+d AS (SELECT event_type,
+             CAST(round(value * 10000) AS BIGINT) AS v,
+             LEAST((m.now_us - epoch_us(ts)) // {_DECAY_WEEK_US},
+                   {_DECAY_MAX_SHIFT}) AS age
+      FROM events, m)
+SELECT event_type,
+       CAST(SUM(v // (CAST(1 AS BIGINT) << age)) AS BIGINT) AS decayed_e4,
+       CAST(SUM(v) AS BIGINT) AS raw_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM d GROUP BY event_type
+"""
+
+QUERIES.update({"decayed_value_sum": q_decayed_value_sum})
+ORACLE_SQL.update({"decayed_value_sum": _SQL_DECAY})
