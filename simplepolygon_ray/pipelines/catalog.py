@@ -7836,3 +7836,74 @@ FROM val GROUP BY geom_id
 
 GEO_QUERIES.update({"geo_vertex_valence": q_geo_vertex_valence})
 EXTRA_ORACLE_SQL["geo_vertex_valence"] = _VALENCE_SQL
+
+
+# --------------------------------------------------------------------------
+# global texton histogram — the classic texture-bag primitive: every
+# 2x2 window of every image maps to a 4-bit code from the per-pixel
+# "bright" bit (px·n_pix > Σpx, integer cross-multiplied against the
+# image's own mean), histogrammed over the whole corpus (16 rows).
+# Per-image bincounts are block-local partials; SQL replays the
+# window codes and unnests them.
+# --------------------------------------------------------------------------
+
+
+def q_image_texton_hist(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def textons(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        hs = t["h"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        acc = np.zeros(16, np.int64)
+        for w, h, fmt, payload in zip(ws, hs, fmts, payloads):
+            px = decode(payload, w, h, fmt).astype(np.int64).sum(axis=2)
+            bright = (px * (w * h) > int(px.sum())).astype(np.int64)
+            code = (
+                bright[:-1, :-1]
+                + 2 * bright[:-1, 1:]
+                + 4 * bright[1:, :-1]
+                + 8 * bright[1:, 1:]
+            )
+            acc += np.bincount(code.ravel(), minlength=16)
+        return pa.table(
+            {
+                "pattern": pa.array(np.arange(16, dtype=np.int64)),
+                "n_windows": pa.array(acc),
+            }
+        )
+
+    return (
+        imgs.map_batches(textons, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("n_windows", alias_name="n_windows"))
+    )
+
+
+def _texton_bit(q: str, mult: int) -> str:
+    return f"(CASE WHEN {_gq_pix(q)} * n_pix > s THEN {mult} ELSE 0 END)"
+
+
+_TEXTON_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, fmt, b, w, h, CAST(w AS BIGINT) * h AS n_pix,
+         CAST(list_sum([{_gq_pix("p")}
+              for p in generate_series(0, CAST(w AS BIGINT) * h - 1)]) AS BIGINT) AS s
+  FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')),
+codes AS (SELECT unnest([
+    {_texton_bit("p", 1)} + {_texton_bit("p + 1", 2)}
+    + {_texton_bit("p + w", 4)} + {_texton_bit("p + w + 1", 8)}
+    for p in generate_series(0, n_pix - 1)
+    if p % w < w - 1 and p // w < h - 1]) AS pattern
+  FROM base)
+SELECT CAST(pattern AS BIGINT) AS pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM codes GROUP BY pattern ORDER BY pattern
+"""
+
+GEO_QUERIES.update({"image_texton_hist": q_image_texton_hist})
+EXTRA_ORACLE_SQL["image_texton_hist"] = _TEXTON_SQL

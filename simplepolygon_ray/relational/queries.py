@@ -20154,3 +20154,81 @@ FROM d GROUP BY event_type
 
 QUERIES.update({"decayed_value_sum": q_decayed_value_sum})
 ORACLE_SQL.update({"decayed_value_sum": _SQL_DECAY})
+
+
+# --------------------------------------------------------------------------
+# per-user behavioral diversity deciles — the Gini–Simpson index per
+# user as an exact integer decile: d = 10·(n² − Σ n_t²) // n² over
+# the user's event-type counts, histogrammed across all users.  The
+# per-user fold runs in user-bucket frames (segmented, no per-user
+# Python); output is ≤ 11 rows.
+# --------------------------------------------------------------------------
+
+
+def q_user_diversity_deciles(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table(
+                {
+                    "user_id": t["user_id"].cast(pa.int64()),
+                    "event_type": t["event_type"],
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "user_id": part["user_id"],
+                "event_type": part["event_type"],
+                "c": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    _DIV_EMPTY = {
+        "decile": pd.Series([], dtype=np.int64),
+        "n_users": pd.Series([], dtype=np.int64),
+    }
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_DIV_EMPTY)
+        per = g.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        agg = per.assign(c2=per["c"] ** 2).groupby("user_id").agg(
+            n=("c", "sum"), s2=("c2", "sum")
+        )
+        n = agg["n"].to_numpy(np.int64)
+        s2 = agg["s2"].to_numpy(np.int64)
+        dec = (10 * (n * n - s2)) // (n * n)
+        cnt = np.bincount(dec, minlength=11).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {"decile": nz.astype(np.int64), "n_users": cnt[nz]}
+        )
+
+    res = (
+        _bucket_groupby(
+            ev.map_batches(partial, batch_format="pyarrow"), "user_id", frame
+        )
+        .to_pandas()
+        .groupby("decile", as_index=False)["n_users"]
+        .sum()
+    )
+    return res.astype(np.int64).sort_values("decile", ignore_index=True)
+
+
+_SQL_DIVERSITY = """
+WITH tc AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type),
+u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM tc GROUP BY user_id),
+d AS (SELECT (10 * (n * n - s2)) // (n * n) AS decile FROM u)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+QUERIES.update({"user_diversity_deciles": q_user_diversity_deciles})
+ORACLE_SQL.update({"user_diversity_deciles": _SQL_DIVERSITY})
