@@ -7907,3 +7907,72 @@ FROM codes GROUP BY pattern ORDER BY pattern
 
 GEO_QUERIES.update({"image_texton_hist": q_image_texton_hist})
 EXTRA_ORACLE_SQL["image_texton_hist"] = _TEXTON_SQL
+
+
+# --------------------------------------------------------------------------
+# image format/shape profile — the catalog-level metadata census a
+# curation pipeline runs before touching pixels: counts and byte
+# totals per (fmt, orientation class).  Pure metadata pass — pixels
+# never decode; the exchange is the tiny (fmt × class) domain.
+# --------------------------------------------------------------------------
+
+
+def q_image_format_profile(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    n = _persist_media_inputs(sf_dir)
+    imgs = gen_images(n)
+
+    def prof(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shape = np.where(w > h, "landscape", np.where(w < h, "portrait", "square"))
+        nbytes = pc.binary_length(t["bytes"]).cast(pa.int64())
+        part = (
+            pa.table(
+                {
+                    "fmt": t["fmt"],
+                    "shape": pa.array(shape.astype(object), pa.string()),
+                    "n_bytes": nbytes,
+                    "n_px": pa.array(w * h),
+                }
+            )
+            .group_by(["fmt", "shape"])
+            .aggregate([("n_bytes", "sum"), ("n_px", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "fmt": part["fmt"],
+                "shape": part["shape"],
+                "n_bytes": part["n_bytes_sum"].cast(pa.int64()),
+                "n_px": part["n_px_sum"].cast(pa.int64()),
+                "n_images": part["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        imgs.map_batches(prof, batch_format="pyarrow")
+        .groupby(["fmt", "shape"])
+        .aggregate(
+            Sum("n_bytes", alias_name="n_bytes"),
+            Sum("n_px", alias_name="n_px"),
+            Sum("n_images", alias_name="n_images"),
+        )
+    )
+
+
+_FMT_PROFILE_SQL = f"""
+SELECT fmt,
+       CASE WHEN w > h THEN 'landscape'
+            WHEN w < h THEN 'portrait' ELSE 'square' END AS shape,
+       CAST(SUM(len(b)) AS BIGINT) AS n_bytes,
+       CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS n_px,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM read_parquet('{_ORACLE_DIR}/media_in/*.parquet')
+GROUP BY fmt, shape
+"""
+
+GEO_QUERIES.update({"image_format_profile": q_image_format_profile})
+EXTRA_ORACLE_SQL["image_format_profile"] = _FMT_PROFILE_SQL

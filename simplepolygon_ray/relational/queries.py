@@ -20232,3 +20232,60 @@ FROM d GROUP BY decile ORDER BY decile
 
 QUERIES.update({"user_diversity_deciles": q_user_diversity_deciles})
 ORACLE_SQL.update({"user_diversity_deciles": _SQL_DIVERSITY})
+
+
+# --------------------------------------------------------------------------
+# daily peak factor — the capacity-planning ratio done exactly: per
+# day, the busiest hour's event count against the day's total as the
+# integer (240·max)//total (10× the peak-to-mean factor over 24
+# hours).  The (day, hour) aggregate is calendar-bounded; the fold is
+# driver-side over ≤ 24 rows per day.
+# --------------------------------------------------------------------------
+
+
+def q_daily_peak_factor(sf_dir: str):
+    ev = _t(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        part = pa.table({"hour": hour}).group_by("hour").aggregate([([], "count_all")])
+        return pa.table(
+            {"hour": part["hour"], "n": part["count_all"].cast(pa.int64())}
+        )
+
+    hourly = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # calendar-bounded
+    )
+    hourly["day"] = hourly["hour"] // 24
+    agg = hourly.groupby("day").agg(max_hour=("n", "max"), total=("n", "sum"))
+    agg = agg.reset_index()
+    pf = (240 * agg["max_hour"].to_numpy(np.int64)) // agg["total"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "day": agg["day"].to_numpy(np.int64),
+            "max_hour_events": agg["max_hour"].to_numpy(np.int64),
+            "total_events": agg["total"].to_numpy(np.int64),
+            "peak_factor_e1": pf,
+        }
+    ).sort_values("day", ignore_index=True)
+
+
+_SQL_PEAK = """
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY hour),
+d AS (SELECT hour // 24 AS day, MAX(n) AS mx, SUM(n) AS tot
+      FROM h GROUP BY day)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(mx AS BIGINT) AS max_hour_events,
+       CAST(tot AS BIGINT) AS total_events,
+       CAST((240 * mx) // tot AS BIGINT) AS peak_factor_e1
+FROM d ORDER BY day
+"""
+
+QUERIES.update({"daily_peak_factor": q_daily_peak_factor})
+ORACLE_SQL.update({"daily_peak_factor": _SQL_PEAK})
