@@ -20289,3 +20289,52 @@ FROM d ORDER BY day
 
 QUERIES.update({"daily_peak_factor": q_daily_peak_factor})
 ORACLE_SQL.update({"daily_peak_factor": _SQL_PEAK})
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shaped local-supplier revenue — revenue where the customer
+# and the supplier share a nation, rolled up per REGION.  The heavy
+# machinery is exactly the Q7 nation-pair matrix (one orderkey bucket
+# join + broadcast supplier dim); Q5 is its diagonal, extracted on
+# the ≤|nations| result and rolled up through the bounded
+# nation→region dim.
+# --------------------------------------------------------------------------
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    import pyarrow.parquet as pq_
+
+    pairs = q_volume_shipping_pairs(sf_dir)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    diag = pairs[pairs["cust_nation"] == pairs["supp_nation"]]
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = pq_.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    m = diag.merge(nat[["n_name", "r_name"]], left_on="cust_nation", right_on="n_name")
+    out = m.groupby("r_name", as_index=False).agg(revenue_e4=("revenue_e4", "sum"))
+    return out.astype({"revenue_e4": np.int64}).sort_values(
+        "r_name", ignore_index=True
+    )
+
+
+_SQL_Q5 = """
+SELECT r_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+            AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n ON n.n_nationkey = c_nationkey AND n.n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n.n_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+QUERIES.update({"local_supplier_revenue": q_local_supplier_revenue})
+ORACLE_SQL.update({"local_supplier_revenue": _SQL_Q5})
